@@ -1,0 +1,138 @@
+"""Command-line renderer: ``python -m raytracingincuda_tpu.cli --scene_id 1 …``
+
+Drop-in replacement for the reference executables' CLI
+(``GlobalFloat…/main.cu:38-77``): same six flags, same required
+``--scene_id``, same output-filename convention, and the same two-value
+stdout timing contract — ``render_ms,e2e_ms`` printed as two fixed-point
+fields (``main.cu:342-343, 397-398``) — so the reference's benchmark sweep
+scripts and CSV schema work unchanged against this renderer.
+
+TPU-specific behavior: JIT compilation is excluded from timing by a warmup
+render by default (the CUDA reference has no compile stage; including our
+one-time tracing+XLA compile would measure the compiler, not the renderer).
+Pass ``--no-warmup`` to include compilation in both timings.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tpu-raytrace",
+        description="Super Raytrace: TPU-native ray tracing with JAX",
+    )
+    # the reference's six flags (main.cu:42-55)
+    p.add_argument("--scene_id", type=int, help="ID of the scene to render")
+    p.add_argument("--width", type=int, default=320,
+                   help="Width of the output image")
+    p.add_argument("--height", type=int, default=192,
+                   help="Height of the output image")
+    p.add_argument("--samples", type=int, default=10,
+                   help="Number of samples per pixel")
+    p.add_argument("--bounces", type=int, default=25,
+                   help="Maximum number of ray bounces")
+    p.add_argument("--threads", type=int, default=8,
+                   help="Kept for reference CLI parity; tile-size hint")
+    # TPU-native axes (replace the reference's six binaries, SURVEY.md §2.1)
+    p.add_argument("--dtype", choices=["float32", "float64", "bfloat16"],
+                   default="float32")
+    p.add_argument("--layout", choices=["hbm", "vmem", "packed"], default="hbm",
+                   help="scene memory layout (global/const/tex analog)")
+    p.add_argument("--impl", choices=["oracle", "pallas"], default="oracle",
+                   help="tracer implementation (jnp oracle or pallas kernel)")
+    p.add_argument("--seed", type=int, default=1227)
+    p.add_argument("--legacy_sky", action="store_true",
+                   help="reproduce the reference's primary-ray sky quirk "
+                        "(camera.h:121)")
+    p.add_argument("--chunk_pixels", type=int, default=None)
+    p.add_argument("--outdir", type=str, default=".")
+    p.add_argument("--no-warmup", dest="warmup", action="store_false",
+                   help="include JIT compilation in both timings")
+    p.add_argument("--no-output", dest="write_output", action="store_false",
+                   help="skip the PPM write (timing runs)")
+    p.add_argument("--devices", type=int, default=0,
+                   help="shard over this many devices (0 = all available)")
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. cpu, tpu)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.scene_id is None:
+        print("Error: --scene_id is required.", file=sys.stderr)
+        build_parser().print_help()
+        return 1
+
+    # Heavy imports after arg validation (fast --help).
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+
+    from .config import RenderConfig
+    from .models.camera import CameraConfig
+    from .models.scene import build_scene
+    from .render_api import make_renderer
+    from .utils.ppm import write_ppm
+
+    cfg = RenderConfig(
+        scene_id=args.scene_id,
+        width=args.width,
+        height=args.height,
+        samples=args.samples,
+        bounces=args.bounces,
+        threads=args.threads,
+        dtype=args.dtype,
+        layout=args.layout,
+        impl=args.impl,
+        seed=args.seed,
+        legacy_sky=args.legacy_sky,
+        chunk_pixels=args.chunk_pixels,
+    )
+
+    from .utils.timing import force
+
+    renderer = make_renderer(cfg, n_devices=args.devices)
+
+    # Warmup: compile outside the timed region (see module docstring).
+    scene_w = build_scene(cfg.scene_id, seed=cfg.seed, dtype=cfg.jnp_dtype)
+    cam_w = CameraConfig.reference_default(dtype=cfg.jnp_dtype)
+    if args.warmup:
+        force(renderer(scene_w, cam_w))
+
+    # --- end-to-end timing starts (analog of main.cu:95) ---
+    t_e2e0 = time.perf_counter()
+
+    scene = build_scene(cfg.scene_id, seed=cfg.seed, dtype=cfg.jnp_dtype)
+    cam = CameraConfig.reference_default(dtype=cfg.jnp_dtype)
+    scene = jax.device_put(scene)
+
+    # --- render-only timing (analog of main.cu:334-343) ---
+    # force() completes execution via a 4-byte device-side checksum read —
+    # see utils/timing.py for why block_until_ready is not enough here.
+    t_r0 = time.perf_counter()
+    img = renderer(scene, cam)
+    force(img)
+    render_ms = (time.perf_counter() - t_r0) * 1e3
+    print(f"{render_ms:15.8f}", end=",")
+
+    if args.write_output:
+        out_path = os.path.join(args.outdir, cfg.output_filename())
+        write_ppm(out_path, np.asarray(img, np.float64))
+
+    e2e_ms = (time.perf_counter() - t_e2e0) * 1e3
+    print(f"{e2e_ms:15.8f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,80 @@
+"""Run configuration: the reference's six CLI flags plus TPU-native axes.
+
+The reference bakes its variant axes (float/double x global/const/texture)
+into six separate executables (SURVEY.md §2.1); here they are config values
+of one tracer:
+
+  dtype:  float32 ('float') | float64 ('double') | bfloat16
+  layout: hbm ('global') | vmem ('const') | packed ('tex')
+          — scene placement strategy for the Pallas kernel; the jnp oracle
+          ignores it (XLA manages residency).
+  impl:   oracle (pure-jnp reference path) | pallas (wavefront kernel)
+
+Flag set and defaults mirror ``GlobalFloat…/main.cu:42-55``; ``--threads``
+(CUDA threads per 2-D block row) has no TPU meaning but is kept for CLI,
+filename and benchmark-CSV parity, and doubles as a tile-size hint:
+chunk_pixels defaults to threads^2 * 128 (the reference's block area times
+the VPU lane width).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+from .ops.rng import DEFAULT_SEED
+
+DTYPE_NAMES = {"float32": "float", "float64": "double", "bfloat16": "bfloat16"}
+LAYOUT_NAMES = {"hbm": "global", "vmem": "const", "packed": "tex"}
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    scene_id: int
+    width: int = 320
+    height: int = 192
+    samples: int = 10
+    bounces: int = 25
+    threads: int = 8          # CLI/filename parity knob (see module docstring)
+    dtype: str = "float32"
+    layout: str = "hbm"
+    impl: str = "oracle"
+    seed: int = DEFAULT_SEED
+    legacy_sky: bool = False
+    chunk_pixels: Optional[int] = None
+
+    def __post_init__(self):
+        if self.dtype not in DTYPE_NAMES:
+            raise ValueError(f"dtype must be one of {list(DTYPE_NAMES)}")
+        if self.layout not in LAYOUT_NAMES:
+            raise ValueError(f"layout must be one of {list(LAYOUT_NAMES)}")
+        if self.impl not in ("oracle", "pallas"):
+            raise ValueError("impl must be 'oracle' or 'pallas'")
+        for f in ("width", "height", "samples", "bounces"):
+            if getattr(self, f) <= 0:
+                raise ValueError(f"{f} must be positive")
+
+    @property
+    def jnp_dtype(self):
+        return {"float32": jnp.float32, "float64": jnp.float64,
+                "bfloat16": jnp.bfloat16}[self.dtype]
+
+    @property
+    def effective_chunk_pixels(self) -> int:
+        if self.chunk_pixels is not None:
+            return self.chunk_pixels
+        return max(self.threads * self.threads * 128, 1024)
+
+    def output_filename(self) -> str:
+        """Reference filename convention (main.cu:349-358):
+        <layout>_<dtype>_scene<id>_<W>x<H>_<S>samples_<B>bounces_
+        <threads>threadsPerBlockRow.ppm"""
+        return (
+            f"{LAYOUT_NAMES[self.layout]}_{DTYPE_NAMES[self.dtype]}"
+            f"_scene{self.scene_id}"
+            f"_{self.width}x{self.height}"
+            f"_{self.samples}samples"
+            f"_{self.bounces}bounces"
+            f"_{self.threads}threadsPerBlockRow.ppm"
+        )

@@ -1,0 +1,151 @@
+"""Differentiable rendering: gradients and the inverse-rendering train step.
+
+A capability the CUDA reference does not have (BASELINE.json north star):
+the rendered image is differentiable w.r.t. every continuous scene
+parameter (sphere centers / radii / albedo / fuzz / IOR) and the camera
+(vfov, lookfrom, lookat, vup, defocus, focus_dist).
+
+Gradient convention: **detached sampler**.  All random draws and all
+discrete decisions — the closest-hit argmin winner, the material branch,
+the Schlick reflect/refract coin, metal absorption, lane liveness — are
+treated as constants of the tangent trace.  Gradients flow through the
+continuous quantities conditioned on those decisions: hit distance t via
+the quadratic, hit point, normals, reflection/refraction directions,
+attenuation products, and the sky blend.  Where the estimator is
+non-differentiable (silhouette jumps) the gradient is simply the
+conditional one — finite everywhere by construction (all kernel math is
+NaN-safe on dead lanes).
+
+"Training" for this framework is inverse rendering: fit scene/camera
+parameters to a target image by gradient descent — the analog of a model
+train step, with the scene replicated across the mesh and its gradients
+all-reduced over ICI by XLA (overlapped with the backward trace).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.camera import CameraConfig
+from ..models.scene import Scene, SceneParams
+from . import tracer
+
+
+def image_mse(img: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    d = img - target
+    return jnp.mean(d * d)
+
+
+def make_loss_fn(
+    img_width: int,
+    img_height: int,
+    samples_per_pixel: int,
+    max_depth: int,
+    *,
+    seed: int = 1227,
+    dtype=jnp.float32,
+    chunk_pixels: Optional[int] = None,
+    pixel_sharding=None,
+    remat: bool = True,
+    gamma: bool = False,
+):
+    """loss(params, cam_cfg, statics, target) -> scalar.
+
+    Loss is computed in linear radiance space by default (gamma=False):
+    sqrt-gamma has unbounded slope at zero and black pixels are common
+    (absorbed rays return exact 0, camera.h:117).
+    """
+
+    def loss_fn(params: SceneParams, cam_cfg: CameraConfig,
+                mat_type, active, target):
+        scene = Scene(params=params, mat_type=mat_type, active=active)
+        img = tracer.render(
+            scene, cam_cfg, img_width, img_height,
+            samples_per_pixel, max_depth,
+            seed=seed, dtype=dtype, chunk_pixels=chunk_pixels,
+            pixel_sharding=pixel_sharding, gamma=gamma, remat=remat,
+        )
+        return image_mse(img, target)
+
+    return loss_fn
+
+
+def render_grads(
+    scene: Scene,
+    cam_cfg: CameraConfig,
+    target: jnp.ndarray,
+    img_width: int,
+    img_height: int,
+    samples_per_pixel: int,
+    max_depth: int,
+    **kw,
+):
+    """(loss, (scene-param grads, camera grads)) for one target image."""
+    loss_fn = make_loss_fn(
+        img_width, img_height, samples_per_pixel, max_depth, **kw
+    )
+    return jax.value_and_grad(loss_fn, argnums=(0, 1))(
+        scene.params, cam_cfg, scene.mat_type, scene.active, target
+    )
+
+
+class TrainState(NamedTuple):
+    params: SceneParams
+    opt_state: optax.OptState
+    step: jnp.ndarray
+
+
+def make_train_step(
+    img_width: int,
+    img_height: int,
+    samples_per_pixel: int,
+    max_depth: int,
+    optimizer: Optional[optax.GradientTransformation] = None,
+    learning_rate: float = 1e-2,
+    trainable=None,
+    **kw,
+):
+    """Build (init_fn, step_fn) for inverse rendering.
+
+    step_fn(state, cam_cfg, mat_type, active, target) -> (state, loss).
+    Jit it (optionally with shardings) — scene-parameter gradients are
+    replicated-summed across the mesh by GSPMD automatically.
+
+    ``trainable``: optional pytree of bools matching SceneParams selecting
+    which parameter groups receive updates (e.g. albedo-only fits —
+    geometry gradients at silhouettes are the noisiest estimator and often
+    excluded early in an inverse-rendering schedule).
+    """
+    opt = optimizer or optax.adam(learning_rate)
+    if trainable is not None:
+        labels = jax.tree_util.tree_map(
+            lambda t: "train" if t else "freeze", trainable
+        )
+        opt = optax.multi_transform(
+            {"train": opt, "freeze": optax.set_to_zero()}, labels
+        )
+    loss_fn = make_loss_fn(
+        img_width, img_height, samples_per_pixel, max_depth, **kw
+    )
+
+    def init_fn(params: SceneParams) -> TrainState:
+        return TrainState(
+            params=params,
+            opt_state=opt.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    def step_fn(state: TrainState, cam_cfg: CameraConfig,
+                mat_type, active, target):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, cam_cfg, mat_type, active, target
+        )
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return init_fn, step_fn

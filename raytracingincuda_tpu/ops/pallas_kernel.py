@@ -1,0 +1,402 @@
+"""Pallas wavefront render kernel.
+
+TPU-native replacement for the reference's ``render`` CUDA kernel
+(``GlobalFloat…/camera.h:130-172``). One grid step owns a *tile of rays*
+(the CUDA thread-block analog, ``main.cu:137-139``) and keeps every piece of
+bounce-loop state resident in VMEM across all samples and bounces — no HBM
+roundtrips inside the hot loop, which the per-bounce XLA fusion boundaries
+of the jnp oracle cannot guarantee.
+
+Data layout (chosen for the (8,128) VPU and the 128x128 MXU):
+  * ray state: lane-major rows (1, R_T) — 128 rays fill one vreg, so the
+    per-ray scatter/RNG math (the Threefry block cipher is ~100 int ops)
+    runs at full lane occupancy;
+  * scene: one packed SoA matrix (N, 16) resident in VMEM — sphere slots on
+    sublanes, attributes on lanes (centers, radius, albedo, fuzz, ior, mat,
+    active + precomputed |C|^2, r^2). This is the reference's own endpoint
+    design (Tex-variant SoA + integer indices, SURVEY.md §2.4) without the
+    pointer/texture machinery;
+  * intersection: (N, R_T) tiles — spheres x rays — hot loop 3 of the
+    reference (hittable.h:87) as one predicated vector expression, with the
+    C.D and C.O contractions on the MXU;
+  * hit-parameter fetch: scene^T @ one-hot(argmin) on the MXU — the TPU way
+    to "chase the material pointer" (hittable.h:63).
+
+The bounce loop is a ``lax.while_loop`` that exits as soon as every lane in
+the tile is dead — the wavefront answer to the reference's per-thread early
+``return`` (camera.h:117-124), which the SIMT machine pays for in warp
+divergence (SURVEY.md §5 ncu notes) and we pay for only until the slowest
+lane of a tile dies.
+
+Randomness is the same Threefry stream as the jnp oracle (ops/rng.py), so
+kernel-vs-oracle comparisons consume bit-identical random draws.
+
+Scene "layout" axis (the reference's global/const/tex variants):
+  vmem   — scene matrix preloaded to VMEM by BlockSpec (constant-memory
+           analog; default, the right call for scenes that fit VMEM).
+  packed — alias of vmem (the packed SoA matrix IS the tex-style layout).
+  hbm    — scene left in compiler-chosen memory; correctness path for
+           scenes too large for VMEM residency. (A chunked double-buffered
+           DMA streaming variant is the planned global-memory analog.)
+
+Mosaic-specific constraints honored here (found the hard way):
+  * no bool vectors through while-carries or selects-of-bool-constants
+    (i8->i1 truncation is unsupported) — masks are carried as f32;
+  * kernels may not capture traced constants — the RNG key is derived from
+    the static seed inside the kernel.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models import materials
+from ..models.camera import Camera, CameraConfig, initialize
+from ..models.scene import Scene
+from . import rng as rtrng
+from . import vec
+from .intersect import T_MIN, T_MISS
+from .tracer import _linear_to_gamma, _sky_color, primary_rays_from_ij
+from .vec import Vec3
+
+# Scene-matrix attribute columns (lane axis; padded to 16 for tiling)
+COL_CX, COL_CY, COL_CZ = 0, 1, 2
+COL_RADIUS = 3
+COL_ALB_R, COL_ALB_G, COL_ALB_B = 4, 5, 6
+COL_FUZZ, COL_IOR, COL_MAT, COL_ACTIVE = 7, 8, 9, 10
+COL_C2, COL_R2 = 11, 12          # precomputed |C|^2 and r^2
+NUM_COLS = 16
+
+DEFAULT_RAY_TILE = 128
+
+
+def pack_scene_matrix(scene: Scene, dtype=jnp.float32) -> jnp.ndarray:
+    """Scene pytree -> (N, 16) attribute matrix (differentiable)."""
+    p = scene.params
+    n = scene.num_slots
+    zeros = jnp.zeros((n,), dtype)
+    cols = [
+        p.center.x, p.center.y, p.center.z,
+        p.radius,
+        p.albedo.x, p.albedo.y, p.albedo.z,
+        p.fuzz, p.ior,
+        scene.mat_type.astype(dtype),
+        scene.active.astype(dtype),
+        vec.length_sq(p.center),
+        p.radius * p.radius,
+    ]
+    cols += [zeros] * (NUM_COLS - len(cols))
+    return jnp.stack([c.astype(dtype) for c in cols], axis=1)
+
+
+def pack_camera(cam: Camera, dtype=jnp.float32) -> jnp.ndarray:
+    """Derived camera -> (1, 24) scalar row for SMEM."""
+    vals = [
+        cam.pixel00_loc.x, cam.pixel00_loc.y, cam.pixel00_loc.z,
+        cam.pixel_delta_u.x, cam.pixel_delta_u.y, cam.pixel_delta_u.z,
+        cam.pixel_delta_v.x, cam.pixel_delta_v.y, cam.pixel_delta_v.z,
+        cam.center.x, cam.center.y, cam.center.z,
+        cam.defocus_disk_u.x, cam.defocus_disk_u.y, cam.defocus_disk_u.z,
+        cam.defocus_disk_v.x, cam.defocus_disk_v.y, cam.defocus_disk_v.z,
+        cam.use_defocus.astype(dtype),
+    ]
+    row = jnp.stack([jnp.asarray(v, dtype) for v in vals])
+    return jnp.pad(row, (0, 24 - row.shape[0]))[None, :]
+
+
+def _unpack_camera(cam_ref) -> Camera:
+    g = lambda k: cam_ref[0, k]
+    v3 = lambda k: Vec3(g(k), g(k + 1), g(k + 2))
+    return Camera(
+        pixel00_loc=v3(0),
+        pixel_delta_u=v3(3),
+        pixel_delta_v=v3(6),
+        center=v3(9),
+        defocus_disk_u=v3(12),
+        defocus_disk_v=v3(15),
+        use_defocus=g(18) > 0.5,
+    )
+
+
+def _row_stack3(v: Vec3) -> jnp.ndarray:
+    """Vec3 of (1, R) rows -> (3, R)."""
+    return jnp.concatenate([v.x, v.y, v.z], axis=0)
+
+
+def _hit_world_tile(scene_ref, o: Vec3, d: Vec3):
+    """Closest hit for a lane-major (1, R) ray tile vs the (N, 16) scene.
+
+    Same quadratic as intersect.hit_world (hittable.h:40-66): spheres on
+    sublanes, rays on lanes; the C.D and C.O contractions run on the MXU;
+    |C|^2 and r^2 come precomputed in the matrix.
+
+    Returns (hit (1,R) bool, t (1,R), one_hot (N,R) f32).
+    """
+    centers = scene_ref[:, COL_CX:COL_CZ + 1]                # (N, 3)
+    c2 = scene_ref[:, COL_C2:COL_C2 + 1]                     # (N, 1)
+    r2 = scene_ref[:, COL_R2:COL_R2 + 1]
+    active = scene_ref[:, COL_ACTIVE:COL_ACTIVE + 1]
+
+    a = jnp.maximum(vec.length_sq(d), 1e-12)                 # (1, R)
+    d_dot_o = vec.dot(d, o)                                   # (1, R)
+    o2 = vec.length_sq(o)                                     # (1, R)
+
+    # C.D and C.O as explicit VPU broadcasts (N,1)x(1,R). The MXU version
+    # (dot_general over K=3) needs precision=HIGHEST to keep f32 accuracy
+    # (the MXU multiplies in bf16) and the multi-pass emulation measured
+    # slower than these 10 fused VPU ops.
+    cx = centers[:, 0:1]
+    cy = centers[:, 1:2]
+    cz = centers[:, 2:3]
+    c_dot_d = cx * d.x + cy * d.y + cz * d.z                  # (N, R)
+    c_dot_o = cx * o.x + cy * o.y + cz * o.z                  # (N, R)
+
+    h = c_dot_d - d_dot_o                                     # (N, R)
+    c = c2 - 2.0 * c_dot_o + o2 - r2                          # (N, R)
+
+    disc = h * h - a * c
+    disc_pos = disc > 0.0
+    sqrtd = jnp.sqrt(jnp.where(disc_pos, disc, 1.0))
+    inv_a = 1.0 / a
+    near = (h - sqrtd) * inv_a
+    far = (h + sqrtd) * inv_a
+    root = jnp.where(near > T_MIN, near, far)
+    valid = disc_pos & (root > T_MIN) & (active > 0.5)
+
+    t_all = jnp.where(valid, root, T_MISS)                    # (N, R)
+    idx = jnp.argmin(t_all, axis=0, keepdims=True)            # (1, R) int32
+    sub = jax.lax.broadcasted_iota(jnp.int32, t_all.shape, 0)
+    one_hot = (sub == idx).astype(t_all.dtype)                # (N, R)
+    t = jnp.sum(t_all * one_hot, axis=0, keepdims=True)       # (1, R)
+    return t < T_MISS, t, one_hot
+
+
+def _gather_hit(scene_ref, one_hot: jnp.ndarray):
+    """Hit-parameter fetch: scene^T (16,N) @ one-hot (N,R) on the MXU."""
+    params = lax.dot_general(
+        scene_ref[:, :], one_hot,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )                                                          # (16, R)
+    row = lambda k: params[k:k + 1, :]
+    return (
+        Vec3(row(COL_CX), row(COL_CY), row(COL_CZ)),           # center
+        row(COL_RADIUS),
+        Vec3(row(COL_ALB_R), row(COL_ALB_G), row(COL_ALB_B)),
+        row(COL_FUZZ),
+        row(COL_IOR),
+        row(COL_MAT),
+    )
+
+
+def _render_tile_kernel(
+    ids_ref, ii_ref, jj_ref, scene_ref, cam_ref, out_r_ref, out_g_ref,
+    out_b_ref,
+    *, samples: int, max_depth: int,
+    seed: int, dtype, legacy_sky: bool,
+):
+    # Key materialized from the static seed inside the kernel (pallas
+    # kernels cannot capture traced constants).
+    key = rtrng.key_from_seed(seed)
+    cam = _unpack_camera(cam_ref)
+    pixel_ids = ids_ref[0, :, :]                              # (1, R) uint32
+    fi = ii_ref[0, :, :]                                       # (1, R) f32
+    fj = jj_ref[0, :, :]
+    shape = pixel_ids.shape
+
+    def trace_one_sample(s: jnp.ndarray) -> Vec3:
+        origin, direction = primary_rays_from_ij(
+            cam, fi, fj, pixel_ids, s, key, dtype
+        )
+        primary_dir = direction
+
+        # Masks carried as f32 (Mosaic can't round-trip i1 vectors through
+        # while carries); booleans stay transient cmp results in the body.
+        def cond(carry):
+            b, _, _, _, _, alive_f = carry
+            return (b < max_depth) & (jnp.max(alive_f) > 0.5)
+
+        def body(carry):
+            b, o, d, atten, rad, alive_f = carry
+            alive = alive_f > 0.5
+            hit, t, one_hot = _hit_world_tile(scene_ref, o, d)
+            center_h, radius_h, albedo_h, fuzz_h, ior_h, mat_f = (
+                _gather_hit(scene_ref, one_hot)
+            )
+            mat_h = mat_f.astype(jnp.int32)
+
+            t_safe = jnp.where(hit, t, 1.0)
+            p = o + d * t_safe
+            outward = (p - center_h) / jnp.maximum(radius_h, 1e-12)
+            front_face = vec.dot(d, outward) < 0.0
+            normal = vec.where(front_face, outward, -outward)
+
+            b_u = b.astype(jnp.uint32)
+            unit_rand = rtrng.random_unit_vector(
+                key, pixel_ids, s, b_u, rtrng.DRAW_SCATTER, dtype
+            )
+            coin_u, _ = rtrng.uniform2(
+                key, pixel_ids, s, b_u, rtrng.DRAW_COIN, dtype
+            )
+            sc = materials.scatter(
+                d, normal, front_face, mat_h,
+                albedo_h, fuzz_h, ior_h, unit_rand, coin_u,
+            )
+
+            sky_dir = primary_dir if legacy_sky else d
+            sky = _sky_color(sky_dir, dtype)
+            miss_now = alive & ~hit
+            zero = Vec3.zeros(shape, dtype=dtype)
+            rad = rad + vec.where(miss_now, atten * sky, zero)
+
+            scattered_alive = alive & hit & sc.scattered
+            atten = vec.where(scattered_alive, atten * sc.attenuation, atten)
+            o = vec.where(scattered_alive, p, o)
+            d = vec.where(scattered_alive, sc.direction, d)
+            alive_next = jnp.where(
+                scattered_alive,
+                jnp.ones(shape, dtype),
+                jnp.zeros(shape, dtype),
+            )
+            return b + 1, o, d, atten, rad, alive_next
+
+        init = (
+            jnp.int32(0), origin, direction,
+            Vec3.full(shape, 1.0, 1.0, 1.0, dtype=dtype),
+            Vec3.zeros(shape, dtype=dtype),
+            jnp.ones(shape, dtype),
+        )
+        _, _, _, _, rad, _ = lax.while_loop(cond, body, init)
+        return rad
+
+    def sample_body(s, acc):
+        rad = trace_one_sample(s.astype(jnp.uint32))
+        return acc + rad
+
+    acc = lax.fori_loop(
+        0, samples, sample_body, Vec3.zeros(shape, dtype=dtype)
+    )
+    out_r_ref[0, :, :] = acc.x
+    out_g_ref[0, :, :] = acc.y
+    out_b_ref[0, :, :] = acc.z
+
+
+def render_pallas(
+    scene: Scene,
+    cam_cfg: CameraConfig,
+    img_width: int,
+    img_height: int,
+    samples_per_pixel: int,
+    max_depth: int,
+    *,
+    seed: int = rtrng.DEFAULT_SEED,
+    dtype=jnp.float32,
+    layout: str = "vmem",
+    legacy_sky: bool = False,
+    gamma: bool = True,
+    ray_tile: int = DEFAULT_RAY_TILE,
+    pixel_sharding=None,
+    mesh=None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Render with the Pallas wavefront kernel. Same semantics and RNG
+    streams as tracer.render (the jnp oracle); (H, W, 3) output."""
+    if jnp.dtype(dtype) != jnp.float32:
+        raise NotImplementedError(
+            "pallas kernel is f32; use impl='oracle' for float64/bfloat16"
+        )
+    cam = initialize(cam_cfg, img_width, img_height)
+
+    num_pixels = img_width * img_height
+    padded = _round_up(num_pixels, ray_tile)
+    n_tiles = padded // ray_tile
+
+    ids = jnp.arange(padded, dtype=jnp.uint32)
+    ii = (ids % jnp.uint32(img_width)).astype(dtype)
+    jj = (ids // jnp.uint32(img_width)).astype(dtype)
+    # (T, 1, R) so each grid block's trailing dims (1, R) equal the array's
+    # trailing dims (Pallas TPU block-shape divisibility rule).
+    ids2 = ids.reshape(n_tiles, 1, ray_tile)
+    ii2 = ii.reshape(n_tiles, 1, ray_tile)
+    jj2 = jj.reshape(n_tiles, 1, ray_tile)
+
+    scene_mat = pack_scene_matrix(scene, dtype)
+    cam_row = pack_camera(cam, dtype)
+    n_spheres = scene_mat.shape[0]
+
+    kernel = functools.partial(
+        _render_tile_kernel,
+        samples=samples_per_pixel,
+        max_depth=max_depth,
+        seed=seed,
+        dtype=dtype,
+        legacy_sky=legacy_sky,
+    )
+
+    scene_space = pltpu.VMEM if layout in ("vmem", "packed") else pltpu.ANY
+    flops_est = int(samples_per_pixel * max_depth * padded * n_spheres * 20)
+
+    def run(ids_arr, ii_arr, jj_arr, scene_m, cam_r):
+        tiles = ids_arr.shape[0]
+        row_spec = pl.BlockSpec((1, 1, ray_tile), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            kernel,
+            grid=(tiles,),
+            in_specs=[
+                row_spec, row_spec, row_spec,
+                pl.BlockSpec((n_spheres, NUM_COLS), lambda i: (0, 0),
+                             memory_space=scene_space),
+                pl.BlockSpec((1, 24), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=(row_spec, row_spec, row_spec),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((tiles, 1, ray_tile), dtype)
+                for _ in range(3)
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=flops_est, bytes_accessed=int(padded) * 4 * 16,
+                transcendentals=int(
+                    samples_per_pixel * max_depth * padded * 4
+                ),
+            ),
+            interpret=interpret,
+        )(ids_arr, ii_arr, jj_arr, scene_m, cam_r)
+        return out
+
+    if mesh is not None:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        axes = tuple(mesh.axis_names)
+        run = shard_map(
+            run, mesh=mesh,
+            in_specs=(P(axes), P(axes), P(axes), P(), P()),
+            out_specs=(P(axes), P(axes), P(axes)),
+            check_rep=False,
+        )
+
+    acc_r, acc_g, acc_b = run(ids2, ii2, jj2, scene_mat, cam_row)
+    acc = jnp.stack(
+        [acc_r.reshape(padded), acc_g.reshape(padded),
+         acc_b.reshape(padded)],
+        axis=-1,
+    )
+    scale = jnp.asarray(1.0 / samples_per_pixel, dtype)
+    img = acc[:num_pixels] * scale
+    if gamma:
+        img = _linear_to_gamma(img)
+    return img.reshape(img_height, img_width, 3)
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m

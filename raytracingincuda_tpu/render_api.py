@@ -1,0 +1,73 @@
+"""High-level renderer factory: config -> jitted (scene, camera) -> image.
+
+Selects the tracer implementation (jnp oracle vs Pallas wavefront kernel),
+builds the device mesh, and wires pixel-axis sharding. This is the
+TPU-native analog of the reference's per-variant ``main()`` driver
+(SURVEY.md §1 "Driver / host runtime").
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+
+from .config import RenderConfig
+from .ops import tracer
+from .parallel import mesh as meshlib
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def make_renderer(cfg: RenderConfig, n_devices: int = 0):
+    """Return a jitted ``renderer(scene, cam_cfg) -> (H, W, 3) image``.
+
+    ``n_devices``: shard rays over this many devices (0 = all available).
+    Single-device and multi-device renders are bit-identical (counter-based
+    RNG; the pixel axis is merely sliced).
+    """
+    meshlib.maybe_initialize_distributed()
+    devs = jax.devices()
+    if n_devices == 0:
+        n_devices = len(devs)
+    n_devices = min(n_devices, len(devs))
+
+    sharding = None
+    chunk = cfg.effective_chunk_pixels
+    if n_devices > 1:
+        m = meshlib.make_mesh(n_devices)
+        sharding = meshlib.pixel_sharding(m)
+        chunk = _round_up(chunk, n_devices * 256)
+
+    if cfg.impl == "pallas":
+        from .ops.pallas_kernel import render_pallas
+
+        render_fn = functools.partial(
+            render_pallas,
+            img_width=cfg.width,
+            img_height=cfg.height,
+            samples_per_pixel=cfg.samples,
+            max_depth=cfg.bounces,
+            seed=cfg.seed,
+            dtype=cfg.jnp_dtype,
+            layout=cfg.layout,
+            legacy_sky=cfg.legacy_sky,
+            pixel_sharding=sharding,
+        )
+    else:
+        render_fn = functools.partial(
+            tracer.render,
+            img_width=cfg.width,
+            img_height=cfg.height,
+            samples_per_pixel=cfg.samples,
+            max_depth=cfg.bounces,
+            seed=cfg.seed,
+            dtype=cfg.jnp_dtype,
+            chunk_pixels=chunk,
+            pixel_sharding=sharding,
+            legacy_sky=cfg.legacy_sky,
+        )
+
+    return jax.jit(lambda scene, cam_cfg: render_fn(scene, cam_cfg))

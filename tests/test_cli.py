@@ -1,0 +1,73 @@
+"""CLI contract tests: the reference's flags, stdout timing format and
+output filename convention (main.cu:38-77, 342-343, 349-358, 397-398)."""
+import os
+import re
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from raytracingincuda_tpu.config import RenderConfig
+from raytracingincuda_tpu.utils.ppm import read_ppm
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+
+
+def run_cli(*extra, cwd):
+    return subprocess.run(
+        [sys.executable, "-m", "raytracingincuda_tpu.cli",
+         "--platform", "cpu", *extra],
+        capture_output=True, text=True, cwd=str(cwd),
+        env={**os.environ, "PYTHONPATH": REPO + os.pathsep
+             + os.environ.get("PYTHONPATH", "")},
+        timeout=540,
+    )
+
+
+def test_scene_id_required(tmp_path):
+    r = run_cli(cwd=tmp_path)
+    assert r.returncode == 1
+    assert "scene_id is required" in r.stderr
+
+
+@pytest.mark.slow
+def test_render_contract(tmp_path):
+    r = run_cli("--scene_id", "2", "--width", "40", "--height", "24",
+                "--samples", "2", "--bounces", "4", cwd=tmp_path)
+    assert r.returncode == 0, r.stderr
+    # stdout timing contract: "render_ms,e2e_ms" as two 15-wide fixed fields
+    line = r.stdout.strip().splitlines()[-1]
+    m = re.match(r"^\s*(\d+\.\d{8}),\s*(\d+\.\d{8})$", line)
+    assert m, f"bad timing line: {line!r}"
+    assert float(m.group(1)) <= float(m.group(2))
+    # output file follows the reference naming convention
+    expected = RenderConfig(
+        scene_id=2, width=40, height=24, samples=2, bounces=4
+    ).output_filename()
+    assert expected == ("global_float_scene2_40x24_2samples_4bounces_"
+                        "8threadsPerBlockRow.ppm")
+    path = tmp_path / expected
+    assert path.exists()
+    arr, maxval = read_ppm(str(path))
+    assert maxval == 255
+    assert arr.shape == (24, 40, 3)
+    assert arr.max() > 100  # sky is bright
+
+
+def test_config_validation():
+    with pytest.raises(ValueError):
+        RenderConfig(scene_id=1, width=0)
+    with pytest.raises(ValueError):
+        RenderConfig(scene_id=1, dtype="float16")
+    with pytest.raises(ValueError):
+        RenderConfig(scene_id=1, layout="texture")
+
+
+def test_filename_axes():
+    f = RenderConfig(scene_id=1, dtype="float64", layout="packed",
+                     impl="oracle").output_filename()
+    assert f.startswith("tex_double_scene1_")
+    f = RenderConfig(scene_id=1, dtype="float32", layout="vmem",
+                     impl="oracle").output_filename()
+    assert f.startswith("const_float_scene1_")

@@ -1,0 +1,110 @@
+"""Multi-device tests on the simulated 8-device CPU mesh (SURVEY.md §4):
+sharded render must be bit-identical to unsharded, and the sharded train
+step must produce replicated, correct scene-parameter gradients."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from raytracingincuda_tpu.models.camera import CameraConfig
+from raytracingincuda_tpu.models.scene import build_scene
+from raytracingincuda_tpu.ops import grad as gradlib
+from raytracingincuda_tpu.ops.tracer import render
+from raytracingincuda_tpu.parallel import mesh as meshlib
+
+W, H = 64, 32
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return build_scene(2, pad_to_multiple=64)
+
+
+@pytest.fixture(scope="module")
+def cam():
+    return CameraConfig.reference_default()
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8, (
+        "conftest must provide 8 virtual CPU devices"
+    )
+
+
+def _assert_same_render(a, b):
+    """Sharded and unsharded renders use bit-identical RNG streams; the
+    remaining difference is XLA fusion/FMA reassociation between the two
+    compiled programs. Require <= 1e-4 absolute (far below the 1/256 PPM
+    quantization step) and identical quantized output up to 1 level."""
+    from raytracingincuda_tpu.utils.ppm import quantize
+
+    np.testing.assert_allclose(a, b, atol=1e-4)
+    assert np.abs(quantize(a) - quantize(b)).max() <= 1
+
+
+def test_sharded_render_matches_unsharded(scene, cam):
+    base = np.asarray(render(scene, cam, W, H, 2, 4, chunk_pixels=2048))
+
+    m = meshlib.make_mesh()
+    sh = meshlib.pixel_sharding(m)
+    f = jax.jit(
+        lambda s, c: render(
+            s, c, W, H, 2, 4, chunk_pixels=2048, pixel_sharding=sh
+        )
+    )
+    sharded = np.asarray(f(scene, cam))
+    _assert_same_render(base, sharded)
+
+
+def test_sharded_render_2d_mesh(scene, cam):
+    m = meshlib.make_mesh(axis_names=("dp", "sp"))
+    assert m.devices.size == 8
+    sh = meshlib.pixel_sharding(m)
+    out = np.asarray(
+        jax.jit(
+            lambda s, c: render(
+                s, c, W, H, 2, 4, chunk_pixels=2048, pixel_sharding=sh
+            )
+        )(scene, cam)
+    )
+    base = np.asarray(render(scene, cam, W, H, 2, 4, chunk_pixels=2048))
+    _assert_same_render(base, out)
+
+
+def test_sharded_grads_match_unsharded(scene, cam):
+    target = jnp.zeros((H, W, 3))
+
+    loss_u, (gp_u, _) = gradlib.render_grads(
+        scene, cam, target, W, H, 1, 3, chunk_pixels=2048
+    )
+
+    m = meshlib.make_mesh()
+    sh = meshlib.pixel_sharding(m)
+    loss_s, (gp_s, _) = jax.jit(
+        lambda s, c, t: gradlib.render_grads(
+            s, c, t, W, H, 1, 3, chunk_pixels=2048, pixel_sharding=sh
+        )
+    )(scene, cam, target)
+
+    np.testing.assert_allclose(float(loss_u), float(loss_s), rtol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(gp_u), jax.tree_util.tree_leaves(gp_s)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7
+        )
+
+
+def test_sharded_train_step_runs(scene, cam):
+    m = meshlib.make_mesh()
+    sh = meshlib.pixel_sharding(m)
+    init_fn, step_fn = gradlib.make_train_step(
+        W, H, 1, 3, chunk_pixels=2048, pixel_sharding=sh
+    )
+    state = init_fn(scene.params)
+    step_jit = jax.jit(step_fn)
+    target = jnp.zeros((H, W, 3))
+    state, loss = step_jit(state, cam, scene.mat_type, scene.active, target)
+    state, loss2 = step_jit(state, cam, scene.mat_type, scene.active, target)
+    assert np.isfinite(float(loss)) and np.isfinite(float(loss2))
+    assert float(loss2) <= float(loss) * 1.5  # sane progression
