@@ -1,0 +1,110 @@
+"""Benchmark sweep: the TPU-native analog of the reference's
+``global_float_benchmark.sh`` (and its 3 siblings).
+
+Sweeps the same config grid — scene x resolution x samples x bounces x
+threads x RUNS — against the in-process renderer and writes the reference's
+CSV schema (``global_float_benchmark.sh:25,74``):
+
+  scene_id,width,height,samples,bounces,threads,run,
+  render_only_time_ms,end_to_end_time_ms
+
+plus TPU-native columns: impl,dtype,layout,chips,hosts.
+
+Unlike the bash sweeps (one process per run, recompiling nothing because
+CUDA binaries are AOT), we keep one process and jit-compile once per shape;
+compile time is excluded from render_only and included in nothing (the
+reference's e2e covers per-run GPU setup, ours covers scene build +
+device transfer + render + readback).
+
+Usage:
+  python benchmarks/sweep.py --impl oracle --out timing.csv [--quick]
+"""
+from __future__ import annotations
+
+import argparse
+import csv
+import itertools
+import sys
+import time
+
+# Reference sweep grid (global_float_benchmark.sh:4-11)
+SCENES = [1, 2, 3]
+RESOLUTIONS = [(320, 192), (640, 384), (960, 576), (1280, 768)]  # all 5:3
+SAMPLES = [10]
+BOUNCES = [25]
+THREADS = [8]  # CUDA block-row sweep {4,8,16,32} has no TPU meaning; fixed
+RUNS = 5
+
+QUICK_RESOLUTIONS = [(320, 192)]
+QUICK_RUNS = 2
+
+CSV_COLUMNS = [
+    "scene_id", "width", "height", "samples", "bounces", "threads", "run",
+    "render_only_time_ms", "end_to_end_time_ms",
+    "impl", "dtype", "layout", "chips", "hosts",
+]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--impl", default="oracle", choices=["oracle", "pallas"])
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--layout", default="hbm")
+    ap.add_argument("--out", default="timing.csv")
+    ap.add_argument("--samples", type=int, nargs="*", default=SAMPLES)
+    ap.add_argument("--quick", action="store_true",
+                    help="small grid for CI smoke")
+    args = ap.parse_args()
+
+    import jax
+
+    from raytracingincuda_tpu.config import RenderConfig
+    from raytracingincuda_tpu.models.camera import CameraConfig
+    from raytracingincuda_tpu.models.scene import build_scene
+    from raytracingincuda_tpu.render_api import make_renderer
+
+    resolutions = QUICK_RESOLUTIONS if args.quick else RESOLUTIONS
+    runs = QUICK_RUNS if args.quick else RUNS
+    chips = jax.device_count()
+    hosts = jax.process_count()
+
+    rows = []
+    grid = list(itertools.product(SCENES, resolutions, args.samples, BOUNCES,
+                                  THREADS))
+    for scene_id, (w, h), spp, bounces, threads in grid:
+        cfg = RenderConfig(
+            scene_id=scene_id, width=w, height=h, samples=spp,
+            bounces=bounces, threads=threads, dtype=args.dtype,
+            layout=args.layout, impl=args.impl,
+        )
+        from raytracingincuda_tpu.utils.timing import force
+
+        renderer = make_renderer(cfg)
+        cam = CameraConfig.reference_default(dtype=cfg.jnp_dtype)
+        scene_w = build_scene(scene_id, dtype=cfg.jnp_dtype)
+        force(renderer(scene_w, cam))  # compile + complete
+        for run in range(runs):
+            t_e2e = time.perf_counter()
+            scene = jax.device_put(
+                build_scene(scene_id, dtype=cfg.jnp_dtype)
+            )
+            t_r = time.perf_counter()
+            force(renderer(scene, cam))
+            render_ms = (time.perf_counter() - t_r) * 1e3
+            e2e_ms = (time.perf_counter() - t_e2e) * 1e3
+            rows.append([scene_id, w, h, spp, bounces, threads, run,
+                         f"{render_ms:.8f}", f"{e2e_ms:.8f}",
+                         args.impl, args.dtype, args.layout, chips, hosts])
+            print(f"scene{scene_id} {w}x{h} {spp}spp run{run}: "
+                  f"{render_ms:.2f},{e2e_ms:.2f}", file=sys.stderr)
+
+    with open(args.out, "w", newline="") as f:
+        wcsv = csv.writer(f)
+        wcsv.writerow(CSV_COLUMNS)
+        wcsv.writerows(rows)
+    print(f"wrote {len(rows)} rows to {args.out}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
