@@ -42,10 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-native axes (replace the reference's six binaries, SURVEY.md §2.1)
     p.add_argument("--dtype", choices=["float32", "float64", "bfloat16"],
                    default="float32")
-    p.add_argument("--layout", choices=["hbm", "vmem", "packed"], default="hbm",
+    p.add_argument("--layout", choices=["hbm", "vmem", "packed"],
+                   default="vmem",
                    help="scene memory layout (global/const/tex analog)")
-    p.add_argument("--impl", choices=["oracle", "pallas"], default="oracle",
-                   help="tracer implementation (jnp oracle or pallas kernel)")
+    p.add_argument("--impl", choices=["oracle", "pallas"], default="pallas",
+                   help="tracer implementation (pallas kernel or jnp oracle)")
     p.add_argument("--seed", type=int, default=1227)
     p.add_argument("--legacy_sky", action="store_true",
                    help="reproduce the reference's primary-ray sky quirk "

@@ -38,8 +38,8 @@ class RenderConfig:
     bounces: int = 25
     threads: int = 8          # CLI/filename parity knob (see module docstring)
     dtype: str = "float32"
-    layout: str = "hbm"
-    impl: str = "oracle"
+    layout: str = "vmem"
+    impl: str = "pallas"
     seed: int = DEFAULT_SEED
     legacy_sky: bool = False
     chunk_pixels: Optional[int] = None

@@ -8,6 +8,7 @@ TPU-native analog of the reference's per-variant ``main()`` driver
 from __future__ import annotations
 
 import functools
+import sys
 from typing import Optional
 
 import jax
@@ -41,9 +42,27 @@ def make_renderer(cfg: RenderConfig, n_devices: int = 0):
         sharding = meshlib.pixel_sharding(m)
         chunk = _round_up(chunk, n_devices * 256)
 
-    if cfg.impl == "pallas":
+    impl = cfg.impl
+    if impl == "pallas" and jax.default_backend() == "cpu":
+        # The Mosaic kernel needs a TPU; the oracle is the CPU serving path
+        # (and the serial-baseline analog, SURVEY.md §2.1).
+        print("note: impl=pallas requires TPU; using oracle on cpu backend",
+              file=sys.stderr)
+        impl = "oracle"
+    if impl == "pallas" and cfg.dtype != "float32":
+        # The kernel is f32; double/bfloat16 are precision-comparison
+        # configs (the reference's double variants) served by the oracle.
+        print(
+            f"note: impl=pallas supports float32 only; "
+            f"falling back to oracle for dtype={cfg.dtype}",
+            file=sys.stderr,
+        )
+        impl = "oracle"
+
+    if impl == "pallas":
         from .ops.pallas_kernel import render_pallas
 
+        pallas_mesh = meshlib.make_mesh(n_devices) if n_devices > 1 else None
         render_fn = functools.partial(
             render_pallas,
             img_width=cfg.width,
@@ -54,7 +73,7 @@ def make_renderer(cfg: RenderConfig, n_devices: int = 0):
             dtype=cfg.jnp_dtype,
             layout=cfg.layout,
             legacy_sky=cfg.legacy_sky,
-            pixel_sharding=sharding,
+            mesh=pallas_mesh,
         )
     else:
         render_fn = functools.partial(

@@ -1,0 +1,120 @@
+"""Pallas wavefront kernel vs jnp oracle (interpret mode on CPU).
+
+The kernel consumes bit-identical Threefry streams to the oracle, so images
+must agree to float-associativity precision (SURVEY.md §4 acceptance)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from raytracingincuda_tpu.models.camera import CameraConfig
+from raytracingincuda_tpu.models.scene import LAMBERTIAN, build_scene
+from raytracingincuda_tpu.ops.pallas_kernel import (
+    pack_camera, pack_scene_matrix, render_pallas,
+)
+from raytracingincuda_tpu.ops.tracer import render
+from raytracingincuda_tpu.models.camera import initialize
+from helpers import empty_scene, scene_from_spheres
+
+W, H = 40, 24
+
+
+def run_both(scene, cam, samples=2, bounces=6, **kw):
+    oracle = np.asarray(
+        render(scene, cam, W, H, samples, bounces, chunk_pixels=512,
+               **kw)
+    )
+    pallas = np.asarray(
+        render_pallas(scene, cam, W, H, samples, bounces, ray_tile=256,
+                      interpret=True, **kw)
+    )
+    return oracle, pallas
+
+
+@pytest.mark.slow
+def test_matches_oracle_scene2(tiny_scene, default_camera):
+    o, p = run_both(tiny_scene, default_camera)
+    np.testing.assert_allclose(o, p, atol=5e-5)
+
+
+@pytest.mark.slow
+def test_matches_oracle_empty_scene(default_camera):
+    o, p = run_both(empty_scene(pad_to=128), default_camera)
+    np.testing.assert_allclose(o, p, atol=5e-6)
+
+
+@pytest.mark.slow
+def test_matches_oracle_legacy_sky(tiny_scene, default_camera):
+    o, p = run_both(tiny_scene, default_camera, legacy_sky=True)
+    np.testing.assert_allclose(o, p, atol=5e-5)
+
+
+@pytest.mark.slow
+def test_single_sphere_no_gamma(default_camera):
+    scene = scene_from_spheres(
+        [dict(center=(0, 0, 0), radius=2.0, mat=LAMBERTIAN,
+              albedo=(0.6, 0.4, 0.2))],
+        pad_to=128,
+    )
+    o, p = run_both(scene, default_camera, gamma=False)
+    np.testing.assert_allclose(o, p, atol=2e-5)
+
+
+def test_pack_scene_matrix_layout(tiny_scene):
+    m = np.asarray(pack_scene_matrix(tiny_scene))
+    assert m.shape == (tiny_scene.num_slots, 16)
+    np.testing.assert_allclose(m[:, 0], np.asarray(tiny_scene.params.center.x))
+    np.testing.assert_allclose(
+        m[:, 12], np.asarray(tiny_scene.params.radius) ** 2, rtol=1e-6
+    )
+    np.testing.assert_allclose(m[:, 10], np.asarray(tiny_scene.active))
+    assert (m[:, 13:] == 0).all()
+
+
+def test_pack_camera_roundtrip(default_camera):
+    cam = initialize(default_camera, W, H)
+    row = np.asarray(pack_camera(cam))
+    assert row.shape == (1, 24)
+    np.testing.assert_allclose(row[0, 9], float(cam.center.x))
+    assert row[0, 18] == 1.0  # defocus enabled in reference config
+
+
+def test_float64_raises(tiny_scene, default_camera):
+    with pytest.raises(NotImplementedError):
+        render_pallas(tiny_scene, default_camera, W, H, 1, 2,
+                      dtype=jnp.float64)
+
+
+@pytest.mark.slow
+def test_diff_render_grads_match_oracle(default_camera):
+    """Pallas-forward/oracle-backward custom VJP: gradients must equal the
+    pure-oracle gradients (same streams, same math)."""
+    import jax
+    from raytracingincuda_tpu.models.scene import Scene
+    from raytracingincuda_tpu.ops.pallas_kernel import make_diff_render
+
+    scene = scene_from_spheres(
+        [dict(center=(0, 0, 0), radius=2.0, mat=LAMBERTIAN,
+              albedo=(0.6, 0.4, 0.2))],
+        pad_to=128,
+    )
+    f = make_diff_render(
+        scene.mat_type, scene.active, W, H, 1, 3, gamma=False,
+        ray_tile=256, interpret=True, oracle_chunk_pixels=512,
+    )
+
+    def loss_pallas(p):
+        return jnp.mean(f(p, default_camera))
+
+    def loss_oracle(p):
+        return jnp.mean(
+            render(Scene(p, scene.mat_type, scene.active), default_camera,
+                   W, H, 1, 3, gamma=False, chunk_pixels=512)
+        )
+
+    vp, gp = jax.value_and_grad(loss_pallas)(scene.params)
+    vo, go = jax.value_and_grad(loss_oracle)(scene.params)
+    np.testing.assert_allclose(float(vp), float(vo), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(gp),
+                    jax.tree_util.tree_leaves(go)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-8)
