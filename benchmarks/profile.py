@@ -11,6 +11,10 @@ Usage: python benchmarks/profile.py --scene_id 1 [--width 320 ...]
 """
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 import sys
 import time

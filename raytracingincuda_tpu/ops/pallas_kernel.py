@@ -293,6 +293,212 @@ def _render_tile_kernel(
     out_b_ref[0, :, :] = acc.z
 
 
+
+
+# ---------------------------------------------------------------------------
+# Kernel v2: in-kernel ray compaction ("wavefront inside the tile").
+#
+# Motivation (measured): the v1 tile pays the full (N_spheres x R) hit test
+# every wave until its SLOWEST ray dies (~15 effective waves at 25 max
+# bounces), while the mean ray dies after ~2-3. An XLA-level compaction pass
+# (ops/wavefront.py) loses: per-wave scatter/gather through HBM costs more
+# than it saves. The TPU-native answer lives inside the kernel, where the
+# ray pool is a (16, R) VMEM value:
+#   * after each wave, live rays are packed to the lane prefix with a
+#     one-hot permutation matmul (MXU, precision=HIGHEST -> exact for
+#     one-hot weights);
+#   * each wave only processes 128-lane blocks that intersect the live
+#     prefix — dead blocks are skipped by a scalar lax.cond;
+#   * banked radiance rides in the pool rows and is un-permuted once per
+#     sample by a second one-hot matmul keyed on the original lane id.
+# Ray identity (pixel id) travels as an f32 row — exact for ids < 2^24
+# (images up to 16M pixels; asserted by the caller).
+# ---------------------------------------------------------------------------
+
+_ROW_PIX = 0        # pixel id (f32-exact)
+_ROW_LANE = 1       # original lane id (for the final radiance unscatter)
+_ROW_O = 2          # 2,3,4: origin
+_ROW_D = 5          # 5,6,7: direction
+_ROW_A = 8          # 8,9,10: attenuation
+_ROW_RAD = 11       # 11,12,13: banked radiance
+_ROW_ALIVE = 14
+_STATE_ROWS = 16
+_BLK = 128          # lane-block granularity for dead-block skipping
+
+
+def _lane_prefix_sum(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix sum along the lane axis of a (1, R) row via
+    log2(R) masked rolls (jnp.cumsum does not lower in Mosaic)."""
+    r = x.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    k = 1
+    while k < r:
+        shifted = pltpu.roll(x, k, axis=1)
+        x = x + jnp.where(lane >= k, shifted, 0.0)
+        k *= 2
+    return x
+
+
+def _rows3(st: jnp.ndarray, row: int) -> Vec3:
+    return Vec3(st[row:row + 1, :], st[row + 1:row + 2, :],
+                st[row + 2:row + 3, :])
+
+
+def _bounce_rows(scene_ref, key, s, b_u, dtype, legacy_sky,
+                 pix_f, o, d, atten, rad, alive_f):
+    """One bounce for a lane-major row batch; returns updated rows.
+    Shared math with the v1 kernel body (camera.h:78-128 semantics)."""
+    alive = alive_f > 0.5
+    pix_u = pix_f.astype(jnp.uint32)
+    hit, t, one_hot = _hit_world_tile(scene_ref, o, d)
+    center_h, radius_h, albedo_h, fuzz_h, ior_h, mat_f = (
+        _gather_hit(scene_ref, one_hot)
+    )
+    mat_h = mat_f.astype(jnp.int32)
+
+    t_safe = jnp.where(hit, t, 1.0)
+    p = o + d * t_safe
+    outward = (p - center_h) / jnp.maximum(radius_h, 1e-12)
+    front_face = vec.dot(d, outward) < 0.0
+    normal = vec.where(front_face, outward, -outward)
+
+    unit_rand = rtrng.random_unit_vector(
+        key, pix_u, s, b_u, rtrng.DRAW_SCATTER, dtype
+    )
+    coin_u, _ = rtrng.uniform2(key, pix_u, s, b_u, rtrng.DRAW_COIN, dtype)
+    sc = materials.scatter(
+        d, normal, front_face, mat_h, albedo_h, fuzz_h, ior_h,
+        unit_rand, coin_u,
+    )
+
+    sky = _sky_color(d, dtype)   # current-bounce semantics (no legacy here)
+    miss_now = alive & ~hit
+    zero = Vec3.zeros(pix_f.shape, dtype=dtype)
+    rad = rad + vec.where(miss_now, atten * sky, zero)
+
+    scattered_alive = alive & hit & sc.scattered
+    atten = vec.where(scattered_alive, atten * sc.attenuation, atten)
+    o = vec.where(scattered_alive, p, o)
+    d = vec.where(scattered_alive, sc.direction, d)
+    alive_f = jnp.where(scattered_alive, 1.0, 0.0).astype(dtype)
+    return o, d, atten, rad, alive_f
+
+
+def _pack_state(pix_f, lane_f, o, d, atten, rad, alive_f, dtype):
+    rows = [pix_f, lane_f, o.x, o.y, o.z, d.x, d.y, d.z,
+            atten.x, atten.y, atten.z, rad.x, rad.y, rad.z, alive_f,
+            jnp.zeros_like(alive_f)]
+    return jnp.concatenate(rows, axis=0)              # (16, R)
+
+
+def _permute_lanes(mat: jnp.ndarray, dest: jnp.ndarray) -> jnp.ndarray:
+    """mat (K, R) -> mat' with mat'[:, dest[src]] = mat[:, src].
+
+    dest must be a permutation of 0..R-1 (as f32 ints). Implemented as a
+    one-hot matmul on the MXU; precision=HIGHEST makes it exact (one-hot
+    weights select single f32 values)."""
+    r = mat.shape[1]
+    dst_iota = jax.lax.broadcasted_iota(jnp.int32, (r, r), 0)
+    mt = (dst_iota == dest.astype(jnp.int32)).astype(mat.dtype)  # [dst, src]
+    return lax.dot_general(
+        mat, mt, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )
+
+
+def _render_tile_kernel_compact(
+    ids_ref, ii_ref, jj_ref, scene_ref, cam_ref, out_r_ref, out_g_ref,
+    out_b_ref,
+    *, samples: int, max_depth: int, seed: int, dtype, ray_tile: int,
+):
+    key = rtrng.key_from_seed(seed)
+    cam = _unpack_camera(cam_ref)
+    pixel_ids = ids_ref[0, :, :]                      # (1, R) uint32
+    fi = ii_ref[0, :, :]
+    fj = jj_ref[0, :, :]
+    shape = pixel_ids.shape
+    r = ray_tile
+    n_blocks = r // _BLK
+    lane_f = jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(dtype)
+    pix_f = pixel_ids.astype(dtype)
+
+    def sample_body(s_i, acc):
+        s = s_i.astype(jnp.uint32)
+        o, d = primary_rays_from_ij(cam, fi, fj, pixel_ids, s, key, dtype)
+        st0 = _pack_state(
+            pix_f, lane_f, o, d,
+            Vec3.full(shape, 1.0, 1.0, 1.0, dtype=dtype),
+            Vec3.zeros(shape, dtype=dtype),
+            jnp.ones(shape, dtype), dtype,
+        )
+
+        def wave_cond(carry):
+            b, n_alive, _ = carry
+            return (b < max_depth) & (n_alive > 0)
+
+        def wave_body(carry):
+            b, n_alive, st = carry
+            b_u = b.astype(jnp.uint32)
+
+            # --- process only blocks intersecting the live prefix -------
+            new_blocks = []
+            for blk in range(n_blocks):
+                lo = blk * _BLK
+                block = st[:, lo:lo + _BLK]           # (16, BLK)
+
+                def do_block(blk_mat):
+                    o = _rows3(blk_mat, _ROW_O)
+                    d = _rows3(blk_mat, _ROW_D)
+                    at = _rows3(blk_mat, _ROW_A)
+                    rd = _rows3(blk_mat, _ROW_RAD)
+                    pf = blk_mat[_ROW_PIX:_ROW_PIX + 1, :]
+                    av = blk_mat[_ROW_ALIVE:_ROW_ALIVE + 1, :]
+                    o, d, at, rd, av = _bounce_rows(
+                        scene_ref, key, s, b_u, dtype, False,
+                        pf, o, d, at, rd, av,
+                    )
+                    return _pack_state(
+                        pf, blk_mat[_ROW_LANE:_ROW_LANE + 1, :],
+                        o, d, at, rd, av, dtype,
+                    )
+
+                new_blocks.append(
+                    lax.cond(lo < n_alive, do_block, lambda m: m, block)
+                )
+            st = jnp.concatenate(new_blocks, axis=1)  # (16, R)
+
+            # --- pack live rays to the lane prefix ----------------------
+            alive_row = st[_ROW_ALIVE:_ROW_ALIVE + 1, :]
+            n_alive_new = jnp.sum(alive_row).astype(jnp.int32)
+            cs_alive = _lane_prefix_sum(alive_row)
+            cs_dead = _lane_prefix_sum(1.0 - alive_row)
+            dest = jnp.where(
+                alive_row > 0.5,
+                cs_alive - 1.0,
+                n_alive_new.astype(dtype) + cs_dead - 1.0,
+            )
+            st = _permute_lanes(st, dest)
+            return b + 1, n_alive_new, st
+
+        _, _, st = lax.while_loop(
+            wave_cond, wave_body, (jnp.int32(0), jnp.int32(r), st0)
+        )
+
+        # --- radiance back to original lanes (one one-hot matmul) -------
+        rad_rows = st[_ROW_RAD:_ROW_RAD + 3, :]        # (3, R)
+        orig = st[_ROW_LANE:_ROW_LANE + 1, :]
+        return acc + _permute_lanes(rad_rows, orig)
+
+    acc = lax.fori_loop(
+        0, samples, sample_body, jnp.zeros((3, r), dtype)
+    )
+    out_r_ref[0, :, :] = acc[0:1, :]
+    out_g_ref[0, :, :] = acc[1:2, :]
+    out_b_ref[0, :, :] = acc[2:3, :]
+
+
+
 def render_pallas(
     scene: Scene,
     cam_cfg: CameraConfig,
@@ -310,13 +516,24 @@ def render_pallas(
     pixel_sharding=None,
     mesh=None,
     interpret: bool = False,
+    compact: bool = True,
 ) -> jnp.ndarray:
     """Render with the Pallas wavefront kernel. Same semantics and RNG
-    streams as tracer.render (the jnp oracle); (H, W, 3) output."""
+    streams as tracer.render (the jnp oracle); (H, W, 3) output.
+
+    ``compact=True`` (default) uses the in-kernel ray-compaction variant
+    (kernel v2, see module comment) — per wave it only pays for 128-lane
+    blocks that still hold live rays. ``legacy_sky`` forces the v1 kernel
+    (the quirk needs the primary ray carried per lane)."""
     if jnp.dtype(dtype) != jnp.float32:
         raise NotImplementedError(
             "pallas kernel is f32; use impl='oracle' for float64/bfloat16"
         )
+    if legacy_sky:
+        compact = False
+    if compact and img_width * img_height >= (1 << 24):
+        # pixel ids ride an f32 state row in the compact kernel
+        compact = False
     cam = initialize(cam_cfg, img_width, img_height)
 
     num_pixels = img_width * img_height
@@ -337,14 +554,24 @@ def render_pallas(
     cam_row = pack_camera(cam, dtype)
     n_spheres = scene_mat.shape[0]
 
-    kernel = functools.partial(
-        _render_tile_kernel,
-        samples=samples_per_pixel,
-        max_depth=max_depth,
-        seed=seed,
-        dtype=dtype,
-        legacy_sky=legacy_sky,
-    )
+    if compact:
+        kernel = functools.partial(
+            _render_tile_kernel_compact,
+            samples=samples_per_pixel,
+            max_depth=max_depth,
+            seed=seed,
+            dtype=dtype,
+            ray_tile=ray_tile,
+        )
+    else:
+        kernel = functools.partial(
+            _render_tile_kernel,
+            samples=samples_per_pixel,
+            max_depth=max_depth,
+            seed=seed,
+            dtype=dtype,
+            legacy_sky=legacy_sky,
+        )
 
     scene_space = pltpu.VMEM if layout in ("vmem", "packed") else pltpu.ANY
     flops_est = int(samples_per_pixel * max_depth * padded * n_spheres * 20)

@@ -45,7 +45,8 @@ def test_render_contract(tmp_path):
     expected = RenderConfig(
         scene_id=2, width=40, height=24, samples=2, bounces=4
     ).output_filename()
-    assert expected == ("global_float_scene2_40x24_2samples_4bounces_"
+    # default layout is vmem (scene VMEM-resident) -> 'const' tag
+    assert expected == ("const_float_scene2_40x24_2samples_4bounces_"
                         "8threadsPerBlockRow.ppm")
     path = tmp_path / expected
     assert path.exists()
