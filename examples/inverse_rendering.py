@@ -1,0 +1,95 @@
+"""Inverse rendering demo: recover sphere albedos from a target image.
+
+A capability the CUDA reference cannot express: because the whole tracer is
+differentiable (detached-sampler gradients, ops/grad.py), scene parameters
+can be fit to observations by gradient descent — here, re-discovering the
+small-sphere albedos of scene 2 from a single rendered target, starting
+from gray.
+
+Run:  python examples/inverse_rendering.py [--steps 200] [--platform cpu]
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import argparse
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=150)
+    ap.add_argument("--width", type=int, default=96)
+    ap.add_argument("--height", type=int, default=58)
+    ap.add_argument("--samples", type=int, default=4)
+    ap.add_argument("--bounces", type=int, default=6)
+    ap.add_argument("--lr", type=float, default=2e-2)
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--out", default="recovered.ppm")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raytracingincuda_tpu.models.camera import CameraConfig
+    from raytracingincuda_tpu.models.scene import SceneParams, build_scene
+    from raytracingincuda_tpu.ops import grad as gradlib
+    from raytracingincuda_tpu.ops.tracer import render
+    from raytracingincuda_tpu.ops.vec import Vec3
+    from raytracingincuda_tpu.utils.ppm import write_ppm
+
+    W, H = args.width, args.height
+    true_scene = build_scene(2, pad_to_multiple=64)
+    cam = CameraConfig.reference_default()
+
+    print("rendering target...", file=sys.stderr)
+    target = render(true_scene, cam, W, H, args.samples, args.bounces,
+                    gamma=False)
+
+    # start from flat gray albedos
+    gray = jnp.full_like(true_scene.params.albedo.x, 0.5)
+    init_params = true_scene.params._replace(
+        albedo=Vec3(gray, gray, gray)
+    )
+
+    trainable = SceneParams(
+        center=Vec3(False, False, False), radius=False,
+        albedo=Vec3(True, True, True), fuzz=False, ior=False,
+    )
+    init_fn, step_fn = gradlib.make_train_step(
+        W, H, args.samples, args.bounces,
+        learning_rate=args.lr, trainable=trainable,
+    )
+    step_fn = jax.jit(step_fn)
+    state = init_fn(init_params)
+
+    for i in range(args.steps):
+        state, loss = step_fn(
+            state, cam, true_scene.mat_type, true_scene.active, target
+        )
+        if i % 10 == 0 or i == args.steps - 1:
+            err = float(jnp.mean(jnp.abs(
+                state.params.albedo.x - true_scene.params.albedo.x
+            ) * true_scene.active))
+            print(f"step {i:4d}  loss {float(loss):.6f}  "
+                  f"albedo L1 {err:.4f}", file=sys.stderr)
+
+    from raytracingincuda_tpu.models.scene import Scene
+
+    img = render(
+        Scene(state.params, true_scene.mat_type, true_scene.active),
+        cam, W, H, args.samples, args.bounces,
+    )
+    write_ppm(args.out, np.asarray(img, np.float64))
+    print(f"wrote {args.out}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -52,23 +52,40 @@ def make_loss_fn(
     pixel_sharding=None,
     remat: bool = True,
     gamma: bool = False,
+    impl: str = "oracle",
+    mesh=None,
 ):
     """loss(params, cam_cfg, statics, target) -> scalar.
 
     Loss is computed in linear radiance space by default (gamma=False):
     sqrt-gamma has unbounded slope at zero and black pixels are common
     (absorbed rays return exact 0, camera.h:117).
+
+    ``impl='pallas'`` uses the Pallas kernel for the forward pass with the
+    oracle recompute-VJP backward (ops/pallas_kernel.make_diff_render).
     """
 
     def loss_fn(params: SceneParams, cam_cfg: CameraConfig,
                 mat_type, active, target):
-        scene = Scene(params=params, mat_type=mat_type, active=active)
-        img = tracer.render(
-            scene, cam_cfg, img_width, img_height,
-            samples_per_pixel, max_depth,
-            seed=seed, dtype=dtype, chunk_pixels=chunk_pixels,
-            pixel_sharding=pixel_sharding, gamma=gamma, remat=remat,
-        )
+        if impl == "pallas":
+            from .pallas_kernel import make_diff_render
+
+            f = make_diff_render(
+                mat_type, active, img_width, img_height,
+                samples_per_pixel, max_depth,
+                seed=seed, gamma=gamma, mesh=mesh,
+                oracle_chunk_pixels=chunk_pixels,
+                oracle_pixel_sharding=pixel_sharding,
+            )
+            img = f(params, cam_cfg)
+        else:
+            scene = Scene(params=params, mat_type=mat_type, active=active)
+            img = tracer.render(
+                scene, cam_cfg, img_width, img_height,
+                samples_per_pixel, max_depth,
+                seed=seed, dtype=dtype, chunk_pixels=chunk_pixels,
+                pixel_sharding=pixel_sharding, gamma=gamma, remat=remat,
+            )
         return image_mse(img, target)
 
     return loss_fn

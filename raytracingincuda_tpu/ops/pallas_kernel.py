@@ -349,7 +349,8 @@ def _bounce_rows(scene_ref, key, s, b_u, dtype, legacy_sky,
     """One bounce for a lane-major row batch; returns updated rows.
     Shared math with the v1 kernel body (camera.h:78-128 semantics)."""
     alive = alive_f > 0.5
-    pix_u = pix_f.astype(jnp.uint32)
+    # Mosaic has no f32<->u32 casts; go through i32 (ids < 2^24, sign-safe)
+    pix_u = pltpu.bitcast(pix_f.astype(jnp.int32), jnp.uint32)
     hit, t, one_hot = _hit_world_tile(scene_ref, o, d)
     center_h, radius_h, albedo_h, fuzz_h, ior_h, mat_f = (
         _gather_hit(scene_ref, one_hot)
@@ -409,9 +410,17 @@ def _permute_lanes(mat: jnp.ndarray, dest: jnp.ndarray) -> jnp.ndarray:
 
 def _render_tile_kernel_compact(
     ids_ref, ii_ref, jj_ref, scene_ref, cam_ref, out_r_ref, out_g_ref,
-    out_b_ref,
+    out_b_ref, st_ref, alive_ref,
     *, samples: int, max_depth: int, seed: int, dtype, ray_tile: int,
 ):
+    """Compacting kernel body. State lives in the (16, R) VMEM scratch
+    ``st_ref``; the live count in SMEM ``alive_ref``. Each wave:
+
+      * a dynamic-bound fori_loop touches only ceil(n_alive/128) lane
+        blocks (pl.ds dynamic slices; pl.when skips fully dead waves) —
+        real predication, unlike lax.cond which lowers to execute-both;
+      * the one-hot permutation matmul packs live rays to the lane prefix.
+    """
     key = rtrng.key_from_seed(seed)
     cam = _unpack_camera(cam_ref)
     pixel_ids = ids_ref[0, :, :]                      # (1, R) uint32
@@ -419,74 +428,67 @@ def _render_tile_kernel_compact(
     fj = jj_ref[0, :, :]
     shape = pixel_ids.shape
     r = ray_tile
-    n_blocks = r // _BLK
     lane_f = jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(dtype)
-    pix_f = pixel_ids.astype(dtype)
+    pix_f = pltpu.bitcast(pixel_ids, jnp.int32).astype(dtype)
 
     def sample_body(s_i, acc):
         s = s_i.astype(jnp.uint32)
         o, d = primary_rays_from_ij(cam, fi, fj, pixel_ids, s, key, dtype)
-        st0 = _pack_state(
+        st_ref[:, :] = _pack_state(
             pix_f, lane_f, o, d,
             Vec3.full(shape, 1.0, 1.0, 1.0, dtype=dtype),
             Vec3.zeros(shape, dtype=dtype),
             jnp.ones(shape, dtype), dtype,
         )
+        alive_ref[0] = jnp.int32(r)
 
-        def wave_cond(carry):
-            b, n_alive, _ = carry
-            return (b < max_depth) & (n_alive > 0)
+        def wave(b, carry):
+            @pl.when(alive_ref[0] > 0)
+            def _():
+                b_u = b.astype(jnp.uint32)
+                n_alive = alive_ref[0]
+                n_blocks = pl.cdiv(n_alive, _BLK)
 
-        def wave_body(carry):
-            b, n_alive, st = carry
-            b_u = b.astype(jnp.uint32)
-
-            # --- process only blocks intersecting the live prefix -------
-            new_blocks = []
-            for blk in range(n_blocks):
-                lo = blk * _BLK
-                block = st[:, lo:lo + _BLK]           # (16, BLK)
-
-                def do_block(blk_mat):
-                    o = _rows3(blk_mat, _ROW_O)
-                    d = _rows3(blk_mat, _ROW_D)
-                    at = _rows3(blk_mat, _ROW_A)
-                    rd = _rows3(blk_mat, _ROW_RAD)
-                    pf = blk_mat[_ROW_PIX:_ROW_PIX + 1, :]
-                    av = blk_mat[_ROW_ALIVE:_ROW_ALIVE + 1, :]
+                def blk_body(i, c):
+                    off = pl.multiple_of(i * _BLK, _BLK)
+                    blk = st_ref[:, pl.ds(off, _BLK)]   # (16, BLK)
+                    o = _rows3(blk, _ROW_O)
+                    d = _rows3(blk, _ROW_D)
+                    at = _rows3(blk, _ROW_A)
+                    rd = _rows3(blk, _ROW_RAD)
+                    pf = blk[_ROW_PIX:_ROW_PIX + 1, :]
+                    av = blk[_ROW_ALIVE:_ROW_ALIVE + 1, :]
                     o, d, at, rd, av = _bounce_rows(
                         scene_ref, key, s, b_u, dtype, False,
                         pf, o, d, at, rd, av,
                     )
-                    return _pack_state(
-                        pf, blk_mat[_ROW_LANE:_ROW_LANE + 1, :],
+                    st_ref[:, pl.ds(off, _BLK)] = _pack_state(
+                        pf, blk[_ROW_LANE:_ROW_LANE + 1, :],
                         o, d, at, rd, av, dtype,
                     )
+                    return c
 
-                new_blocks.append(
-                    lax.cond(lo < n_alive, do_block, lambda m: m, block)
+                lax.fori_loop(0, n_blocks, blk_body, 0)
+
+                # pack live rays to the lane prefix
+                st = st_ref[:, :]
+                alive_row = st[_ROW_ALIVE:_ROW_ALIVE + 1, :]
+                n_new = jnp.sum(alive_row).astype(jnp.int32)
+                cs_alive = _lane_prefix_sum(alive_row)
+                cs_dead = _lane_prefix_sum(1.0 - alive_row)
+                dest = jnp.where(
+                    alive_row > 0.5,
+                    cs_alive - 1.0,
+                    n_new.astype(dtype) + cs_dead - 1.0,
                 )
-            st = jnp.concatenate(new_blocks, axis=1)  # (16, R)
+                st_ref[:, :] = _permute_lanes(st, dest)
+                alive_ref[0] = n_new
+            return carry
 
-            # --- pack live rays to the lane prefix ----------------------
-            alive_row = st[_ROW_ALIVE:_ROW_ALIVE + 1, :]
-            n_alive_new = jnp.sum(alive_row).astype(jnp.int32)
-            cs_alive = _lane_prefix_sum(alive_row)
-            cs_dead = _lane_prefix_sum(1.0 - alive_row)
-            dest = jnp.where(
-                alive_row > 0.5,
-                cs_alive - 1.0,
-                n_alive_new.astype(dtype) + cs_dead - 1.0,
-            )
-            st = _permute_lanes(st, dest)
-            return b + 1, n_alive_new, st
+        lax.fori_loop(0, max_depth, wave, 0)
 
-        _, _, st = lax.while_loop(
-            wave_cond, wave_body, (jnp.int32(0), jnp.int32(r), st0)
-        )
-
-        # --- radiance back to original lanes (one one-hot matmul) -------
-        rad_rows = st[_ROW_RAD:_ROW_RAD + 3, :]        # (3, R)
+        st = st_ref[:, :]
+        rad_rows = st[_ROW_RAD:_ROW_RAD + 3, :]
         orig = st[_ROW_LANE:_ROW_LANE + 1, :]
         return acc + _permute_lanes(rad_rows, orig)
 
@@ -496,7 +498,6 @@ def _render_tile_kernel_compact(
     out_r_ref[0, :, :] = acc[0:1, :]
     out_g_ref[0, :, :] = acc[1:2, :]
     out_b_ref[0, :, :] = acc[2:3, :]
-
 
 
 def render_pallas(
@@ -594,6 +595,14 @@ def render_pallas(
             out_shape=tuple(
                 jax.ShapeDtypeStruct((tiles, 1, ray_tile), dtype)
                 for _ in range(3)
+            ),
+            scratch_shapes=(
+                [
+                    pltpu.VMEM((_STATE_ROWS, ray_tile), dtype),
+                    pltpu.SMEM((1,), jnp.int32),
+                ]
+                if compact
+                else []
             ),
             cost_estimate=pl.CostEstimate(
                 flops=flops_est, bytes_accessed=int(padded) * 4 * 16,

@@ -211,6 +211,8 @@ def render(
     legacy_sky: bool = False,
     gamma: bool = True,
     remat: bool = False,
+    sample_offset: int = 0,
+    accumulate_only: bool = False,
 ) -> jnp.ndarray:
     """Render the full image. Returns (H, W, 3) in the working dtype.
 
@@ -237,7 +239,13 @@ def render(
     if pixel_sharding is not None:
         ids = lax.with_sharding_constraint(ids, pixel_sharding)
 
-    sample_ids = jnp.arange(samples_per_pixel, dtype=jnp.uint32)
+    # sample_offset supports incremental refinement / checkpoint-resume:
+    # sample ids are global counters, so rendering samples [0,k) now and
+    # [k,n) later sums to exactly the [0,n) render (SURVEY.md §5
+    # checkpoint/resume: accumulation is a sum over decorrelated streams).
+    sample_ids = jnp.arange(
+        sample_offset, sample_offset + samples_per_pixel, dtype=jnp.uint32
+    )
 
     def chunk_fn(ids_chunk: jnp.ndarray) -> Vec3:
         def one_sample(s: jnp.ndarray) -> Vec3:
@@ -261,8 +269,11 @@ def render(
 
     acc = lax.map(chunk_fn, ids)  # Vec3 of (n_chunks, chunk)
 
-    scale = jnp.asarray(1.0 / samples_per_pixel, dtype)
-    img = acc.stack(axis=-1).reshape(padded, 3)[:num_pixels] * scale
+    img = acc.stack(axis=-1).reshape(padded, 3)[:num_pixels]
+    if accumulate_only:
+        # raw radiance sum over this sample range (for incremental renders)
+        return img.reshape(img_height, img_width, 3)
+    img = img * jnp.asarray(1.0 / samples_per_pixel, dtype)
     if gamma:
         img = _linear_to_gamma(img)
     return img.reshape(img_height, img_width, 3)
