@@ -65,9 +65,10 @@ def hit_world(scene: Scene, origin: Vec3, direction: Vec3,
     h = c_dot_d - d_dot_o                                         # (N, R)
 
     c_dot_o = cx * ox + cy * oy + cz * oz                         # (N, R)
-    c2 = cx * cx + cy * cy + cz * cz                              # (N, 1)
+    c2r2 = cx * cx + cy * cy + cz * cz - r2                       # (N, 1)
     o2 = ox * ox + oy * oy + oz * oz                              # (1, R)
-    c = c2 - 2.0 * c_dot_o + o2 - r2                              # (N, R)
+    # association mirrors the Pallas kernel exactly (bit-parity contract)
+    c = (c2r2 + o2) - 2.0 * c_dot_o                               # (N, R)
 
     disc = h * h - a * c
     # Double-where for gradient hygiene: sqrt(max(disc, 0)) has NaN gradient
@@ -76,13 +77,15 @@ def hit_world(scene: Scene, origin: Vec3, direction: Vec3,
     # exactly zero and stay finite.
     disc_pos = disc > 0.0
     sqrtd = jnp.sqrt(jnp.where(disc_pos, disc, 1.0))
-    inv_a = 1.0 / a
-    near = (h - sqrtd) * inv_a
-    far = (h + sqrtd) * inv_a
-    root = jnp.where(near > t_min, near, far)
+    # numerator-domain root select (a > 0): one inv_a multiply on the
+    # winning root only — same arithmetic as the kernel's hit test
+    tmin_a = t_min * a
+    near_num = h - sqrtd
+    root_num = jnp.where(near_num > tmin_a, near_num, h + sqrtd)
+    root = root_num * (1.0 / a)
     # disc == 0 (tangent graze, measure zero) counts as miss — the reference
     # accepts it (hittable.h:48) but its gradient is unbounded.
-    valid = disc_pos & (root > t_min) & active
+    valid = disc_pos & (root_num > tmin_a) & active
 
     t_all = jnp.where(valid, root, T_MISS)                        # (N, R)
     idx = jnp.argmin(t_all, axis=0).astype(jnp.int32)             # (R,)

@@ -72,6 +72,7 @@ COL_RADIUS = 3
 COL_ALB_R, COL_ALB_G, COL_ALB_B = 4, 5, 6
 COL_FUZZ, COL_IOR, COL_MAT, COL_ACTIVE = 7, 8, 9, 10
 COL_C2, COL_R2 = 11, 12          # precomputed |C|^2 and r^2
+COL_C2R2 = 13                    # precomputed |C|^2 - r^2
 NUM_COLS = 16
 
 # 512 rays/tile measured best on v5e (133ms vs 380ms at 128 for scene 1
@@ -95,6 +96,7 @@ def pack_scene_matrix(scene: Scene, dtype=jnp.float32) -> jnp.ndarray:
         scene.active.astype(dtype),
         vec.length_sq(p.center),
         p.radius * p.radius,
+        vec.length_sq(p.center) - p.radius * p.radius,
     ]
     cols += [zeros] * (NUM_COLS - len(cols))
     return jnp.stack([c.astype(dtype) for c in cols], axis=1)
@@ -134,51 +136,80 @@ def _row_stack3(v: Vec3) -> jnp.ndarray:
     return jnp.concatenate([v.x, v.y, v.z], axis=0)
 
 
-def _hit_world_tile(scene_ref, o: Vec3, d: Vec3):
+def _hit_world_tile(scene_ref, o: Vec3, d: Vec3, mxu_dots: bool = False):
     """Closest hit for a lane-major (1, R) ray tile vs the (N, 16) scene.
 
     Same quadratic as intersect.hit_world (hittable.h:40-66): spheres on
-    sublanes, rays on lanes; the C.D and C.O contractions run on the MXU;
-    |C|^2 and r^2 come precomputed in the matrix.
+    sublanes, rays on lanes; |C|^2 - r^2 comes precomputed in the matrix;
+    root selection happens in the numerator domain ((h - sq) vs T_MIN * a)
+    so only the winning root pays the inv_a multiply.
+
+    ``mxu_dots=True`` computes the C.D / C.O contractions on the MXU at
+    bf16x3 (lax.Precision.HIGH) — ~2^-22 relative error, which can flip
+    hits only at silhouette tangencies (noise, not bias), in exchange for
+    moving ~1/3 of the VPU work to the otherwise idle MXU. Off by default
+    to preserve exact checksum parity with the jnp oracle.
 
     Returns (hit (1,R) bool, t (1,R), one_hot (N,R) f32).
     """
-    centers = scene_ref[:, COL_CX:COL_CZ + 1]                # (N, 3)
-    c2 = scene_ref[:, COL_C2:COL_C2 + 1]                     # (N, 1)
-    r2 = scene_ref[:, COL_R2:COL_R2 + 1]
+    c2r2 = scene_ref[:, COL_C2R2:COL_C2R2 + 1]               # (N, 1)
     active = scene_ref[:, COL_ACTIVE:COL_ACTIVE + 1]
 
     a = jnp.maximum(vec.length_sq(d), 1e-12)                 # (1, R)
     d_dot_o = vec.dot(d, o)                                   # (1, R)
     o2 = vec.length_sq(o)                                     # (1, R)
 
-    # C.D and C.O as explicit VPU broadcasts (N,1)x(1,R). The MXU version
-    # (dot_general over K=3) needs precision=HIGHEST to keep f32 accuracy
-    # (the MXU multiplies in bf16) and the multi-pass emulation measured
-    # slower than these 10 fused VPU ops.
-    cx = centers[:, 0:1]
-    cy = centers[:, 1:2]
-    cz = centers[:, 2:3]
-    c_dot_d = cx * d.x + cy * d.y + cz * d.z                  # (N, R)
-    c_dot_o = cx * o.x + cy * o.y + cz * o.z                  # (N, R)
+    if mxu_dots:
+        # Manual bf16x3 ("HIGH"-equivalent; Mosaic only lowers DEFAULT and
+        # HIGHEST): split each operand into bf16 hi+lo and take 3 of the 4
+        # cross terms (lo*lo is below f32 epsilon).
+        centers = scene_ref[:, COL_CX:COL_CZ + 1]            # (N, 3)
+        d_rows = _row_stack3(d)                               # (3, R)
+        o_rows = _row_stack3(o)
+
+        def split(x):
+            hi = x.astype(jnp.bfloat16)
+            lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            return hi, lo
+
+        def dot3(a_mat, b_mat):
+            a_hi, a_lo = split(a_mat)
+            b_hi, b_lo = split(b_mat)
+            dn = (((1,), (0,)), ((), ()))
+            f = functools.partial(
+                lax.dot_general, dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+            )
+            return f(a_hi, b_hi) + (f(a_hi, b_lo) + f(a_lo, b_hi))
+
+        c_dot_d = dot3(centers, d_rows)
+        c_dot_o = dot3(centers, o_rows)
+    else:
+        cx = scene_ref[:, COL_CX:COL_CX + 1]
+        cy = scene_ref[:, COL_CY:COL_CY + 1]
+        cz = scene_ref[:, COL_CZ:COL_CZ + 1]
+        c_dot_d = cx * d.x + cy * d.y + cz * d.z              # (N, R)
+        c_dot_o = cx * o.x + cy * o.y + cz * o.z              # (N, R)
 
     h = c_dot_d - d_dot_o                                     # (N, R)
-    c = c2 - 2.0 * c_dot_o + o2 - r2                          # (N, R)
+    c = (c2r2 + o2) - 2.0 * c_dot_o                           # (N, R)
 
     disc = h * h - a * c
     disc_pos = disc > 0.0
     sqrtd = jnp.sqrt(jnp.where(disc_pos, disc, 1.0))
-    inv_a = 1.0 / a
-    near = (h - sqrtd) * inv_a
-    far = (h + sqrtd) * inv_a
-    root = jnp.where(near > T_MIN, near, far)
-    valid = disc_pos & (root > T_MIN) & (active > 0.5)
+    # numerator-domain root select: near/far compare against T_MIN * a
+    # (a > 0), deferring the inv_a multiply to the selected root only
+    tmin_a = T_MIN * a                                        # (1, R)
+    near_num = h - sqrtd
+    root_num = jnp.where(near_num > tmin_a, near_num, h + sqrtd)
+    valid = disc_pos & (root_num > tmin_a) & (active > 0.5)
 
+    root = root_num * (1.0 / a)
     t_all = jnp.where(valid, root, T_MISS)                    # (N, R)
     idx = jnp.argmin(t_all, axis=0, keepdims=True)            # (1, R) int32
     sub = jax.lax.broadcasted_iota(jnp.int32, t_all.shape, 0)
     one_hot = (sub == idx).astype(t_all.dtype)                # (N, R)
-    t = jnp.sum(t_all * one_hot, axis=0, keepdims=True)       # (1, R)
+    t = jnp.min(t_all, axis=0, keepdims=True)                 # (1, R)
     return t < T_MISS, t, one_hot
 
 
@@ -500,6 +531,134 @@ def _render_tile_kernel_compact(
     out_b_ref[0, :, :] = acc[2:3, :]
 
 
+
+
+# ---------------------------------------------------------------------------
+# Kernel v4: ray regeneration ("lane owns a pixel").
+#
+# Depth-scaling measurements killed both earlier designs: render time is
+# LINEAR in max_depth (~600ms/wave at 1280x768x100spp) because in this
+# scene every 512-lane tile keeps at least one ray alive (dielectric
+# interior paths) to the full depth — the tile-level early exit never
+# fires — while each wave already runs the VPU near peak, so compaction's
+# fixed costs (permutes, counters) cancel its savings.
+#
+# Regeneration sidesteps the survival distribution entirely: every lane
+# owns ONE pixel and traces that pixel's samples back-to-back — the moment
+# its ray dies (miss / absorb / depth cap) the lane banks radiance and
+# immediately restarts with the pixel's next Monte-Carlo sample. Lanes do
+# useful work every wave until their whole sample budget is spent; total
+# waves drop from samples x max_depth to ~samples x E[path length] (+ a
+# small tile tail). The counter-based RNG keys (pixel, sample, bounce) per
+# lane, so the streams remain bit-identical to the oracle's.
+# ---------------------------------------------------------------------------
+
+
+def _render_tile_kernel_regen(
+    ids_ref, ii_ref, jj_ref, scene_ref, cam_ref, out_r_ref, out_g_ref,
+    out_b_ref,
+    *, samples: int, max_depth: int, seed: int, dtype, legacy_sky: bool,
+    mxu_dots: bool = False,
+):
+    key = rtrng.key_from_seed(seed)
+    cam = _unpack_camera(cam_ref)
+    pixel_ids = ids_ref[0, :, :]                      # (1, R) uint32
+    fi = ii_ref[0, :, :]
+    fj = jj_ref[0, :, :]
+    shape = pixel_ids.shape
+    zero3 = Vec3.zeros(shape, dtype=dtype)
+    one_row = jnp.ones(shape, dtype)
+    zero_row = jnp.zeros(shape, dtype)
+
+    def to_u32(f):
+        return pltpu.bitcast(f.astype(jnp.int32), jnp.uint32)
+
+    s0 = jnp.zeros(shape, dtype)
+    o0, d0 = primary_rays_from_ij(cam, fi, fj, pixel_ids, to_u32(s0), key,
+                                  dtype)
+
+    # carry: wave, sample_f, bounce_f, o, d, atten, acc, primary_d
+    init = (
+        jnp.int32(0), s0, jnp.zeros(shape, dtype),
+        o0, d0,
+        Vec3.full(shape, 1.0, 1.0, 1.0, dtype=dtype),
+        zero3,
+        d0,
+    )
+    max_waves = samples * max_depth
+
+    def cond(carry):
+        w, sample_f, _, _, _, _, _, _ = carry
+        return (w < max_waves) & (jnp.min(sample_f) < samples)
+
+    def body(carry):
+        w, sample_f, bounce_f, o, d, atten, acc, prim_d = carry
+        active = sample_f < samples
+
+        hit, t, one_hot = _hit_world_tile(scene_ref, o, d, mxu_dots)
+        center_h, radius_h, albedo_h, fuzz_h, ior_h, mat_f = (
+            _gather_hit(scene_ref, one_hot)
+        )
+        mat_h = mat_f.astype(jnp.int32)
+
+        t_safe = jnp.where(hit, t, 1.0)
+        p = o + d * t_safe
+        outward = (p - center_h) / jnp.maximum(radius_h, 1e-12)
+        front_face = vec.dot(d, outward) < 0.0
+        normal = vec.where(front_face, outward, -outward)
+
+        s_u = to_u32(sample_f)
+        b_u = to_u32(bounce_f)
+        unit_rand = rtrng.random_unit_vector(
+            key, pixel_ids, s_u, b_u, rtrng.DRAW_SCATTER, dtype
+        )
+        coin_u, _ = rtrng.uniform2(
+            key, pixel_ids, s_u, b_u, rtrng.DRAW_COIN, dtype
+        )
+        sc = materials.scatter(
+            d, normal, front_face, mat_h, albedo_h, fuzz_h, ior_h,
+            unit_rand, coin_u,
+        )
+
+        sky = _sky_color(prim_d if legacy_sky else d, dtype)
+        miss_now = active & ~hit
+        acc = acc + vec.where(miss_now, atten * sky, zero3)
+
+        survived = active & hit & sc.scattered
+        # scattering at the depth cap exits black (camera.h:126-127)
+        at_cap = survived & (bounce_f >= (max_depth - 1))
+        continues = survived & ~at_cap
+        dies = active & ~continues
+
+        # continuing rays advance one bounce
+        o = vec.where(continues, p, o)
+        d = vec.where(continues, sc.direction, d)
+        atten = vec.where(continues, atten * sc.attenuation, atten)
+        bounce_f = jnp.where(continues, bounce_f + 1.0, bounce_f)
+
+        # dying lanes regenerate with the pixel's next sample
+        sample_next = sample_f + jnp.where(dies, one_row, zero_row)
+        o_new, d_new = primary_rays_from_ij(
+            cam, fi, fj, pixel_ids, to_u32(sample_next), key, dtype
+        )
+        regen = dies & (sample_next < samples)
+        o = vec.where(regen, o_new, o)
+        d = vec.where(regen, d_new, d)
+        atten = vec.where(regen, Vec3(one_row, one_row, one_row), atten)
+        bounce_f = jnp.where(regen, zero_row, bounce_f)
+        prim_d = vec.where(regen, d_new, prim_d) if legacy_sky else prim_d
+        sample_f = jnp.where(dies, sample_next, sample_f)
+
+        return w + 1, sample_f, bounce_f, o, d, atten, acc, prim_d
+
+    final = lax.while_loop(cond, body, init)
+    acc = final[6]
+    out_r_ref[0, :, :] = acc.x
+    out_g_ref[0, :, :] = acc.y
+    out_b_ref[0, :, :] = acc.z
+
+
+
 def render_pallas(
     scene: Scene,
     cam_cfg: CameraConfig,
@@ -517,24 +676,25 @@ def render_pallas(
     pixel_sharding=None,
     mesh=None,
     interpret: bool = False,
-    compact: bool = True,
+    mode: str = "regen",
+    mxu_dots: bool = False,
 ) -> jnp.ndarray:
     """Render with the Pallas wavefront kernel. Same semantics and RNG
     streams as tracer.render (the jnp oracle); (H, W, 3) output.
 
-    ``compact=True`` (default) uses the in-kernel ray-compaction variant
-    (kernel v2, see module comment) — per wave it only pays for 128-lane
-    blocks that still hold live rays. ``legacy_sky`` forces the v1 kernel
-    (the quirk needs the primary ray carried per lane)."""
+    ``mode`` selects the wavefront strategy (all produce the same image):
+      regen   — ray regeneration, each lane streams its pixel's samples
+                back-to-back (fastest; default)
+      compact — in-kernel live-ray packing + dead-block skipping
+      simple  — v1: per-sample tile loop with whole-tile early exit"""
     if jnp.dtype(dtype) != jnp.float32:
         raise NotImplementedError(
             "pallas kernel is f32; use impl='oracle' for float64/bfloat16"
         )
-    if legacy_sky:
-        compact = False
-    if compact and img_width * img_height >= (1 << 24):
-        # pixel ids ride an f32 state row in the compact kernel
-        compact = False
+    if mode == "compact" and (legacy_sky or
+                              img_width * img_height >= (1 << 24)):
+        # compact needs f32-exact pixel ids and has no legacy-sky rows
+        mode = "simple"
     cam = initialize(cam_cfg, img_width, img_height)
 
     num_pixels = img_width * img_height
@@ -555,7 +715,17 @@ def render_pallas(
     cam_row = pack_camera(cam, dtype)
     n_spheres = scene_mat.shape[0]
 
-    if compact:
+    if mode == "regen":
+        kernel = functools.partial(
+            _render_tile_kernel_regen,
+            samples=samples_per_pixel,
+            max_depth=max_depth,
+            seed=seed,
+            dtype=dtype,
+            legacy_sky=legacy_sky,
+            mxu_dots=mxu_dots,
+        )
+    elif mode == "compact":
         kernel = functools.partial(
             _render_tile_kernel_compact,
             samples=samples_per_pixel,
@@ -601,7 +771,7 @@ def render_pallas(
                     pltpu.VMEM((_STATE_ROWS, ray_tile), dtype),
                     pltpu.SMEM((1,), jnp.int32),
                 ]
-                if compact
+                if mode == "compact"
                 else []
             ),
             cost_estimate=pl.CostEstimate(

@@ -67,7 +67,8 @@ def test_pack_scene_matrix_layout(tiny_scene):
         m[:, 12], np.asarray(tiny_scene.params.radius) ** 2, rtol=1e-6
     )
     np.testing.assert_allclose(m[:, 10], np.asarray(tiny_scene.active))
-    assert (m[:, 13:] == 0).all()
+    np.testing.assert_allclose(m[:, 13], m[:, 11] - m[:, 12], rtol=1e-6)
+    assert (m[:, 14:] == 0).all()
 
 
 def test_pack_camera_roundtrip(default_camera):
