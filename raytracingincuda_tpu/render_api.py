@@ -60,21 +60,59 @@ def make_renderer(cfg: RenderConfig, n_devices: int = 0):
         impl = "oracle"
 
     if impl == "pallas":
-        from .ops.pallas_kernel import render_pallas
+        from .ops.pallas_kernel import (
+            DEFAULT_RAY_TILE, difficulty_order, measure_difficulty,
+            render_pallas,
+        )
 
         pallas_mesh = meshlib.make_mesh(n_devices) if n_devices > 1 else None
-        render_fn = functools.partial(
-            render_pallas,
+        common = dict(
             img_width=cfg.width,
             img_height=cfg.height,
-            samples_per_pixel=cfg.samples,
-            max_depth=cfg.bounces,
             seed=cfg.seed,
-            dtype=cfg.jnp_dtype,
-            layout=cfg.layout,
             legacy_sky=cfg.legacy_sky,
             mesh=pallas_mesh,
         )
+        main = jax.jit(
+            functools.partial(
+                render_pallas,
+                samples_per_pixel=cfg.samples,
+                max_depth=cfg.bounces,
+                dtype=cfg.jnp_dtype,
+                layout=cfg.layout,
+                **common,
+            )
+        )
+
+        # Difficulty-sorted tiling: the prepass runs as a SEPARATE jit (the
+        # TPU AOT compile service rejects two Mosaic kernels per program)
+        # and its bucket ordering feeds the main render as data.
+        if cfg.samples >= 4 and cfg.bounces > 4:
+            probe_depth = min(8, cfg.bounces)
+            probe_samples = min(6, cfg.samples)
+            prepass = jax.jit(
+                functools.partial(
+                    measure_difficulty,
+                    img_width=cfg.width,
+                    img_height=cfg.height,
+                    probe_depth=probe_depth,
+                    probe_samples=probe_samples,
+                    seed=cfg.seed,
+                    mesh=pallas_mesh,
+                )
+            )
+            order_fn = jax.jit(
+                functools.partial(difficulty_order, probe_depth=probe_depth,
+                                  probe_samples=probe_samples)
+            )
+
+            def renderer(scene, cam_cfg):
+                order = order_fn(prepass(scene, cam_cfg))
+                return main(scene, cam_cfg, pixel_order=order)
+
+            return renderer
+
+        return lambda scene, cam_cfg: main(scene, cam_cfg)
     else:
         render_fn = functools.partial(
             tracer.render,
