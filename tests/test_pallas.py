@@ -119,3 +119,44 @@ def test_diff_render_grads_match_oracle(default_camera):
                     jax.tree_util.tree_leaves(go)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-8)
+
+
+@pytest.mark.slow
+def test_pallas_mesh_sharded_matches(tiny_scene, default_camera):
+    """Kernel under shard_map on the 8-device CPU mesh: exact match."""
+    from raytracingincuda_tpu.parallel import mesh as meshlib
+
+    m = meshlib.make_mesh()
+    a = np.asarray(
+        render_pallas(tiny_scene, default_camera, 64, 32, 2, 6,
+                      ray_tile=256, interpret=True, mode="regen")
+    )
+    b = np.asarray(
+        render_pallas(tiny_scene, default_camera, 64, 32, 2, 6,
+                      ray_tile=256, interpret=True, mode="regen", mesh=m)
+    )
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.slow
+def test_pixel_order_roundtrip(tiny_scene, default_camera):
+    """Difficulty prepass + ordered render == identity-order render."""
+    from raytracingincuda_tpu.ops.pallas_kernel import (
+        difficulty_order, measure_difficulty,
+    )
+
+    a = np.asarray(
+        render_pallas(tiny_scene, default_camera, W, H, 6, 8,
+                      ray_tile=256, interpret=True, mode="regen")
+    )
+    seg = measure_difficulty(tiny_scene, default_camera, W, H, 8, 4,
+                             ray_tile=256, interpret=True)
+    order = difficulty_order(seg, 8, 4)
+    b = np.asarray(
+        render_pallas(tiny_scene, default_camera, W, H, 6, 8,
+                      ray_tile=256, interpret=True, mode="regen",
+                      pixel_order=order)
+    )
+    np.testing.assert_array_equal(a, b)
+    # the order is a permutation
+    assert sorted(np.asarray(order).tolist()) == list(range(len(order)))
