@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="reproduce the reference's primary-ray sky quirk "
                         "(camera.h:121)")
     p.add_argument("--chunk_pixels", type=int, default=None)
+    p.add_argument("--rr_start", type=int, default=None,
+                   help="Russian-roulette start depth (unbiased fast "
+                        "mode; default off = reference-parity estimator)")
     p.add_argument("--outdir", type=str, default=".")
     p.add_argument("--no-warmup", dest="warmup", action="store_false",
                    help="include JIT compilation in both timings")
@@ -98,6 +101,7 @@ def main(argv=None) -> int:
         seed=args.seed,
         legacy_sky=args.legacy_sky,
         chunk_pixels=args.chunk_pixels,
+        rr_start=args.rr_start,
     )
 
     from .utils.timing import force

@@ -43,6 +43,11 @@ class RenderConfig:
     seed: int = DEFAULT_SEED
     legacy_sky: bool = False
     chunk_pixels: Optional[int] = None
+    # Russian-roulette start depth (None = off = reference-parity
+    # estimator). Unbiased variance/speed tradeoff: paths beyond this
+    # depth survive with p = max-channel throughput (clamped to [0.05,1])
+    # and are reweighted 1/p.
+    rr_start: Optional[int] = None
 
     def __post_init__(self):
         if self.dtype not in DTYPE_NAMES:

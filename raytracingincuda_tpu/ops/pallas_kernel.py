@@ -206,11 +206,16 @@ def _hit_world_tile(scene_ref, o: Vec3, d: Vec3, mxu_dots: bool = False):
 
     root = root_num * (1.0 / a)
     t_all = jnp.where(valid, root, T_MISS)                    # (N, R)
-    idx = jnp.argmin(t_all, axis=0, keepdims=True)            # (1, R) int32
-    sub = jax.lax.broadcasted_iota(jnp.int32, t_all.shape, 0)
-    one_hot = (sub == idx).astype(t_all.dtype)                # (N, R)
     t = jnp.min(t_all, axis=0, keepdims=True)                 # (1, R)
-    return t < T_MISS, t, one_hot
+    hit = t < T_MISS
+    # winner select by equality against the min — one comparison pass
+    # instead of a second (argmin) sublane reduction. Miss lanes match
+    # every invalid slot; their gathered params are garbage-but-finite and
+    # fully masked downstream by `hit`. Exact-t ties between two real
+    # spheres (bit-identical roots of distinct geometry) would blend their
+    # params; measure-zero and absent from the reference scenes.
+    one_hot = (hit & (t_all == t)).astype(t_all.dtype)        # (N, R)
+    return hit, t, one_hot
 
 
 def _gather_hit(scene_ref, one_hot: jnp.ndarray):
@@ -558,7 +563,7 @@ def _render_tile_kernel_regen(
     ids_ref, ii_ref, jj_ref, scene_ref, cam_ref, out_r_ref, out_g_ref,
     out_b_ref,
     *, samples: int, max_depth: int, seed: int, dtype, legacy_sky: bool,
-    mxu_dots: bool = False, emit_depth: bool = False,
+    mxu_dots: bool = False, emit_depth: bool = False, rr_start=None,
 ):
     key = rtrng.key_from_seed(seed)
     cam = _unpack_camera(cam_ref)
@@ -624,6 +629,25 @@ def _render_tile_kernel_regen(
         # scattering at the depth cap exits black (camera.h:126-127)
         at_cap = survived & (bounce_f >= (max_depth - 1))
         continues = survived & ~at_cap
+
+        # optional Russian roulette (unbiased early termination; an
+        # estimator CHANGE vs the reference — off by default)
+        rr_scale = None
+        if rr_start is not None:
+            atten_next = atten * sc.attenuation
+            p_surv = jnp.clip(
+                jnp.maximum(jnp.maximum(atten_next.x, atten_next.y),
+                            atten_next.z),
+                0.05, 1.0,
+            )
+            u_rr, _ = rtrng.uniform2(
+                key, pixel_ids, s_u, b_u, rtrng.DRAW_RR, dtype
+            )
+            rr_zone = bounce_f >= float(rr_start)
+            rr_kill = continues & rr_zone & (u_rr >= p_surv)
+            continues = continues & ~rr_kill
+            rr_scale = jnp.where(rr_zone, 1.0 / p_surv, 1.0)
+
         dies = active & ~continues
 
         if emit_depth:
@@ -641,7 +665,10 @@ def _render_tile_kernel_regen(
         # continuing rays advance one bounce
         o = vec.where(continues, p, o)
         d = vec.where(continues, sc.direction, d)
-        atten = vec.where(continues, atten * sc.attenuation, atten)
+        atten_upd = atten * sc.attenuation
+        if rr_scale is not None:
+            atten_upd = atten_upd * rr_scale
+        atten = vec.where(continues, atten_upd, atten)
         bounce_f = jnp.where(continues, bounce_f + 1.0, bounce_f)
 
         # dying lanes regenerate with the pixel's next sample
@@ -693,6 +720,7 @@ def render_pallas(
     mxu_dots: bool = False,
     pixel_order=None,
     return_depth: bool = False,
+    rr_start=None,
 ) -> jnp.ndarray:
     """Render with the Pallas wavefront kernel. Same semantics and RNG
     streams as tracer.render (the jnp oracle); (H, W, 3) output.
@@ -759,6 +787,7 @@ def render_pallas(
             legacy_sky=legacy_sky,
             mxu_dots=mxu_dots,
             emit_depth=return_depth,
+            rr_start=rr_start,
         )
     elif mode == "compact":
         kernel = functools.partial(

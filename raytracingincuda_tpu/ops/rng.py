@@ -49,6 +49,7 @@ DEFAULT_SEED = 1227
 # 4..7 so they never collide with per-bounce scatter draws 0..3.
 DRAW_SCATTER = 0      # unit-vector draw shared by lambertian/metal
 DRAW_COIN = 1         # dielectric reflect/refract coin
+DRAW_RR = 2           # Russian-roulette survival coin (optional estimator)
 DRAW_JITTER = 4       # pixel-square antialiasing jitter (2 uniforms)
 DRAW_DEFOCUS = 5      # defocus disk sample (2 uniforms)
 

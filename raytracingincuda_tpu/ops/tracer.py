@@ -122,6 +122,7 @@ def trace_sample(
     max_depth: int,
     dtype=jnp.float32,
     legacy_sky: bool = False,
+    rr_start=None,
 ) -> Vec3:
     """Radiance for one Monte-Carlo sample of a flat batch of rays.
 
@@ -175,8 +176,23 @@ def trace_sample(
         radiance = s.radiance + vec.where(miss_now, s.attenuation * sky, zero)
 
         scattered_alive = s.alive & hit & sc.scattered
+        atten_upd = s.attenuation * sc.attenuation
+        if rr_start is not None:
+            # Russian roulette (matches the pallas kernel's streams/math)
+            p_surv = jnp.clip(
+                jnp.maximum(jnp.maximum(atten_upd.x, atten_upd.y),
+                            atten_upd.z),
+                0.05, 1.0,
+            )
+            u_rr, _ = rtrng.uniform2(
+                key, pixel_ids, sample_idx, bounce, rtrng.DRAW_RR, dtype
+            )
+            rr_zone = bounce.astype(dtype) >= float(rr_start)
+            rr_kill = scattered_alive & rr_zone & (u_rr >= p_surv)
+            scattered_alive = scattered_alive & ~rr_kill
+            atten_upd = atten_upd * jnp.where(rr_zone, 1.0 / p_surv, 1.0)
         attenuation = vec.where(
-            scattered_alive, s.attenuation * sc.attenuation, s.attenuation
+            scattered_alive, atten_upd, s.attenuation
         )
         new_origin = vec.where(scattered_alive, p, s.origin)
         new_dir = vec.where(scattered_alive, sc.direction, s.direction)
@@ -213,6 +229,7 @@ def render(
     remat: bool = False,
     sample_offset: int = 0,
     accumulate_only: bool = False,
+    rr_start=None,
 ) -> jnp.ndarray:
     """Render the full image. Returns (H, W, 3) in the working dtype.
 
@@ -251,7 +268,7 @@ def render(
         def one_sample(s: jnp.ndarray) -> Vec3:
             return trace_sample(
                 scene, cam, ids_chunk, img_width, s, key, max_depth,
-                dtype=dtype, legacy_sky=legacy_sky,
+                dtype=dtype, legacy_sky=legacy_sky, rr_start=rr_start,
             )
 
         if remat:

@@ -80,6 +80,7 @@ def make_renderer(cfg: RenderConfig, n_devices: int = 0):
                 max_depth=cfg.bounces,
                 dtype=cfg.jnp_dtype,
                 layout=cfg.layout,
+                rr_start=cfg.rr_start,
                 **common,
             )
         )
@@ -125,6 +126,7 @@ def make_renderer(cfg: RenderConfig, n_devices: int = 0):
             chunk_pixels=chunk,
             pixel_sharding=sharding,
             legacy_sky=cfg.legacy_sky,
+            rr_start=cfg.rr_start,
         )
 
     return jax.jit(lambda scene, cam_cfg: render_fn(scene, cam_cfg))

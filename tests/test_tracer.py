@@ -190,3 +190,19 @@ def test_full_scenes_render_finite(scene_id, default_camera):
     img = np.asarray(render(scene, default_camera, 32, 20, 1, 4))
     assert np.isfinite(img).all()
     assert (img >= 0).all() and (img <= 1.0 + 1e-6).all()
+
+
+def test_russian_roulette_unbiased(tiny_scene, default_camera):
+    """RR is an unbiased estimator: high-sample mean matches plain."""
+    plain = np.asarray(
+        render(tiny_scene, default_camera, W, H, 16, 10, gamma=False)
+    )
+    rr = np.asarray(
+        render(tiny_scene, default_camera, W, H, 16, 10, gamma=False,
+               rr_start=2)
+    )
+    # same expectation; small-sample noise only
+    assert abs(plain.mean() - rr.mean()) < 0.01
+    assert np.isfinite(rr).all()
+    # not identical (the estimator actually changed)
+    assert not np.array_equal(plain, rr)
