@@ -23,7 +23,6 @@ all-reduced over ICI by XLA (overlapped with the backward trace).
 """
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional
 
 import jax

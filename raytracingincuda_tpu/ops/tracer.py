@@ -36,7 +36,7 @@ from ..models.camera import Camera, CameraConfig, initialize
 from ..models.scene import Scene
 from . import rng as rtrng
 from . import vec
-from .intersect import T_MIN, gather_hit_params, hit_world
+from .intersect import gather_hit_params, hit_world
 from .vec import Vec3
 
 DEFAULT_CHUNK_PIXELS = 8192

@@ -27,7 +27,6 @@ in ops/pallas_kernel.make_diff_render.
 """
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional
 
 import jax

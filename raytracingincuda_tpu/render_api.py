@@ -43,6 +43,15 @@ def make_renderer(cfg: RenderConfig, n_devices: int = 0):
         chunk = _round_up(chunk, n_devices * 256)
 
     impl = cfg.impl
+    if cfg.dtype == "float64" and jax.default_backend() not in ("cpu",):
+        # Fail fast (SURVEY.md §5 policy): TPU f64 is emulated and measured
+        # to hang/crawl on this stack; the double variants exist for
+        # precision comparison, which the CPU oracle serves.
+        raise RuntimeError(
+            "dtype=float64 requires the CPU backend (the reference's double "
+            "variants are precision-comparison configs). Re-run with "
+            "--platform cpu / jax.config.update('jax_platforms', 'cpu')."
+        )
     if impl == "pallas" and jax.default_backend() == "cpu":
         # The Mosaic kernel needs a TPU; the oracle is the CPU serving path
         # (and the serial-baseline analog, SURVEY.md §2.1).
@@ -61,8 +70,7 @@ def make_renderer(cfg: RenderConfig, n_devices: int = 0):
 
     if impl == "pallas":
         from .ops.pallas_kernel import (
-            DEFAULT_RAY_TILE, difficulty_order, measure_difficulty,
-            render_pallas,
+            difficulty_order, measure_difficulty, render_pallas,
         )
 
         pallas_mesh = meshlib.make_mesh(n_devices) if n_devices > 1 else None
