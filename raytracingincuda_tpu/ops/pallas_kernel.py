@@ -560,10 +560,48 @@ def _render_tile_kernel_compact(
 
 
 def _render_tile_kernel_regen(
-    ids_ref, ii_ref, jj_ref, scene_ref, cam_ref, out_r_ref, out_g_ref,
+    ids_ref, ii_ref, jj_ref, scene_in_ref, cam_ref, out_r_ref, out_g_ref,
     out_b_ref,
     *, samples: int, max_depth: int, seed: int, dtype, legacy_sky: bool,
     mxu_dots: bool = False, emit_depth: bool = False, rr_start=None,
+    hbm_scene: bool = False,
+):
+    if hbm_scene:
+        # "global memory" layout (SURVEY.md §2.1): the scene lives off-chip;
+        # DMA it into a VMEM scratch once per grid step (the H2D-transfer
+        # analog of main.cu:301-314, but HBM->VMEM per tile).
+        def _with_scene(scene_vmem, sem):
+            dma = pltpu.make_async_copy(scene_in_ref, scene_vmem, sem)
+            dma.start()
+            dma.wait()
+            _regen_body(
+                ids_ref, ii_ref, jj_ref, scene_vmem, cam_ref,
+                out_r_ref, out_g_ref, out_b_ref,
+                samples=samples, max_depth=max_depth, seed=seed,
+                dtype=dtype, legacy_sky=legacy_sky, mxu_dots=mxu_dots,
+                emit_depth=emit_depth, rr_start=rr_start,
+            )
+
+        pl.run_scoped(
+            _with_scene,
+            pltpu.VMEM(scene_in_ref.shape, dtype),
+            pltpu.SemaphoreType.DMA,
+        )
+    else:
+        _regen_body(
+            ids_ref, ii_ref, jj_ref, scene_in_ref, cam_ref,
+            out_r_ref, out_g_ref, out_b_ref,
+            samples=samples, max_depth=max_depth, seed=seed,
+            dtype=dtype, legacy_sky=legacy_sky, mxu_dots=mxu_dots,
+            emit_depth=emit_depth, rr_start=rr_start,
+        )
+
+
+def _regen_body(
+    ids_ref, ii_ref, jj_ref, scene_ref, cam_ref, out_r_ref, out_g_ref,
+    out_b_ref,
+    *, samples: int, max_depth: int, seed: int, dtype, legacy_sky: bool,
+    mxu_dots: bool, emit_depth: bool, rr_start,
 ):
     key = rtrng.key_from_seed(seed)
     cam = _unpack_camera(cam_ref)
@@ -788,6 +826,7 @@ def render_pallas(
             mxu_dots=mxu_dots,
             emit_depth=return_depth,
             rr_start=rr_start,
+            hbm_scene=(layout == "hbm"),
         )
     elif mode == "compact":
         kernel = functools.partial(

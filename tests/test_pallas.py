@@ -160,3 +160,20 @@ def test_pixel_order_roundtrip(tiny_scene, default_camera):
     np.testing.assert_array_equal(a, b)
     # the order is a permutation
     assert sorted(np.asarray(order).tolist()) == list(range(len(order)))
+
+
+@pytest.mark.slow
+def test_scene_layouts_identical(tiny_scene, default_camera):
+    """vmem / packed / hbm (DMA-streamed) scene layouts: same image.
+    The global/const/tex variant axis of the reference (SURVEY.md §2.1)."""
+    base = np.asarray(
+        render_pallas(tiny_scene, default_camera, W, H, 2, 6,
+                      ray_tile=256, interpret=True, mode="regen")
+    )
+    for layout in ("packed", "hbm"):
+        img = np.asarray(
+            render_pallas(tiny_scene, default_camera, W, H, 2, 6,
+                          ray_tile=256, interpret=True, mode="regen",
+                          layout=layout)
+        )
+        np.testing.assert_array_equal(base, img)
