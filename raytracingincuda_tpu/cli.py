@@ -45,8 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--layout", choices=["hbm", "vmem", "packed"],
                    default="vmem",
                    help="scene memory layout (global/const/tex analog)")
-    p.add_argument("--impl", choices=["oracle", "pallas"], default="pallas",
-                   help="tracer implementation (pallas kernel or jnp oracle)")
+    p.add_argument("--impl", choices=["oracle", "pallas", "adaptive"],
+                   default="pallas",
+                   help="tracer implementation (pallas kernel, jnp oracle, "
+                        "or adaptive per-pixel sampling)")
     p.add_argument("--seed", type=int, default=1227)
     p.add_argument("--legacy_sky", action="store_true",
                    help="reproduce the reference's primary-ray sky quirk "
@@ -55,6 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rr_start", type=int, default=None,
                    help="Russian-roulette start depth (unbiased fast "
                         "mode; default off = reference-parity estimator)")
+    p.add_argument("--max_samples", type=int, default=None,
+                   help="impl=adaptive: per-pixel spp cap (default "
+                        "4x --samples); --samples is the probe budget")
+    p.add_argument("--adaptive_tol", type=float, default=0.05,
+                   help="impl=adaptive: target relative error per pixel")
     p.add_argument("--outdir", type=str, default=".")
     p.add_argument("--no-warmup", dest="warmup", action="store_false",
                    help="include JIT compilation in both timings")
@@ -102,6 +109,8 @@ def main(argv=None) -> int:
         legacy_sky=args.legacy_sky,
         chunk_pixels=args.chunk_pixels,
         rr_start=args.rr_start,
+        max_samples=args.max_samples,
+        adaptive_tol=args.adaptive_tol,
     )
 
     from .utils.timing import force

@@ -48,17 +48,33 @@ class RenderConfig:
     # depth survive with p = max-channel throughput (clamped to [0.05,1])
     # and are reweighted 1/p.
     rr_start: Optional[int] = None
+    # impl='adaptive': probe at `samples` spp, refine noisy pixels up to
+    # max_samples (default 4x samples) targeting relative error
+    # adaptive_tol (ops/adaptive.py).
+    max_samples: Optional[int] = None
+    adaptive_tol: float = 0.05
 
     def __post_init__(self):
         if self.dtype not in DTYPE_NAMES:
             raise ValueError(f"dtype must be one of {list(DTYPE_NAMES)}")
         if self.layout not in LAYOUT_NAMES:
             raise ValueError(f"layout must be one of {list(LAYOUT_NAMES)}")
-        if self.impl not in ("oracle", "pallas"):
-            raise ValueError("impl must be 'oracle' or 'pallas'")
+        if self.impl not in ("oracle", "pallas", "adaptive"):
+            raise ValueError("impl must be 'oracle', 'pallas' or 'adaptive'")
         for f in ("width", "height", "samples", "bounces"):
             if getattr(self, f) <= 0:
                 raise ValueError(f"{f} must be positive")
+        if self.impl == "adaptive":
+            if self.samples % 2 != 0:
+                raise ValueError(
+                    "impl=adaptive needs even --samples (two half-buffers)"
+                )
+            if self.effective_max_samples < self.samples:
+                raise ValueError("max_samples must be >= samples")
+
+    @property
+    def effective_max_samples(self) -> int:
+        return self.max_samples if self.max_samples else 4 * self.samples
 
     @property
     def jnp_dtype(self):

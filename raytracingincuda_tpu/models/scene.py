@@ -182,3 +182,68 @@ def build_scene(
         mat_type=jnp.asarray(b.mat, jnp.int32),
         active=jnp.asarray(b.active, bool),
     )
+
+
+def build_random_scene(
+    n_spheres: int,
+    seed: int = DEFAULT_SEED,
+    dtype=jnp.float32,
+    pad_to_multiple: Optional[int] = 128,
+    half_extent: float = 50.0,
+) -> Scene:
+    """A large random scene for the streaming-HBM path (scenes >> VMEM).
+
+    The reference caps out at 488 spheres (const-memory limit,
+    deviceQuery.txt:19); this generator scales the same material mix
+    (main.cu:175-191 roll) to arbitrary N, scattered uniformly in a
+    [-half_extent, half_extent]^2 ground patch, plus the reference's
+    ground sphere. Vectorized numpy (a Python loop at N=100k would
+    dominate startup)."""
+    n = n_spheres + 1
+    n_padded = _round_up(n, pad_to_multiple) if pad_to_multiple else n
+    rng = np.random.default_rng(seed)
+    m = n_spheres
+
+    center = np.zeros((n_padded, 3), np.float64)
+    radius = np.zeros(n_padded)
+    albedo = np.zeros((n_padded, 3))
+    fuzz = np.zeros(n_padded)
+    ior = np.ones(n_padded)
+    mat = np.zeros(n_padded, np.int32)
+    active = np.zeros(n_padded, bool)
+
+    center[0] = (0.0, -1000.0, 0.0)
+    radius[0] = 1000.0
+    albedo[0] = (0.5, 0.5, 0.5)
+    active[0] = True
+
+    r = rng.uniform(0.15, 0.35, m)
+    center[1:n, 0] = rng.uniform(-half_extent, half_extent, m)
+    center[1:n, 2] = rng.uniform(-half_extent, half_extent, m)
+    center[1:n, 1] = r
+    radius[1:n] = r
+    roll = rng.uniform(0.0, 1.0, m)
+    lam = roll < 0.8
+    met = (roll >= 0.8) & (roll < 0.95)
+    die = roll >= 0.95
+    mat[1:n][met] = METAL
+    mat[1:n][die] = DIELECTRIC
+    albedo[1:n][lam] = (rng.uniform(0, 1, (m, 3))
+                        * rng.uniform(0, 1, (m, 3)))[lam]
+    albedo[1:n][met] = rng.uniform(0.5, 1.0, (m, 3))[met]
+    fuzz[1:n][met] = rng.uniform(0.0, 0.5, m)[met]
+    ior[1:n][die] = 1.5
+    active[1:n] = True
+
+    params = SceneParams(
+        center=Vec3(*(jnp.asarray(center[:, k], dtype) for k in range(3))),
+        radius=jnp.asarray(radius, dtype),
+        albedo=Vec3(*(jnp.asarray(albedo[:, k], dtype) for k in range(3))),
+        fuzz=jnp.asarray(fuzz, dtype),
+        ior=jnp.asarray(ior, dtype),
+    )
+    return Scene(
+        params=params,
+        mat_type=jnp.asarray(mat, jnp.int32),
+        active=jnp.asarray(active, bool),
+    )

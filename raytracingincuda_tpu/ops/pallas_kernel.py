@@ -13,7 +13,7 @@ Data layout (chosen for the (8,128) VPU and the 128x128 MXU):
     runs at full lane occupancy;
   * scene: one packed SoA matrix (N, 16) resident in VMEM — sphere slots on
     sublanes, attributes on lanes (centers, radius, albedo, fuzz, ior, mat,
-    active + precomputed |C|^2, r^2). This is the reference's own endpoint
+    active). This is the reference's own endpoint
     design (Tex-variant SoA + integer indices, SURVEY.md §2.4) without the
     pointer/texture machinery;
   * intersection: (N, R_T) tiles — spheres x rays — hot loop 3 of the
@@ -66,13 +66,13 @@ from .intersect import T_MIN, T_MISS
 from .tracer import _linear_to_gamma, _sky_color, primary_rays_from_ij
 from .vec import Vec3
 
-# Scene-matrix attribute columns (lane axis; padded to 16 for tiling)
+# Scene-matrix attribute columns (lane axis; padded to 16 for tiling).
+# No derived columns: |C|^2 - r^2 is computed in-kernel (see _hit_select)
+# so hit decisions are independent of host-side fusion.
 COL_CX, COL_CY, COL_CZ = 0, 1, 2
 COL_RADIUS = 3
 COL_ALB_R, COL_ALB_G, COL_ALB_B = 4, 5, 6
 COL_FUZZ, COL_IOR, COL_MAT, COL_ACTIVE = 7, 8, 9, 10
-COL_C2, COL_R2 = 11, 12          # precomputed |C|^2 and r^2
-COL_C2R2 = 13                    # precomputed |C|^2 - r^2
 NUM_COLS = 16
 
 # 512 rays/tile measured best on v5e (133ms vs 380ms at 128 for scene 1
@@ -94,9 +94,6 @@ def pack_scene_matrix(scene: Scene, dtype=jnp.float32) -> jnp.ndarray:
         p.fuzz, p.ior,
         scene.mat_type.astype(dtype),
         scene.active.astype(dtype),
-        vec.length_sq(p.center),
-        p.radius * p.radius,
-        vec.length_sq(p.center) - p.radius * p.radius,
     ]
     cols += [zeros] * (NUM_COLS - len(cols))
     return jnp.stack([c.astype(dtype) for c in cols], axis=1)
@@ -140,7 +137,7 @@ def _hit_world_tile(scene_ref, o: Vec3, d: Vec3, mxu_dots: bool = False):
     """Closest hit for a lane-major (1, R) ray tile vs the (N, 16) scene.
 
     Same quadratic as intersect.hit_world (hittable.h:40-66): spheres on
-    sublanes, rays on lanes; |C|^2 - r^2 comes precomputed in the matrix;
+    sublanes, rays on lanes; |C|^2 - r^2 computed in-kernel (_hit_select);
     root selection happens in the numerator domain ((h - sq) vs T_MIN * a)
     so only the winning root pays the inv_a multiply.
 
@@ -152,7 +149,10 @@ def _hit_world_tile(scene_ref, o: Vec3, d: Vec3, mxu_dots: bool = False):
 
     Returns (hit (1,R) bool, t (1,R), one_hot (N,R) f32).
     """
-    c2r2 = scene_ref[:, COL_C2R2:COL_C2R2 + 1]               # (N, 1)
+    cxc = scene_ref[:, COL_CX:COL_CX + 1]                    # (N, 1)
+    cyc = scene_ref[:, COL_CY:COL_CY + 1]
+    czc = scene_ref[:, COL_CZ:COL_CZ + 1]
+    rc = scene_ref[:, COL_RADIUS:COL_RADIUS + 1]
     active = scene_ref[:, COL_ACTIVE:COL_ACTIVE + 1]
 
     a = jnp.maximum(vec.length_sq(d), 1e-12)                 # (1, R)
@@ -185,11 +185,25 @@ def _hit_world_tile(scene_ref, o: Vec3, d: Vec3, mxu_dots: bool = False):
         c_dot_d = dot3(centers, d_rows)
         c_dot_o = dot3(centers, o_rows)
     else:
-        cx = scene_ref[:, COL_CX:COL_CX + 1]
-        cy = scene_ref[:, COL_CY:COL_CY + 1]
-        cz = scene_ref[:, COL_CZ:COL_CZ + 1]
-        c_dot_d = cx * d.x + cy * d.y + cz * d.z              # (N, R)
-        c_dot_o = cx * o.x + cy * o.y + cz * o.z              # (N, R)
+        c_dot_d = cxc * d.x + cyc * d.y + czc * d.z           # (N, R)
+        c_dot_o = cxc * o.x + cyc * o.y + czc * o.z           # (N, R)
+
+    return _hit_select(cxc, cyc, czc, rc, active, a, d_dot_o, o2,
+                       c_dot_d, c_dot_o)
+
+
+def _hit_select(cxc, cyc, czc, rc, active, a, d_dot_o, o2, c_dot_d,
+                c_dot_o):
+    """Root selection half of the hit test, shared with the backward
+    kernel (which passes the scene columns as separate vjp arguments)."""
+    # |C|^2 - r^2 computed IN-KERNEL from the raw columns (association
+    # matches intersect.hit_world exactly). Deliberately not precomputed on
+    # the host: XLA's fusion (FMA grouping) of host-side packing varies
+    # between programs (jit vs eager, phase A vs phase B), and ulp-level
+    # differences there flip knife-edge hit decisions — whole-sample pixel
+    # changes. In-kernel, Mosaic lowers this expression identically in
+    # every program, so hit decisions are bit-stable across programs.
+    c2r2 = cxc * cxc + cyc * cyc + czc * czc - rc * rc        # (N, 1)
 
     h = c_dot_d - d_dot_o                                     # (N, R)
     c = (c2r2 + o2) - 2.0 * c_dot_o                           # (N, R)
@@ -560,11 +574,11 @@ def _render_tile_kernel_compact(
 
 
 def _render_tile_kernel_regen(
-    ids_ref, ii_ref, jj_ref, scene_in_ref, cam_ref, out_r_ref, out_g_ref,
-    out_b_ref,
+    ids_ref, ii_ref, jj_ref, budget_ref, scene_in_ref, cam_ref, out_r_ref,
+    out_g_ref, out_b_ref,
     *, samples: int, max_depth: int, seed: int, dtype, legacy_sky: bool,
     mxu_dots: bool = False, emit_depth: bool = False, rr_start=None,
-    hbm_scene: bool = False,
+    hbm_scene: bool = False, sample_offset: int = 0,
 ):
     if hbm_scene:
         # "global memory" layout (SURVEY.md §2.1): the scene lives off-chip;
@@ -575,11 +589,12 @@ def _render_tile_kernel_regen(
             dma.start()
             dma.wait()
             _regen_body(
-                ids_ref, ii_ref, jj_ref, scene_vmem, cam_ref,
+                ids_ref, ii_ref, jj_ref, budget_ref, scene_vmem, cam_ref,
                 out_r_ref, out_g_ref, out_b_ref,
                 samples=samples, max_depth=max_depth, seed=seed,
                 dtype=dtype, legacy_sky=legacy_sky, mxu_dots=mxu_dots,
                 emit_depth=emit_depth, rr_start=rr_start,
+                sample_offset=sample_offset,
             )
 
         pl.run_scoped(
@@ -589,25 +604,32 @@ def _render_tile_kernel_regen(
         )
     else:
         _regen_body(
-            ids_ref, ii_ref, jj_ref, scene_in_ref, cam_ref,
+            ids_ref, ii_ref, jj_ref, budget_ref, scene_in_ref, cam_ref,
             out_r_ref, out_g_ref, out_b_ref,
             samples=samples, max_depth=max_depth, seed=seed,
             dtype=dtype, legacy_sky=legacy_sky, mxu_dots=mxu_dots,
             emit_depth=emit_depth, rr_start=rr_start,
+            sample_offset=sample_offset,
         )
 
 
 def _regen_body(
-    ids_ref, ii_ref, jj_ref, scene_ref, cam_ref, out_r_ref, out_g_ref,
-    out_b_ref,
+    ids_ref, ii_ref, jj_ref, budget_ref, scene_ref, cam_ref, out_r_ref,
+    out_g_ref, out_b_ref,
     *, samples: int, max_depth: int, seed: int, dtype, legacy_sky: bool,
-    mxu_dots: bool, emit_depth: bool, rr_start,
+    mxu_dots: bool, emit_depth: bool, rr_start, sample_offset: int,
+    hit_fn=None,
 ):
     key = rtrng.key_from_seed(seed)
     cam = _unpack_camera(cam_ref)
     pixel_ids = ids_ref[0, :, :]                      # (1, R) uint32
     fi = ii_ref[0, :, :]
     fj = jj_ref[0, :, :]
+    # per-lane sample budget: the lane's EXCLUSIVE end sample id. Uniform
+    # renders pass the constant row sample_offset + samples; adaptive
+    # sampling (ops/adaptive.py) passes per-pixel budgets so noisy pixels
+    # trace more Monte-Carlo samples than converged ones.
+    budget = budget_ref[0, :, :]                      # (1, R) f32
     shape = pixel_ids.shape
     zero3 = Vec3.zeros(shape, dtype=dtype)
     one_row = jnp.ones(shape, dtype)
@@ -616,7 +638,7 @@ def _regen_body(
     def to_u32(f):
         return pltpu.bitcast(f.astype(jnp.int32), jnp.uint32)
 
-    s0 = jnp.zeros(shape, dtype)
+    s0 = jnp.full(shape, float(sample_offset), dtype)
     o0, d0 = primary_rays_from_ij(cam, fi, fj, pixel_ids, to_u32(s0), key,
                                   dtype)
 
@@ -632,16 +654,22 @@ def _regen_body(
 
     def cond(carry):
         w, sample_f = carry[0], carry[1]
-        return (w < max_waves) & (jnp.min(sample_f) < samples)
+        return (w < max_waves) & (jnp.max(budget - sample_f) > 0.0)
 
     def body(carry):
         w, sample_f, bounce_f, o, d, atten, acc, prim_d = carry
-        active = sample_f < samples
+        active = sample_f < budget
 
-        hit, t, one_hot = _hit_world_tile(scene_ref, o, d, mxu_dots)
-        center_h, radius_h, albedo_h, fuzz_h, ior_h, mat_f = (
-            _gather_hit(scene_ref, one_hot)
-        )
+        if hit_fn is not None:
+            # pluggable closest-hit (streaming-HBM block loop)
+            hit, t, center_h, radius_h, albedo_h, fuzz_h, ior_h, mat_f = (
+                hit_fn(o, d)
+            )
+        else:
+            hit, t, one_hot = _hit_world_tile(scene_ref, o, d, mxu_dots)
+            center_h, radius_h, albedo_h, fuzz_h, ior_h, mat_f = (
+                _gather_hit(scene_ref, one_hot)
+            )
         mat_h = mat_f.astype(jnp.int32)
 
         t_safe = jnp.where(hit, t, 1.0)
@@ -714,7 +742,7 @@ def _regen_body(
         o_new, d_new = primary_rays_from_ij(
             cam, fi, fj, pixel_ids, to_u32(sample_next), key, dtype
         )
-        regen = dies & (sample_next < samples)
+        regen = dies & (sample_next < budget)
         o = vec.where(regen, o_new, o)
         d = vec.where(regen, d_new, d)
         atten = vec.where(regen, Vec3(one_row, one_row, one_row), atten)
@@ -759,6 +787,9 @@ def render_pallas(
     pixel_order=None,
     return_depth: bool = False,
     rr_start=None,
+    sample_offset: int = 0,
+    sample_budgets=None,
+    accumulate_only: bool = False,
 ) -> jnp.ndarray:
     """Render with the Pallas wavefront kernel. Same semantics and RNG
     streams as tracer.render (the jnp oracle); (H, W, 3) output.
@@ -776,13 +807,25 @@ def render_pallas(
     pinning a whole tile at its depth. Passed as data from a *separate*
     prepass jit — the TPU AOT compile service rejects two Mosaic kernels
     in one program. Per-pixel results are unchanged (RNG streams key on
-    pixel id, not lane position)."""
+    pixel id, not lane position).
+
+    ``sample_offset`` / ``sample_budgets`` / ``accumulate_only`` support
+    incremental and adaptive rendering (regen mode): sample ids are global
+    counters (ops/rng.py), so rendering samples [off, off+n_p) per pixel
+    and summing raw accumulations is EXACTLY the single-pass render of the
+    union (SURVEY.md §5 checkpoint/resume). ``sample_budgets`` is a
+    (num_pixels,) int array of per-pixel counts for THIS pass (<= the
+    static ``samples_per_pixel``, which bounds the wave loop);
+    ``accumulate_only`` returns the raw radiance sum (no 1/spp, no gamma)
+    so callers with non-uniform budgets normalize per pixel."""
     if jnp.dtype(dtype) != jnp.float32:
         raise NotImplementedError(
             "pallas kernel is f32; use impl='oracle' for float64/bfloat16"
         )
     if return_depth and mode != "regen":
         raise ValueError("return_depth requires mode='regen'")
+    if (sample_offset or sample_budgets is not None) and mode != "regen":
+        raise ValueError("sample offset/budgets require mode='regen'")
     if mode == "compact" and (legacy_sky or
                               img_width * img_height >= (1 << 24)):
         # compact needs f32-exact pixel ids and has no legacy-sky rows
@@ -811,6 +854,22 @@ def render_pallas(
     ii2 = ii.reshape(n_tiles, 1, ray_tile)
     jj2 = jj.reshape(n_tiles, 1, ray_tile)
 
+    # per-lane sample budget row (regen): absolute exclusive end sample id
+    if sample_budgets is not None:
+        nb = jnp.asarray(sample_budgets).astype(dtype).reshape(-1)
+        if nb.shape != (num_pixels,):
+            raise ValueError(
+                f"sample_budgets must have shape ({num_pixels},)"
+            )
+        nb_pad = jnp.zeros((padded,), dtype).at[:num_pixels].set(nb)
+        # lane i owns pixel ids[i] — budgets follow the pixel ordering
+        budget_row = float(sample_offset) + nb_pad[ids.astype(jnp.int32)]
+    else:
+        budget_row = jnp.full(
+            (padded,), float(sample_offset + samples_per_pixel), dtype
+        )
+    bud2 = budget_row.reshape(n_tiles, 1, ray_tile)
+
     scene_mat = pack_scene_matrix(scene, dtype)
     cam_row = pack_camera(cam, dtype)
     n_spheres = scene_mat.shape[0]
@@ -827,6 +886,7 @@ def render_pallas(
             emit_depth=return_depth,
             rr_start=rr_start,
             hbm_scene=(layout == "hbm"),
+            sample_offset=sample_offset,
         )
     elif mode == "compact":
         kernel = functools.partial(
@@ -850,20 +910,28 @@ def render_pallas(
     scene_space = pltpu.VMEM if layout in ("vmem", "packed") else pltpu.ANY
     flops_est = int(samples_per_pixel * max_depth * padded * n_spheres * 20)
 
-    def run(ids_arr, ii_arr, jj_arr, scene_m, cam_r):
+    def run(ids_arr, ii_arr, jj_arr, bud_arr, scene_m, cam_r):
         tiles = ids_arr.shape[0]
         row_spec = pl.BlockSpec((1, 1, ray_tile), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)
+        # budget row only exists in the regen kernel's signature
+        regen = mode == "regen"
+        ins = [row_spec, row_spec, row_spec]
+        args = [ids_arr, ii_arr, jj_arr]
+        if regen:
+            ins.append(row_spec)
+            args.append(bud_arr)
+        ins += [
+            pl.BlockSpec((n_spheres, NUM_COLS), lambda i: (0, 0),
+                         memory_space=scene_space),
+            pl.BlockSpec((1, 24), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ]
+        args += [scene_m, cam_r]
         out = pl.pallas_call(
             kernel,
             grid=(tiles,),
-            in_specs=[
-                row_spec, row_spec, row_spec,
-                pl.BlockSpec((n_spheres, NUM_COLS), lambda i: (0, 0),
-                             memory_space=scene_space),
-                pl.BlockSpec((1, 24), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM),
-            ],
+            in_specs=ins,
             out_specs=(row_spec, row_spec, row_spec),
             out_shape=tuple(
                 jax.ShapeDtypeStruct((tiles, 1, ray_tile), dtype)
@@ -884,7 +952,7 @@ def render_pallas(
                 ),
             ),
             interpret=interpret,
-        )(ids_arr, ii_arr, jj_arr, scene_m, cam_r)
+        )(*args)
         return out
 
     if mesh is not None:
@@ -894,12 +962,12 @@ def render_pallas(
         axes = tuple(mesh.axis_names)
         run = shard_map(
             run, mesh=mesh,
-            in_specs=(P(axes), P(axes), P(axes), P(), P()),
+            in_specs=(P(axes), P(axes), P(axes), P(axes), P(), P()),
             out_specs=(P(axes), P(axes), P(axes)),
             check_rep=False,
         )
 
-    acc_r, acc_g, acc_b = run(ids2, ii2, jj2, scene_mat, cam_row)
+    acc_r, acc_g, acc_b = run(ids2, ii2, jj2, bud2, scene_mat, cam_row)
     if return_depth:
         # (per-tile wave counts on green — diagnostics; segments on red)
         seg = acc_r.reshape(padded)
@@ -912,6 +980,10 @@ def render_pallas(
     if use_sort:
         # un-permute: lane i rendered pixel ids[i]
         acc = jnp.zeros_like(acc).at[ids.astype(jnp.int32)].set(acc)
+    if accumulate_only:
+        # raw radiance sum over this pass's sample range (incremental /
+        # adaptive callers normalize by their own per-pixel counts)
+        return acc[:num_pixels].reshape(img_height, img_width, 3)
     scale = jnp.asarray(1.0 / samples_per_pixel, dtype)
     img = acc[:num_pixels] * scale
     if gamma:
@@ -959,20 +1031,29 @@ def make_diff_render(
     oracle_chunk_pixels: Optional[int] = None,
     oracle_pixel_sharding=None,
     interpret: bool = False,
+    backward: str = "pallas",
 ):
     """Differentiable renderer with the Pallas kernel as the forward pass.
 
-    Backward pass: recompute-VJP through the jnp oracle (ops/tracer.py).
-    Sound because both paths consume identical Threefry streams and
-    identical math — the oracle's cotangents are the kernel's cotangents up
-    to float reassociation (the detached-sampler convention, ops/grad.py).
-    A hand-written Pallas backward kernel can replace it without touching
-    callers.
+    ``backward`` selects the VJP implementation:
+      pallas — in-kernel reverse sweep (ops/pallas_backward.py): per-bounce
+               residuals in VMEM, gradient scatter via transposed one-hot
+               MXU matmuls. Default (fastest). Falls back to oracle for
+               legacy_sky (the backward kernel implements the frozen
+               current-bounce sky semantics only).
+      oracle — recompute-VJP through the jnp oracle (ops/tracer.py). Sound
+               because both paths consume identical Threefry streams and
+               identical math — the oracle's cotangents are the kernel's
+               cotangents up to float reassociation (the detached-sampler
+               convention, ops/grad.py).
 
     Returns f(params: SceneParams, cam_cfg) -> (H, W, 3) image.
     """
     from ..models.scene import SceneParams  # local import to avoid cycle
     from . import tracer as _tracer
+
+    if backward == "pallas" and legacy_sky:
+        backward = "oracle"
 
     def _scene(params):
         return Scene(params=params, mat_type=mat_type, active=active)
@@ -987,10 +1068,33 @@ def make_diff_render(
         )
 
     def fwd(params, cam_cfg):
-        return f(params, cam_cfg), (params, cam_cfg)
+        out = f(params, cam_cfg)
+        return out, (params, cam_cfg, out)
 
     def bwd(res, g):
-        params, cam_cfg = res
+        params, cam_cfg, img = res
+
+        if backward == "pallas":
+            from .pallas_backward import chain_to_params, render_pallas_grads
+
+            # chain the cotangent through the host-side postprocess:
+            # img = gamma(acc / spp)  =>  d_acc = g * gamma'(lin) / spp
+            if gamma:
+                # d sqrt(x) = 0.5 / sqrt(x) = 0.5 / img; define 0 at img==0
+                # (absorbed-black pixels; subgradient choice, finite)
+                denom = jnp.where(img > 0, img, 1.0)
+                g = jnp.where(img > 0, 0.5 * g / denom, 0.0)
+            g_acc = g * (1.0 / samples_per_pixel)
+            d_sm, d_cr = render_pallas_grads(
+                _scene(params), cam_cfg, g_acc, img_width, img_height,
+                samples_per_pixel, max_depth, seed=seed,
+                # backward VMEM working set is ~2x forward's: cap the tile
+                ray_tile=min(ray_tile, 256), mesh=mesh, interpret=interpret,
+            )
+            return chain_to_params(
+                d_sm, d_cr, params, cam_cfg, mat_type, active,
+                img_width, img_height,
+            )
 
         def oracle(p, c):
             return _tracer.render(

@@ -1,0 +1,383 @@
+"""Streaming-HBM render path: scenes far larger than VMEM.
+
+The reference's "global memory" variant exists because scenes can exceed
+the 64 KB constant cache (SURVEY.md §2.1); the TPU analog is a scene that
+exceeds VMEM (~16 MB => ~250k spheres at 64 B/slot, but the per-tile ray
+state needs most of that budget, so streaming pays off far earlier). Here
+the (N, 16) scene matrix stays in HBM and the closest-hit loop walks it in
+sphere BLOCKS with a two-buffer DMA pipeline: block k+1 streams into one
+VMEM buffer while block k's (B, R) intersection batch computes out of the
+other — the classic double-buffered global-memory loop, expressed with
+``pltpu.make_async_copy`` + per-buffer DMA semaphores.
+
+Block culling (the first acceleration structure this framework ships; the
+reference brute-forces every sphere per probe, hittable.h:80-98): the host
+pre-sorts spheres by Morton code of their centers so blocks are spatially
+coherent, and precomputes one conservative bounding sphere per block. Per
+wave, each block first runs a cheap (1, R) bound test; if NO ray in the
+tile can beat its current best hit inside the block's bound, the (B, R)
+intersection batch is skipped with ``pl.when`` (the DMA bandwidth is still
+spent — compute, not bandwidth, is the bottleneck at B >= 256).
+
+Winner tracking differs from the VMEM kernel's global equality-one-hot:
+the running (16, R) best-hit parameter tile is updated per block via
+``where(improved)`` on the block-local gather. Exact-t ties across blocks
+resolve to the EARLIER block (the oracle's argmin semantics); ties within
+a block blend as before (measure zero).
+
+Host preprocessing (`prepare_stream_scene`) is numpy/eager by design —
+a 100k-sphere asset is sorted once, not per jit trace.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.camera import CameraConfig, initialize
+from ..models.scene import Scene
+from . import rng as rtrng
+from . import vec
+from .intersect import T_MIN, T_MISS
+from .pallas_kernel import (
+    COL_ACTIVE,
+    COL_CX,
+    COL_CY,
+    COL_CZ,
+    COL_RADIUS,
+    NUM_COLS,
+    _gather_hit,
+    _hit_select,
+    _regen_body,
+    _round_up,
+    pack_camera,
+    pack_scene_matrix,
+)
+from .tracer import _linear_to_gamma
+from .vec import Vec3
+
+DEFAULT_BLOCK = 512
+
+
+class StreamScene(NamedTuple):
+    """Preprocessed large scene: Morton-sorted packed matrix + block
+    bounds. Build once with prepare_stream_scene (host, eager)."""
+
+    scene_mat: jnp.ndarray    # (N, 16) f32, N % (2*block) == 0
+    bounds: jnp.ndarray       # (NB, 8) f32: cx, cy, cz, r_bound, pad
+    block: int
+
+    @property
+    def n_blocks(self) -> int:
+        return self.scene_mat.shape[0] // self.block
+
+
+def _morton3(q: np.ndarray, bits: int = 10) -> np.ndarray:
+    """Interleave 3 x bits-bit integer coords -> Morton codes (N,)."""
+    out = np.zeros(q.shape[0], np.uint64)
+    for b in range(bits):
+        for a in range(3):
+            out |= ((q[:, a].astype(np.uint64) >> b) & 1) << (3 * b + a)
+    return out
+
+
+def prepare_stream_scene(
+    scene: Scene, block: int = DEFAULT_BLOCK, sort: bool = True,
+    dtype=jnp.float32,
+) -> StreamScene:
+    """Sort spheres spatially, pad to an even number of blocks, compute
+    per-block conservative bounding spheres. Inactive slots get far-away
+    centers so they never tighten nor break a block bound."""
+    mat = np.asarray(pack_scene_matrix(scene, dtype))
+    active = mat[:, COL_ACTIVE] > 0.5
+    n_act = int(active.sum())
+
+    act_mat = mat[active]
+    if sort and n_act > 1:
+        c = act_mat[:, COL_CX:COL_CZ + 1].astype(np.float64)
+        lo = c.min(0)
+        span = np.maximum(c.max(0) - lo, 1e-9)
+        q = np.clip(((c - lo) / span * 1023.0), 0, 1023).astype(np.uint32)
+        order = np.argsort(_morton3(q), kind="stable")
+        act_mat = act_mat[order]
+
+    n_pad = _round_up(max(n_act, 1), 2 * block)
+    out = np.zeros((n_pad, NUM_COLS), np.float32)
+    out[:n_act] = act_mat
+    # inactive padding: radius 0, active 0 (never hit); centers at origin
+    nb = n_pad // block
+    bounds = np.zeros((nb, 8), np.float32)
+    for b in range(nb):
+        blk = out[b * block:(b + 1) * block]
+        a_blk = blk[blk[:, COL_ACTIVE] > 0.5]
+        if a_blk.shape[0] == 0:
+            bounds[b, :4] = (0.0, 0.0, 0.0, 0.0)   # empty: r_bound 0
+            continue
+        c = a_blk[:, COL_CX:COL_CZ + 1]
+        r = a_blk[:, COL_RADIUS]
+        lo, hi = c.min(0), c.max(0)
+        ctr = (lo + hi) * 0.5
+        rb = np.sqrt(((c - ctr) ** 2).sum(1)).max() + r.max()
+        bounds[b, 0:3] = ctr
+        bounds[b, 3] = rb * 1.0001 + 1e-4          # conservative slack
+    return StreamScene(
+        scene_mat=jnp.asarray(out), bounds=jnp.asarray(bounds), block=block
+    )
+
+
+def _block_bound_any_hit(bx, by, bz, br, o: Vec3, d: Vec3, a, t_best):
+    """Scalar bound sphere vs (1, R) ray rows: can ANY ray improve its
+    current best inside this bound? Conservative (false positives ok)."""
+    # quadratic vs the bound sphere (same half-b form as _hit_select)
+    cdx = bx * d.x + by * d.y + bz * d.z            # (1, R)
+    cdo = bx * o.x + by * o.y + bz * o.z
+    h = cdx - vec.dot(d, o)
+    c2r2 = bx * bx + by * by + bz * bz - br * br
+    c = (c2r2 + vec.length_sq(o)) - 2.0 * cdo
+    disc = h * h - a * c
+    pos = disc > 0.0
+    sqrtd = jnp.sqrt(jnp.where(pos, disc, 0.0))
+    near_num = h - sqrtd                             # a * t_near
+    far_num = h + sqrtd                              # a * t_far
+    # overlap of [t_near, t_far] with (T_MIN, t_best): far > T_MIN*a and
+    # near < t_best*a (a > 0)
+    can = pos & (far_num > T_MIN * a) & (near_num < t_best * a) & (br > 0.0)
+    return jnp.max(can.astype(jnp.float32)) > 0.0    # scalar
+
+
+def _hit_world_stream(scene_hbm, bounds_ref, bufs, sems, o: Vec3, d: Vec3,
+                      n_blocks: int, block: int, dtype):
+    """Closest hit over HBM-resident sphere blocks with double-buffered
+    DMA and per-block bound culling. Returns (hit, t, center, radius,
+    albedo, fuzz, ior, mat_f) like the VMEM gather path."""
+    buf0, buf1 = bufs
+    sem0, sem1 = sems
+    shape = o.x.shape
+
+    a = jnp.maximum(vec.length_sq(d), 1e-12)
+    d_dot_o = vec.dot(d, o)
+    o2 = vec.length_sq(o)
+
+    def start_copy(buf, sem, b):
+        pltpu.make_async_copy(
+            scene_hbm.at[pl.ds(b * block, block), :], buf, sem
+        ).start()
+
+    def wait_copy(buf, sem, b):
+        pltpu.make_async_copy(
+            scene_hbm.at[pl.ds(b * block, block), :], buf, sem
+        ).wait()
+
+    def process(buf, b, t_best, params_best):
+        """One block's (B, R) hit test + gather, skipped by bound test."""
+        blk = buf[:, :]
+        cx = blk[:, COL_CX:COL_CX + 1]
+        cy = blk[:, COL_CY:COL_CY + 1]
+        cz = blk[:, COL_CZ:COL_CZ + 1]
+        rc = blk[:, COL_RADIUS:COL_RADIUS + 1]
+        act = blk[:, COL_ACTIVE:COL_ACTIVE + 1]
+        c_dot_d = cx * d.x + cy * d.y + cz * d.z
+        c_dot_o = cx * o.x + cy * o.y + cz * o.z
+        hit_b, t_b, one_hot_b = _hit_select(
+            cx, cy, cz, rc, act, a, d_dot_o, o2, c_dot_d, c_dot_o
+        )
+        params_b = lax.dot_general(
+            blk, one_hot_b,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        )                                            # (16, R)
+        improved = hit_b & (t_b < t_best)            # (1, R)
+        t_new = jnp.where(improved, t_b, t_best)
+        params_new = jnp.where(improved, params_b, params_best)
+        return t_new, params_new
+
+    def maybe_process(buf, b, t_best, params_best):
+        bx = bounds_ref[b, 0]
+        by = bounds_ref[b, 1]
+        bz = bounds_ref[b, 2]
+        br = bounds_ref[b, 3]
+        return lax.cond(
+            _block_bound_any_hit(bx, by, bz, br, o, d, a, t_best),
+            lambda tb, pb: process(buf, b, tb, pb),
+            lambda tb, pb: (tb, pb),
+            t_best, params_best,
+        )
+
+    # preamble: block 0 into buf0
+    start_copy(buf0, sem0, jnp.int32(0))
+    t0_best = jnp.full(shape, T_MISS, dtype)
+    p0_best = jnp.zeros((NUM_COLS,) + (shape[1],), dtype)
+
+    def pair_body(j, carry):
+        t_best, params_best = carry
+        b0 = 2 * j
+        b1 = 2 * j + 1
+        # buf1 is free (its previous block finished last iteration)
+        start_copy(buf1, sem1, b1)
+        wait_copy(buf0, sem0, b0)
+        t_best, params_best = maybe_process(buf0, b0, t_best, params_best)
+
+        @pl.when(b1 + 1 < n_blocks)
+        def _():
+            start_copy(buf0, sem0, b1 + 1)
+
+        wait_copy(buf1, sem1, b1)
+        t_best, params_best = maybe_process(buf1, b1, t_best, params_best)
+        return t_best, params_best
+
+    t_best, params_best = lax.fori_loop(
+        0, n_blocks // 2, pair_body, (t0_best, p0_best)
+    )
+
+    hit = t_best < T_MISS
+    row = lambda k: params_best[k:k + 1, :]
+    center = Vec3(row(COL_CX), row(COL_CY), row(COL_CZ))
+    return (hit, t_best, center, row(COL_RADIUS),
+            Vec3(row(4), row(5), row(6)), row(7), row(8), row(9))
+
+
+def _stream_tile_kernel(
+    ids_ref, ii_ref, jj_ref, budget_ref, scene_hbm, bounds_ref, cam_ref,
+    out_r_ref, out_g_ref, out_b_ref, buf0, buf1, sem0, sem1,
+    *, samples: int, max_depth: int, seed: int, dtype, block: int,
+    n_blocks: int, rr_start, sample_offset: int,
+):
+    def hit_fn(o, d):
+        return _hit_world_stream(
+            scene_hbm, bounds_ref, (buf0, buf1), (sem0, sem1), o, d,
+            n_blocks, block, dtype,
+        )
+
+    _regen_body(
+        ids_ref, ii_ref, jj_ref, budget_ref, None, cam_ref,
+        out_r_ref, out_g_ref, out_b_ref,
+        samples=samples, max_depth=max_depth, seed=seed, dtype=dtype,
+        legacy_sky=False, mxu_dots=False, emit_depth=False,
+        rr_start=rr_start, sample_offset=sample_offset, hit_fn=hit_fn,
+    )
+
+
+def render_pallas_stream(
+    stream: StreamScene,
+    cam_cfg: CameraConfig,
+    img_width: int,
+    img_height: int,
+    samples_per_pixel: int,
+    max_depth: int,
+    *,
+    seed: int = rtrng.DEFAULT_SEED,
+    dtype=jnp.float32,
+    gamma: bool = True,
+    ray_tile: int = 512,
+    rr_start=None,
+    mesh=None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Render a prepared StreamScene with the regeneration kernel and the
+    double-buffered HBM block loop. Same estimator and RNG streams as
+    render_pallas (the bounce/scatter math is literally _regen_body)."""
+    cam = initialize(cam_cfg, img_width, img_height)
+    num_pixels = img_width * img_height
+    n_shards = (
+        int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
+    )
+    padded = _round_up(num_pixels, ray_tile * n_shards)
+    n_tiles = padded // ray_tile
+
+    ids = jnp.arange(padded, dtype=jnp.uint32)
+    ii = (ids % jnp.uint32(img_width)).astype(dtype)
+    jj = (ids // jnp.uint32(img_width)).astype(dtype)
+    ids2 = ids.reshape(n_tiles, 1, ray_tile)
+    ii2 = ii.reshape(n_tiles, 1, ray_tile)
+    jj2 = jj.reshape(n_tiles, 1, ray_tile)
+    bud2 = jnp.full((n_tiles, 1, ray_tile),
+                    float(samples_per_pixel), dtype)
+
+    cam_row = pack_camera(cam, dtype)
+    block = stream.block
+    n_blocks = stream.n_blocks
+    nb_pad = stream.bounds.shape[0]
+
+    kernel = functools.partial(
+        _stream_tile_kernel,
+        samples=samples_per_pixel,
+        max_depth=max_depth,
+        seed=seed,
+        dtype=dtype,
+        block=block,
+        n_blocks=n_blocks,
+        rr_start=rr_start,
+        sample_offset=0,
+    )
+
+    def run(ids_arr, ii_arr, jj_arr, bud_arr, scene_m, bounds_m, cam_r):
+        tiles = ids_arr.shape[0]
+        row_spec = pl.BlockSpec((1, 1, ray_tile), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=(tiles,),
+            in_specs=[
+                row_spec, row_spec, row_spec, row_spec,
+                pl.BlockSpec(memory_space=pltpu.ANY),       # scene in HBM
+                pl.BlockSpec((nb_pad, 8), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 24), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=(row_spec, row_spec, row_spec),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((tiles, 1, ray_tile), dtype)
+                for _ in range(3)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((block, NUM_COLS), dtype),
+                pltpu.VMEM((block, NUM_COLS), dtype),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=int(samples_per_pixel * max_depth * padded
+                          * stream.scene_mat.shape[0] * 20),
+                bytes_accessed=int(
+                    samples_per_pixel * max_depth
+                    * stream.scene_mat.size * 4
+                ),
+                transcendentals=int(
+                    samples_per_pixel * max_depth * padded * 4
+                ),
+            ),
+            interpret=interpret,
+        )(ids_arr, ii_arr, jj_arr, bud_arr, scene_m, bounds_m, cam_r)
+
+    if mesh is not None:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        axes = tuple(mesh.axis_names)
+        run = shard_map(
+            run, mesh=mesh,
+            in_specs=(P(axes), P(axes), P(axes), P(axes), P(), P(), P()),
+            out_specs=(P(axes), P(axes), P(axes)),
+            check_rep=False,
+        )
+
+    acc_r, acc_g, acc_b = run(
+        ids2, ii2, jj2, bud2, stream.scene_mat, stream.bounds, cam_row
+    )
+    acc = jnp.stack(
+        [acc_r.reshape(padded), acc_g.reshape(padded),
+         acc_b.reshape(padded)],
+        axis=-1,
+    )
+    img = acc[:num_pixels] * jnp.asarray(1.0 / samples_per_pixel, dtype)
+    if gamma:
+        img = _linear_to_gamma(img)
+    return img.reshape(img_height, img_width, 3)

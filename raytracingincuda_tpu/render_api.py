@@ -58,6 +58,25 @@ def make_renderer(cfg: RenderConfig, n_devices: int = 0):
         print("note: impl=pallas requires TPU; using oracle on cpu backend",
               file=sys.stderr)
         impl = "oracle"
+    if impl == "adaptive":
+        from .ops.adaptive import render_adaptive
+
+        interpret = jax.default_backend() == "cpu"
+        pallas_mesh = meshlib.make_mesh(n_devices) if n_devices > 1 else None
+
+        def adaptive_renderer(scene, cam_cfg):
+            return render_adaptive(
+                scene, cam_cfg, cfg.width, cfg.height, cfg.bounces,
+                base_spp=cfg.samples, max_spp=cfg.effective_max_samples,
+                tol=cfg.adaptive_tol, seed=cfg.seed,
+                legacy_sky=cfg.legacy_sky, rr_start=cfg.rr_start,
+                mesh=pallas_mesh, interpret=interpret,
+            ).image
+
+        # not one jit: three kernel launches with host logic between
+        # (one-Mosaic-kernel-per-program constraint); each phase jits
+        # itself inside render_adaptive via pallas_call
+        return adaptive_renderer
     if impl == "pallas" and cfg.dtype != "float32":
         # The kernel is f32; double/bfloat16 are precision-comparison
         # configs (the reference's double variants) served by the oracle.

@@ -1,0 +1,103 @@
+"""Adaptive / incremental sampling semantics (regen kernel budget rows).
+
+Counter-based RNG (ops/rng.py) makes sample scheduling exact: pixel p's
+samples are global ids, so per-pixel budgets and multi-pass schedules must
+reproduce the single-pass result (bit-exact within a pass; one float
+reassociation ulp at pass joins)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from raytracingincuda_tpu.ops.adaptive import (
+    budgets_from_error, render_adaptive, split_buffer_error,
+)
+from raytracingincuda_tpu.ops.pallas_kernel import render_pallas
+
+W, H, D = 40, 24, 6
+KW = dict(ray_tile=256, interpret=True, accumulate_only=True, gamma=False)
+
+
+@pytest.mark.slow
+def test_mixed_budgets_bit_exact(tiny_scene, default_camera):
+    """Per-pixel budget n_p: lane traces samples [0, n_p) exactly as a
+    uniform n_p-sample render would for that pixel."""
+    rng = np.random.default_rng(1)
+    nbm = rng.integers(1, 5, W * H).astype(np.int32)
+    mix = np.asarray(
+        render_pallas(tiny_scene, default_camera, W, H, 4, D,
+                      sample_budgets=jnp.asarray(nbm), **KW)
+    )
+    refs = np.stack(
+        [
+            np.asarray(render_pallas(tiny_scene, default_camera, W, H, k,
+                                     D, **KW))
+            for k in range(1, 5)
+        ],
+        0,
+    )
+    want = refs[nbm.reshape(H, W) - 1,
+                np.arange(H)[:, None], np.arange(W)[None, :]]
+    np.testing.assert_array_equal(mix, want)
+
+
+@pytest.mark.slow
+def test_incremental_passes_join_to_full(tiny_scene, default_camera):
+    """[0,4) == [0,2) + [2,4) up to one reassociation ulp at the join."""
+    full = np.asarray(
+        render_pallas(tiny_scene, default_camera, W, H, 4, D, **KW)
+    )
+    a = np.asarray(
+        render_pallas(tiny_scene, default_camera, W, H, 2, D,
+                      sample_offset=0, **KW)
+    )
+    b = np.asarray(
+        render_pallas(tiny_scene, default_camera, W, H, 2, D,
+                      sample_offset=2, **KW)
+    )
+    np.testing.assert_allclose(full, a + b, atol=5e-7)
+
+
+@pytest.mark.slow
+def test_adaptive_end_to_end(tiny_scene, default_camera):
+    res = render_adaptive(
+        tiny_scene, default_camera, W, H, D, base_spp=4, max_spp=16,
+        tol=0.1, ray_tile=256, interpret=True,
+    )
+    img = np.asarray(res.image)
+    spp = np.asarray(res.spp_map)
+    assert np.isfinite(img).all()
+    assert img.shape == (H, W, 3)
+    assert spp.min() >= 4 and spp.max() <= 16
+    # adaptive must actually vary the budget on this noisy scene
+    assert spp.max() > spp.min()
+    # consistency by construction: zero-extra pixels are exactly
+    # gamma((A+B)/base) of the SAME phase programs. (Comparing against a
+    # separately compiled uniform render is NOT valid: XLA fuses the
+    # host-side camera math differently per program, and ulp differences
+    # flip knife-edge hit decisions on a few pixels — see the in-kernel
+    # |C|^2-r^2 note in pallas_kernel._hit_select.)
+    from raytracingincuda_tpu.ops.adaptive import _make_phases
+
+    pa, pb, plan, refine, finish = _make_phases(
+        W, H, D, 4, 16, 0.1, 1227, True, 256, None, True, None, False
+    )
+    a = pa(tiny_scene, default_camera)
+    b = pb(tiny_scene, default_camera)
+    base = np.sqrt(np.maximum(np.asarray(a + b) / 4.0, 0.0))
+    mask = spp == 4
+    np.testing.assert_allclose(img[mask], base[mask], atol=1e-6)
+
+
+def test_budget_formula():
+    err = jnp.asarray([0.0, 0.05, 0.1, 10.0])
+    extra = np.asarray(budgets_from_error(err, 16, 64, tol=0.05))
+    assert extra[0] == 0
+    assert extra[1] == 0          # already at tolerance
+    assert 0 < extra[2] <= 48
+    assert extra[3] == 48         # clipped at max_spp - base_spp
+
+
+def test_split_buffer_error_zero_for_identical():
+    a = jnp.ones((4, 4, 3))
+    e = np.asarray(split_buffer_error(a, a, 2))
+    np.testing.assert_allclose(e, 0.0)

@@ -1,0 +1,121 @@
+"""Pallas backward kernel vs jax.grad through the jnp oracle.
+
+The backward kernel (ops/pallas_backward.py) re-traces the bounce chain in
+VMEM and transposes it with in-kernel jax.vjp; the oracle's autodiff is the
+ground truth (itself FD-checked in test_grad.py). Both consume identical
+Threefry streams, so gradients agree to float-reassociation precision."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from raytracingincuda_tpu.models.camera import CameraConfig
+from raytracingincuda_tpu.models.scene import (
+    DIELECTRIC, LAMBERTIAN, METAL, Scene,
+)
+from raytracingincuda_tpu.ops import tracer
+from raytracingincuda_tpu.ops.pallas_kernel import make_diff_render
+from helpers import scene_from_spheres
+
+W, H = 24, 16
+SPP, DEPTH = 2, 4
+
+
+@pytest.fixture(scope="module")
+def mixed_scene():
+    return scene_from_spheres(
+        [
+            dict(center=(0, -1000, 0), radius=1000.0, mat=LAMBERTIAN,
+                 albedo=(0.5, 0.5, 0.5)),
+            dict(center=(0, 1, 0), radius=1.0, mat=DIELECTRIC, ior=1.5),
+            dict(center=(-2, 1, 0), radius=1.0, mat=LAMBERTIAN,
+                 albedo=(0.4, 0.2, 0.1)),
+            dict(center=(2, 1, 0), radius=1.0, mat=METAL,
+                 albedo=(0.7, 0.6, 0.5), fuzz=0.1),
+        ],
+        pad_to=8,
+    )
+
+
+def _weight_image():
+    rng = np.random.default_rng(0)
+    return jnp.asarray(rng.standard_normal((H, W, 3)), jnp.float32)
+
+
+def _grads(scene, cam, *, gamma=False, backward="pallas", mesh=None,
+           ray_tile=256):
+    w = _weight_image()
+    f = make_diff_render(
+        scene.mat_type, scene.active, W, H, SPP, DEPTH,
+        gamma=gamma, interpret=True, backward=backward, mesh=mesh,
+        ray_tile=ray_tile,
+    )
+
+    def loss(p, c):
+        return jnp.sum(w * f(p, c))
+
+    return jax.grad(loss, argnums=(0, 1))(scene.params, cam)
+
+
+def _oracle_grads(scene, cam, *, gamma=False):
+    w = _weight_image()
+
+    def loss(p, c):
+        img = tracer.render(
+            Scene(p, scene.mat_type, scene.active), c, W, H, SPP, DEPTH,
+            gamma=gamma,
+        )
+        return jnp.sum(w * img)
+
+    return jax.grad(loss, argnums=(0, 1))(scene.params, cam)
+
+
+def _assert_tree_close(a, b, rtol=1e-3, atol=1e-5):
+    fa = jax.tree_util.tree_leaves(a)
+    fb = jax.tree_util.tree_leaves(b)
+    assert len(fa) == len(fb)
+    for va, vb in zip(fa, fb):
+        np.testing.assert_allclose(
+            np.asarray(va), np.asarray(vb), rtol=rtol, atol=atol
+        )
+
+
+@pytest.mark.slow
+def test_matches_oracle_linear(mixed_scene, default_camera):
+    gp = _grads(mixed_scene, default_camera)
+    go = _oracle_grads(mixed_scene, default_camera)
+    for leaf in jax.tree_util.tree_leaves(gp):
+        assert np.isfinite(np.asarray(leaf)).all()
+    _assert_tree_close(gp, go)
+
+
+@pytest.mark.slow
+def test_matches_oracle_gamma(mixed_scene, default_camera):
+    """Gamma chain: bwd divides by the saved primal image (0 at black)."""
+    gp = _grads(mixed_scene, default_camera, gamma=True)
+    go = _oracle_grads(mixed_scene, default_camera, gamma=True)
+    for leaf in jax.tree_util.tree_leaves(gp):
+        assert np.isfinite(np.asarray(leaf)).all()
+    # oracle's sqrt-grad can blow up near zero; compare with a floor
+    _assert_tree_close(gp, go, rtol=5e-3, atol=5e-4)
+
+
+@pytest.mark.slow
+def test_ray_tile_invariance(mixed_scene, default_camera):
+    """Padded pixels (384 px, tile 512 => 128 dead lanes) contribute
+    exactly zero; tile size must not change gradients."""
+    g256 = _grads(mixed_scene, default_camera, ray_tile=128)
+    g512 = _grads(mixed_scene, default_camera, ray_tile=512)
+    _assert_tree_close(g256, g512, rtol=1e-4, atol=1e-7)
+
+
+@pytest.mark.slow
+def test_sharded_grads_match(mixed_scene, default_camera):
+    """Mesh path: pixel tiles sharded over 8 virtual devices; scene/camera
+    cotangents all-reduced with psum inside shard_map."""
+    from raytracingincuda_tpu.parallel import mesh as meshlib
+
+    m = meshlib.make_mesh()
+    gm = _grads(mixed_scene, default_camera, mesh=m, ray_tile=128)
+    g1 = _grads(mixed_scene, default_camera, ray_tile=128)
+    _assert_tree_close(gm, g1, rtol=1e-4, atol=1e-6)

@@ -1,0 +1,70 @@
+"""Streaming-HBM path (ops/pallas_stream.py): double-buffered sphere
+blocks + Morton-sorted block culling vs the jnp oracle (interpret mode).
+
+The stream kernel reuses _regen_body's bounce math and the oracle's RNG
+streams, so images must match the oracle exactly in interpret mode (the
+per-block winner update preserves argmin semantics across blocks)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from raytracingincuda_tpu.models.camera import CameraConfig
+from raytracingincuda_tpu.models.scene import build_random_scene, build_scene
+from raytracingincuda_tpu.ops import tracer
+from raytracingincuda_tpu.ops.pallas_stream import (
+    prepare_stream_scene, render_pallas_stream,
+)
+
+W, H = 40, 24
+
+
+@pytest.mark.slow
+def test_stream_matches_oracle_reference_scene(tiny_scene, default_camera):
+    stream = prepare_stream_scene(tiny_scene, block=32)
+    img_s = np.asarray(
+        render_pallas_stream(stream, default_camera, W, H, 2, 6,
+                             ray_tile=256, interpret=True)
+    )
+    img_o = np.asarray(tracer.render(tiny_scene, default_camera, W, H, 2, 6))
+    np.testing.assert_allclose(img_s, img_o, atol=5e-5)
+
+
+@pytest.mark.slow
+def test_stream_big_scene_sorted_and_unsorted(default_camera):
+    big = build_random_scene(1000, pad_to_multiple=128)
+    sorted_s = prepare_stream_scene(big, block=128)
+    unsorted_s = prepare_stream_scene(big, block=128, sort=False)
+    img_sorted = np.asarray(
+        render_pallas_stream(sorted_s, default_camera, W, H, 1, 4,
+                             ray_tile=256, interpret=True)
+    )
+    img_unsorted = np.asarray(
+        render_pallas_stream(unsorted_s, default_camera, W, H, 1, 4,
+                             ray_tile=256, interpret=True)
+    )
+    img_o = np.asarray(tracer.render(big, default_camera, W, H, 1, 4))
+    np.testing.assert_allclose(img_sorted, img_o, atol=5e-5)
+    np.testing.assert_allclose(img_unsorted, img_o, atol=5e-5)
+
+
+def test_prepare_stream_scene_layout(tiny_scene):
+    stream = prepare_stream_scene(tiny_scene, block=32)
+    mat = np.asarray(stream.scene_mat)
+    # padded to an even number of blocks
+    assert mat.shape[0] % (2 * 32) == 0
+    assert stream.n_blocks == mat.shape[0] // 32
+    # active spheres preserved (same multiset of radii)
+    orig = np.asarray(tiny_scene.params.radius)[np.asarray(tiny_scene.active)]
+    got = mat[mat[:, 10] > 0.5, 3]
+    np.testing.assert_allclose(np.sort(orig), np.sort(got))
+    # bounds contain every active sphere of their block
+    b = 32
+    for k in range(stream.n_blocks):
+        blk = mat[k * b:(k + 1) * b]
+        act = blk[blk[:, 10] > 0.5]
+        if act.shape[0] == 0:
+            continue
+        ctr = np.asarray(stream.bounds)[k, 0:3]
+        rb = np.asarray(stream.bounds)[k, 3]
+        dist = np.sqrt(((act[:, 0:3] - ctr) ** 2).sum(1)) + act[:, 3]
+        assert (dist <= rb + 1e-5).all()
