@@ -578,8 +578,27 @@ def _render_tile_kernel_regen(
     out_g_ref, out_b_ref,
     *, samples: int, max_depth: int, seed: int, dtype, legacy_sky: bool,
     mxu_dots: bool = False, emit_depth: bool = False, rr_start=None,
-    hbm_scene: bool = False, sample_offset: int = 0,
+    hbm_scene: bool = False, sample_offset: int = 0, k_pixels: int = 1,
 ):
+    def run_body(scene_ref):
+        if k_pixels > 1:
+            _regen_body_multi(
+                ids_ref, ii_ref, jj_ref, budget_ref, scene_ref, cam_ref,
+                out_r_ref, out_g_ref, out_b_ref,
+                samples=samples, max_depth=max_depth, seed=seed,
+                dtype=dtype, mxu_dots=mxu_dots, rr_start=rr_start,
+                sample_offset=sample_offset, k_pixels=k_pixels,
+            )
+        else:
+            _regen_body(
+                ids_ref, ii_ref, jj_ref, budget_ref, scene_ref, cam_ref,
+                out_r_ref, out_g_ref, out_b_ref,
+                samples=samples, max_depth=max_depth, seed=seed,
+                dtype=dtype, legacy_sky=legacy_sky, mxu_dots=mxu_dots,
+                emit_depth=emit_depth, rr_start=rr_start,
+                sample_offset=sample_offset,
+            )
+
     if hbm_scene:
         # "global memory" layout (SURVEY.md §2.1): the scene lives off-chip;
         # DMA it into a VMEM scratch once per grid step (the H2D-transfer
@@ -588,14 +607,7 @@ def _render_tile_kernel_regen(
             dma = pltpu.make_async_copy(scene_in_ref, scene_vmem, sem)
             dma.start()
             dma.wait()
-            _regen_body(
-                ids_ref, ii_ref, jj_ref, budget_ref, scene_vmem, cam_ref,
-                out_r_ref, out_g_ref, out_b_ref,
-                samples=samples, max_depth=max_depth, seed=seed,
-                dtype=dtype, legacy_sky=legacy_sky, mxu_dots=mxu_dots,
-                emit_depth=emit_depth, rr_start=rr_start,
-                sample_offset=sample_offset,
-            )
+            run_body(scene_vmem)
 
         pl.run_scoped(
             _with_scene,
@@ -603,14 +615,7 @@ def _render_tile_kernel_regen(
             pltpu.SemaphoreType.DMA,
         )
     else:
-        _regen_body(
-            ids_ref, ii_ref, jj_ref, budget_ref, scene_in_ref, cam_ref,
-            out_r_ref, out_g_ref, out_b_ref,
-            samples=samples, max_depth=max_depth, seed=seed,
-            dtype=dtype, legacy_sky=legacy_sky, mxu_dots=mxu_dots,
-            emit_depth=emit_depth, rr_start=rr_start,
-            sample_offset=sample_offset,
-        )
+        run_body(scene_in_ref)
 
 
 def _regen_body(
@@ -765,6 +770,208 @@ def _regen_body(
 
 
 
+def _regen_body_multi(
+    ids_ref, ii_ref, jj_ref, budget_ref, scene_ref, cam_ref, out_r_ref,
+    out_g_ref, out_b_ref,
+    *, samples: int, max_depth: int, seed: int, dtype, mxu_dots: bool,
+    rr_start, sample_offset: int, k_pixels: int, hit_fn=None,
+):
+    """Regeneration kernel, K pixels per lane ("multi-pixel lanes").
+
+    The K=1 regen kernel's wall clock is set by the slowest LANE of each
+    tile: max over lanes of the pixel's total traced segments. Giving each
+    lane K pixels (worked sequentially: when pixel k's sample budget is
+    spent, the lane pulls its (k+1)-th pixel) averages that per-lane total
+    over K draws — the max-statistic floor shrinks ~1/sqrt(K) — at the
+    price of a few (1, R) row-selects per wave (negligible next to the
+    (N, R) hit test). Same estimator, same per-pixel RNG streams, same
+    images as K=1 (streams key on pixel id; assignment is bookkeeping).
+
+    Differences vs _regen_body: current pixel id / fi / fj / budget ride
+    the carry as rows (pixel id f32-exact, caller asserts < 2^24);
+    radiance flushes into the (K, R) output block as each pixel
+    completes. legacy_sky / emit_depth are K=1-only (caller enforces).
+    """
+    K = k_pixels
+    key = rtrng.key_from_seed(seed)
+    cam = _unpack_camera(cam_ref)
+    ids_blk = ids_ref[0, :, :]                        # (K, R) uint32
+    ii_blk = ii_ref[0, :, :]                          # (K, R)
+    jj_blk = jj_ref[0, :, :]
+    bud_blk = budget_ref[0, :, :]                     # (K, R) absolute end
+    r = ids_blk.shape[1]
+    shape = (1, r)
+    zero3 = Vec3.zeros(shape, dtype=dtype)
+    one_row = jnp.ones(shape, dtype)
+    zero_row = jnp.zeros(shape, dtype)
+    kf_done = float(K)
+
+    def to_u32(f):
+        return pltpu.bitcast(f.astype(jnp.int32), jnp.uint32)
+
+    idsf_blk = pltpu.bitcast(ids_blk, jnp.int32).astype(dtype)  # (K, R)
+
+    def row_of(blk, k_next):
+        """Per-lane row gather: sum_k (k_next == k) * blk[k]."""
+        out = jnp.zeros(shape, dtype)
+        for k in range(K):
+            out = out + jnp.where(k_next == float(k),
+                                  blk[k:k + 1, :], zero_row)
+        return out
+
+    # output accumulators start at zero; rows flush per pixel completion
+    zeros_kr = jnp.zeros((K, r), dtype)
+    out_r_ref[0, :, :] = zeros_kr
+    out_g_ref[0, :, :] = zeros_kr
+    out_b_ref[0, :, :] = zeros_kr
+
+    s_off = jnp.full(shape, float(sample_offset), dtype)
+    pix_f0 = idsf_blk[0:1, :]
+    fi0 = ii_blk[0:1, :]
+    fj0 = jj_blk[0:1, :]
+    bud0 = bud_blk[0:1, :]
+    o0, d0 = primary_rays_from_ij(cam, fi0, fj0, to_u32(pix_f0),
+                                  to_u32(s_off), key, dtype)
+
+    max_waves = K * samples * max_depth
+
+    def cond(carry):
+        w, k_f = carry[0], carry[3]
+        return (w < max_waves) & (jnp.min(k_f) < kf_done)
+
+    def body(carry):
+        (w, sample_f, bounce_f, k_f, pix_f, fi, fj, bud,
+         o, d, atten, acc) = carry
+        active = k_f < kf_done
+        pixel_ids = to_u32(pix_f)
+
+        if hit_fn is not None:
+            hit, t, center_h, radius_h, albedo_h, fuzz_h, ior_h, mat_f = (
+                hit_fn(o, d)
+            )
+        else:
+            hit, t, one_hot = _hit_world_tile(scene_ref, o, d, mxu_dots)
+            center_h, radius_h, albedo_h, fuzz_h, ior_h, mat_f = (
+                _gather_hit(scene_ref, one_hot)
+            )
+        mat_h = mat_f.astype(jnp.int32)
+
+        t_safe = jnp.where(hit, t, 1.0)
+        p = o + d * t_safe
+        outward = (p - center_h) / jnp.maximum(radius_h, 1e-12)
+        front_face = vec.dot(d, outward) < 0.0
+        normal = vec.where(front_face, outward, -outward)
+
+        s_u = to_u32(sample_f)
+        b_u = to_u32(bounce_f)
+        unit_rand = rtrng.random_unit_vector(
+            key, pixel_ids, s_u, b_u, rtrng.DRAW_SCATTER, dtype
+        )
+        coin_u, _ = rtrng.uniform2(
+            key, pixel_ids, s_u, b_u, rtrng.DRAW_COIN, dtype
+        )
+        sc = materials.scatter(
+            d, normal, front_face, mat_h, albedo_h, fuzz_h, ior_h,
+            unit_rand, coin_u,
+        )
+
+        survived = active & hit & sc.scattered
+        at_cap = survived & (bounce_f >= (max_depth - 1))
+        continues = survived & ~at_cap
+
+        rr_scale = None
+        if rr_start is not None:
+            atten_next = atten * sc.attenuation
+            p_surv = jnp.clip(
+                jnp.maximum(jnp.maximum(atten_next.x, atten_next.y),
+                            atten_next.z),
+                0.05, 1.0,
+            )
+            u_rr, _ = rtrng.uniform2(
+                key, pixel_ids, s_u, b_u, rtrng.DRAW_RR, dtype
+            )
+            rr_zone = bounce_f >= float(rr_start)
+            rr_kill = continues & rr_zone & (u_rr >= p_surv)
+            continues = continues & ~rr_kill
+            rr_scale = jnp.where(rr_zone, 1.0 / p_surv, 1.0)
+
+        dies = active & ~continues
+
+        sky = _sky_color(d, dtype)
+        miss_now = active & ~hit
+        acc = acc + vec.where(miss_now, atten * sky, zero3)
+
+        # continuing rays advance one bounce
+        o = vec.where(continues, p, o)
+        d = vec.where(continues, sc.direction, d)
+        atten_upd = atten * sc.attenuation
+        if rr_scale is not None:
+            atten_upd = atten_upd * rr_scale
+        atten = vec.where(continues, atten_upd, atten)
+        bounce_f = jnp.where(continues, bounce_f + 1.0, bounce_f)
+
+        # dying lanes: next sample of this pixel, or pull the next pixel
+        sample_next = sample_f + jnp.where(dies, one_row, zero_row)
+        complete = dies & (sample_next >= bud)
+
+        # flush completed pixels into their (K, R) output rows
+        def mk_flush(val):
+            return jnp.concatenate(
+                [jnp.where(complete & (k_f == float(k)), val, zero_row)
+                 for k in range(K)],
+                axis=0,
+            )
+
+        out_r_ref[0, :, :] = out_r_ref[0, :, :] + mk_flush(acc.x)
+        out_g_ref[0, :, :] = out_g_ref[0, :, :] + mk_flush(acc.y)
+        out_b_ref[0, :, :] = out_b_ref[0, :, :] + mk_flush(acc.z)
+        acc = vec.where(complete, zero3, acc)
+
+        k_next = k_f + jnp.where(complete, one_row, zero_row)
+        pull = complete & (k_next < kf_done)
+        pix_f = jnp.where(pull, row_of(idsf_blk, k_next), pix_f)
+        fi = jnp.where(pull, row_of(ii_blk, k_next), fi)
+        fj = jnp.where(pull, row_of(jj_blk, k_next), fj)
+        bud = jnp.where(pull, row_of(bud_blk, k_next), bud)
+        k_f = k_next
+        sample_f = jnp.where(dies & ~complete, sample_next, sample_f)
+        sample_f = jnp.where(complete, s_off, sample_f)
+
+        # regenerate: same pixel next sample, or new pixel first sample
+        regen = (dies & ~complete) | pull
+        o_new, d_new = primary_rays_from_ij(
+            cam, fi, fj, to_u32(pix_f), to_u32(sample_f), key, dtype
+        )
+        o = vec.where(regen, o_new, o)
+        d = vec.where(regen, d_new, d)
+        atten = vec.where(regen, Vec3(one_row, one_row, one_row), atten)
+        bounce_f = jnp.where(regen, zero_row, bounce_f)
+
+        return (w + 1, sample_f, bounce_f, k_f, pix_f, fi, fj, bud,
+                o, d, atten, acc)
+
+    init = (
+        jnp.int32(0), s_off, zero_row, zero_row, pix_f0, fi0, fj0, bud0,
+        o0, d0, Vec3.full(shape, 1.0, 1.0, 1.0, dtype=dtype), zero3,
+    )
+    final = lax.while_loop(cond, body, init)
+    # max_waves-cap parity with K=1: lanes cut mid-pixel bank their
+    # partial accumulation into the current pixel's row
+    k_f_end = final[3]
+    acc_end = final[11]
+
+    def mk_tail(val):
+        return jnp.concatenate(
+            [jnp.where(k_f_end == float(k), val, jnp.zeros(shape, dtype))
+             for k in range(K)],
+            axis=0,
+        )
+
+    out_r_ref[0, :, :] = out_r_ref[0, :, :] + mk_tail(acc_end.x)
+    out_g_ref[0, :, :] = out_g_ref[0, :, :] + mk_tail(acc_end.y)
+    out_b_ref[0, :, :] = out_b_ref[0, :, :] + mk_tail(acc_end.z)
+
+
 def render_pallas(
     scene: Scene,
     cam_cfg: CameraConfig,
@@ -790,6 +997,7 @@ def render_pallas(
     sample_offset: int = 0,
     sample_budgets=None,
     accumulate_only: bool = False,
+    pixels_per_lane: int = 1,
 ) -> jnp.ndarray:
     """Render with the Pallas wavefront kernel. Same semantics and RNG
     streams as tracer.render (the jnp oracle); (H, W, 3) output.
@@ -826,6 +1034,13 @@ def render_pallas(
         raise ValueError("return_depth requires mode='regen'")
     if (sample_offset or sample_budgets is not None) and mode != "regen":
         raise ValueError("sample offset/budgets require mode='regen'")
+    kpl = pixels_per_lane
+    if kpl > 1:
+        if mode != "regen" or legacy_sky or return_depth:
+            raise ValueError(
+                "pixels_per_lane > 1 requires mode='regen' without "
+                "legacy_sky/return_depth"
+            )
     if mode == "compact" and (legacy_sky or
                               img_width * img_height >= (1 << 24)):
         # compact needs f32-exact pixel ids and has no legacy-sky rows
@@ -834,8 +1049,11 @@ def render_pallas(
 
     num_pixels = img_width * img_height
     n_shards = int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
-    padded = _round_up(num_pixels, ray_tile * n_shards)
-    n_tiles = padded // ray_tile
+    padded = _round_up(num_pixels, kpl * ray_tile * n_shards)
+    n_tiles = padded // (kpl * ray_tile)
+    if kpl > 1 and padded >= (1 << 24):
+        # multi-pixel lanes carry the current pixel id as f32
+        raise ValueError("pixels_per_lane > 1 supports images < 16M pixels")
 
     if pixel_order is not None:
         assert pixel_order.shape == (padded,), (
@@ -848,11 +1066,11 @@ def render_pallas(
         use_sort = False
     ii = (ids % jnp.uint32(img_width)).astype(dtype)
     jj = (ids // jnp.uint32(img_width)).astype(dtype)
-    # (T, 1, R) so each grid block's trailing dims (1, R) equal the array's
-    # trailing dims (Pallas TPU block-shape divisibility rule).
-    ids2 = ids.reshape(n_tiles, 1, ray_tile)
-    ii2 = ii.reshape(n_tiles, 1, ray_tile)
-    jj2 = jj.reshape(n_tiles, 1, ray_tile)
+    # (T, K, R): lane i of tile t owns pixels ids[t, :, i] — trailing dims
+    # equal the block shape (Pallas TPU block divisibility rule).
+    ids2 = ids.reshape(n_tiles, kpl, ray_tile)
+    ii2 = ii.reshape(n_tiles, kpl, ray_tile)
+    jj2 = jj.reshape(n_tiles, kpl, ray_tile)
 
     # per-lane sample budget row (regen): absolute exclusive end sample id
     if sample_budgets is not None:
@@ -868,7 +1086,7 @@ def render_pallas(
         budget_row = jnp.full(
             (padded,), float(sample_offset + samples_per_pixel), dtype
         )
-    bud2 = budget_row.reshape(n_tiles, 1, ray_tile)
+    bud2 = budget_row.reshape(n_tiles, kpl, ray_tile)
 
     scene_mat = pack_scene_matrix(scene, dtype)
     cam_row = pack_camera(cam, dtype)
@@ -887,6 +1105,7 @@ def render_pallas(
             rr_start=rr_start,
             hbm_scene=(layout == "hbm"),
             sample_offset=sample_offset,
+            k_pixels=kpl,
         )
     elif mode == "compact":
         kernel = functools.partial(
@@ -912,7 +1131,7 @@ def render_pallas(
 
     def run(ids_arr, ii_arr, jj_arr, bud_arr, scene_m, cam_r):
         tiles = ids_arr.shape[0]
-        row_spec = pl.BlockSpec((1, 1, ray_tile), lambda i: (i, 0, 0),
+        row_spec = pl.BlockSpec((1, kpl, ray_tile), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)
         # budget row only exists in the regen kernel's signature
         regen = mode == "regen"
@@ -934,7 +1153,7 @@ def render_pallas(
             in_specs=ins,
             out_specs=(row_spec, row_spec, row_spec),
             out_shape=tuple(
-                jax.ShapeDtypeStruct((tiles, 1, ray_tile), dtype)
+                jax.ShapeDtypeStruct((tiles, kpl, ray_tile), dtype)
                 for _ in range(3)
             ),
             scratch_shapes=(
@@ -1071,30 +1290,38 @@ def make_diff_render(
         out = f(params, cam_cfg)
         return out, (params, cam_cfg, out)
 
+    def _pallas_bwd_impl(params, cam_cfg, img, g):
+        from .pallas_backward import chain_to_params, render_pallas_grads
+
+        # chain the cotangent through the host-side postprocess:
+        # img = gamma(acc / spp)  =>  d_acc = g * gamma'(lin) / spp
+        if gamma:
+            # d sqrt(x) = 0.5 / sqrt(x) = 0.5 / img; define 0 at img==0
+            # (absorbed-black pixels; subgradient choice, finite)
+            denom = jnp.where(img > 0, img, 1.0)
+            g = jnp.where(img > 0, 0.5 * g / denom, 0.0)
+        g_acc = g * (1.0 / samples_per_pixel)
+        d_sm, d_cr = render_pallas_grads(
+            _scene(params), cam_cfg, g_acc, img_width, img_height,
+            samples_per_pixel, max_depth, seed=seed,
+            # backward VMEM working set is ~2x forward's: cap the tile
+            ray_tile=min(ray_tile, 256), mesh=mesh, interpret=interpret,
+        )
+        return chain_to_params(
+            d_sm, d_cr, params, cam_cfg, mat_type, active,
+            img_width, img_height,
+        )
+
+    # one jitted program for the whole backward (contains exactly ONE
+    # Mosaic kernel — allowed by the compile service; the host chain ops
+    # fuse into it instead of dispatching eagerly through the tunnel)
+    _pallas_bwd_jit = jax.jit(_pallas_bwd_impl)
+
     def bwd(res, g):
         params, cam_cfg, img = res
 
         if backward == "pallas":
-            from .pallas_backward import chain_to_params, render_pallas_grads
-
-            # chain the cotangent through the host-side postprocess:
-            # img = gamma(acc / spp)  =>  d_acc = g * gamma'(lin) / spp
-            if gamma:
-                # d sqrt(x) = 0.5 / sqrt(x) = 0.5 / img; define 0 at img==0
-                # (absorbed-black pixels; subgradient choice, finite)
-                denom = jnp.where(img > 0, img, 1.0)
-                g = jnp.where(img > 0, 0.5 * g / denom, 0.0)
-            g_acc = g * (1.0 / samples_per_pixel)
-            d_sm, d_cr = render_pallas_grads(
-                _scene(params), cam_cfg, g_acc, img_width, img_height,
-                samples_per_pixel, max_depth, seed=seed,
-                # backward VMEM working set is ~2x forward's: cap the tile
-                ray_tile=min(ray_tile, 256), mesh=mesh, interpret=interpret,
-            )
-            return chain_to_params(
-                d_sm, d_cr, params, cam_cfg, mat_type, active,
-                img_width, img_height,
-            )
+            return _pallas_bwd_jit(params, cam_cfg, img, g)
 
         def oracle(p, c):
             return _tracer.render(

@@ -176,3 +176,18 @@ def test_scene_layouts_identical(tiny_scene, default_camera):
                           layout=layout)
         )
         np.testing.assert_array_equal(base, img)
+
+@pytest.mark.slow
+def test_multi_pixel_lanes_match(tiny_scene, default_camera):
+    """pixels_per_lane is pure bookkeeping: images are bit-identical for
+    any K (RNG streams key on pixel id, not lane assignment)."""
+    base = np.asarray(
+        render_pallas(tiny_scene, default_camera, W, H, 3, 6,
+                      ray_tile=128, interpret=True)
+    )
+    for k in (2, 4):
+        img = np.asarray(
+            render_pallas(tiny_scene, default_camera, W, H, 3, 6,
+                          ray_tile=128, interpret=True, pixels_per_lane=k)
+        )
+        np.testing.assert_array_equal(img, base)
