@@ -1277,14 +1277,23 @@ def make_diff_render(
     def _scene(params):
         return Scene(params=params, mat_type=mat_type, active=active)
 
-    @jax.custom_vjp
-    def f(params, cam_cfg):
-        return render_pallas(
+    # forward as its own jitted program (one Mosaic kernel per program —
+    # the service limit; a jit(value_and_grad(...)) over f would fuse fwd
+    # and bwd kernels into one program and fail to compile on TPU. Leave
+    # the train loop unjitted at top level: it dispatches two compiled
+    # programs + a tiny optimizer program.)
+    _fwd_jit = jax.jit(
+        lambda params, cam_cfg: render_pallas(
             _scene(params), cam_cfg, img_width, img_height,
             samples_per_pixel, max_depth, seed=seed, gamma=gamma,
             legacy_sky=legacy_sky, ray_tile=ray_tile, mesh=mesh,
             interpret=interpret,
         )
+    )
+
+    @jax.custom_vjp
+    def f(params, cam_cfg):
+        return _fwd_jit(params, cam_cfg)
 
     def fwd(params, cam_cfg):
         out = f(params, cam_cfg)

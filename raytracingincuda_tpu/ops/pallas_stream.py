@@ -64,12 +64,20 @@ from .vec import Vec3
 
 DEFAULT_BLOCK = 512
 
+# Stream-layout scene matrices pad the attribute axis to a full 128-lane
+# tile: HBM->VMEM DMA slices must be 128-aligned in the minor dimension
+# (Mosaic memref_slice tiling rule — a (N, 16) matrix cannot be sliced by
+# sphere blocks). 8x the bytes of the dense 16-column matrix, irrelevant
+# at HBM scale (100k spheres = 51 MB) and for the 2x(block, 128) VMEM
+# buffers.
+STREAM_COLS = 128
+
 
 class StreamScene(NamedTuple):
     """Preprocessed large scene: Morton-sorted packed matrix + block
     bounds. Build once with prepare_stream_scene (host, eager)."""
 
-    scene_mat: jnp.ndarray    # (N, 16) f32, N % (2*block) == 0
+    scene_mat: jnp.ndarray    # (N, 128) f32, N % (2*block) == 0
     bounds: jnp.ndarray       # (NB, 8) f32: cx, cy, cz, r_bound, pad
     block: int
 
@@ -108,8 +116,8 @@ def prepare_stream_scene(
         act_mat = act_mat[order]
 
     n_pad = _round_up(max(n_act, 1), 2 * block)
-    out = np.zeros((n_pad, NUM_COLS), np.float32)
-    out[:n_act] = act_mat
+    out = np.zeros((n_pad, STREAM_COLS), np.float32)
+    out[:n_act, :NUM_COLS] = act_mat
     # inactive padding: radius 0, active 0 (never hit); centers at origin
     nb = n_pad // block
     bounds = np.zeros((nb, 8), np.float32)
@@ -192,7 +200,7 @@ def _hit_world_stream(scene_hbm, bounds_ref, bufs, sems, o: Vec3, d: Vec3,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=lax.Precision.HIGHEST,
-        )                                            # (16, R)
+        )                                            # (128, R)
         improved = hit_b & (t_b < t_best)            # (1, R)
         t_new = jnp.where(improved, t_b, t_best)
         params_new = jnp.where(improved, params_b, params_best)
@@ -213,7 +221,7 @@ def _hit_world_stream(scene_hbm, bounds_ref, bufs, sems, o: Vec3, d: Vec3,
     # preamble: block 0 into buf0
     start_copy(buf0, sem0, jnp.int32(0))
     t0_best = jnp.full(shape, T_MISS, dtype)
-    p0_best = jnp.zeros((NUM_COLS,) + (shape[1],), dtype)
+    p0_best = jnp.zeros((STREAM_COLS,) + (shape[1],), dtype)
 
     def pair_body(j, carry):
         t_best, params_best = carry
@@ -338,8 +346,8 @@ def render_pallas_stream(
                 for _ in range(3)
             ),
             scratch_shapes=[
-                pltpu.VMEM((block, NUM_COLS), dtype),
-                pltpu.VMEM((block, NUM_COLS), dtype),
+                pltpu.VMEM((block, STREAM_COLS), dtype),
+                pltpu.VMEM((block, STREAM_COLS), dtype),
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
             ],
