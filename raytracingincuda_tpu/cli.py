@@ -62,6 +62,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "4x --samples); --samples is the probe budget")
     p.add_argument("--adaptive_tol", type=float, default=0.05,
                    help="impl=adaptive: target relative error per pixel")
+    p.add_argument("--pixels_per_lane", type=int, default=None,
+                   help="regen kernel pixels per lane (default auto; "
+                        "K>1 shrinks the tile-tail work imbalance)")
     p.add_argument("--outdir", type=str, default=".")
     p.add_argument("--no-warmup", dest="warmup", action="store_false",
                    help="include JIT compilation in both timings")
@@ -111,6 +114,7 @@ def main(argv=None) -> int:
         rr_start=args.rr_start,
         max_samples=args.max_samples,
         adaptive_tol=args.adaptive_tol,
+        pixels_per_lane=args.pixels_per_lane,
     )
 
     from .utils.timing import force

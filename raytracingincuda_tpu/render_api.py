@@ -93,6 +93,7 @@ def make_renderer(cfg: RenderConfig, n_devices: int = 0):
         )
 
         pallas_mesh = meshlib.make_mesh(n_devices) if n_devices > 1 else None
+        kpl = 1 if cfg.legacy_sky else cfg.effective_pixels_per_lane()
         common = dict(
             img_width=cfg.width,
             img_height=cfg.height,
@@ -108,6 +109,7 @@ def make_renderer(cfg: RenderConfig, n_devices: int = 0):
                 dtype=cfg.jnp_dtype,
                 layout=cfg.layout,
                 rr_start=cfg.rr_start,
+                pixels_per_lane=kpl,
                 **common,
             )
         )
@@ -134,8 +136,25 @@ def make_renderer(cfg: RenderConfig, n_devices: int = 0):
                                   probe_samples=probe_samples)
             )
 
+            # the prepass pads at K=1; the main render pads to a multiple
+            # of kpl * ray_tile — extend the permutation with the extra
+            # padding ids when they differ
+            from .ops.pallas_kernel import DEFAULT_RAY_TILE
+            n_sh = n_devices if n_devices > 1 else 1
+            padded_main = _round_up(
+                cfg.width * cfg.height, kpl * DEFAULT_RAY_TILE * n_sh
+            )
+
             def renderer(scene, cam_cfg):
+                import jax.numpy as jnp
+
                 order = order_fn(prepass(scene, cam_cfg))
+                if order.shape[0] < padded_main:
+                    order = jnp.concatenate([
+                        order,
+                        jnp.arange(order.shape[0], padded_main,
+                                   dtype=jnp.uint32),
+                    ])
                 return main(scene, cam_cfg, pixel_order=order)
 
             return renderer
