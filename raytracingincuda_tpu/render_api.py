@@ -145,16 +145,31 @@ def make_renderer(cfg: RenderConfig, n_devices: int = 0):
                 cfg.width * cfg.height, kpl * DEFAULT_RAY_TILE * n_sh
             )
 
+            # The order depends only on (scene, camera); cache it by leaf
+            # identity so repeated renders skip the prepass (measured: the
+            # prepass costs ~280ms at the headline config, the ordering
+            # saves ~100-350ms per render — a clear win only amortized).
+            order_cache: dict = {}
+
             def renderer(scene, cam_cfg):
                 import jax.numpy as jnp
 
-                order = order_fn(prepass(scene, cam_cfg))
-                if order.shape[0] < padded_main:
-                    order = jnp.concatenate([
-                        order,
-                        jnp.arange(order.shape[0], padded_main,
-                                   dtype=jnp.uint32),
-                    ])
+                key = tuple(
+                    id(x) for x in jax.tree_util.tree_leaves(
+                        (scene, cam_cfg)
+                    )
+                )
+                order = order_cache.get(key)
+                if order is None:
+                    order = order_fn(prepass(scene, cam_cfg))
+                    if order.shape[0] < padded_main:
+                        order = jnp.concatenate([
+                            order,
+                            jnp.arange(order.shape[0], padded_main,
+                                       dtype=jnp.uint32),
+                        ])
+                    order_cache.clear()
+                    order_cache[key] = order
                 return main(scene, cam_cfg, pixel_order=order)
 
             return renderer
