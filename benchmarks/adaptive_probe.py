@@ -24,6 +24,7 @@ def main() -> int:
     args = ap.parse_args()
 
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     from raytracingincuda_tpu.models.camera import CameraConfig
@@ -47,12 +48,16 @@ def main() -> int:
     truth_fn = jax.jit(lambda s, c: render_pallas(
         s, c, W, H, args.truth_spp, D, gamma=False, pixels_per_lane=8))
     t0 = time.perf_counter()
-    truth = np.asarray(truth_fn(scene, cam))
+    truth = truth_fn(scene, cam)          # stays on device
+    force(truth)
     emit(case="truth", spp=args.truth_spp,
          secs=time.perf_counter() - t0)
 
+    # error on DEVICE; only the scalar crosses the (slow) tunnel
+    err_fn = jax.jit(lambda a, b: jnp.mean(jnp.abs(a - b)))
+
     def err_of(img):
-        return float(np.mean(np.abs(np.asarray(img) - truth)))
+        return float(err_fn(img, truth))
 
     for spp in (16, 32, 64, 100):
         f = jax.jit(lambda s, c, spp=spp: render_pallas(
@@ -75,7 +80,7 @@ def main() -> int:
         ms = (time.perf_counter() - t0) * 1e3
         emit(case=f"adaptive_b{base}_m{mx}_t{tol}", ms=ms,
              err=err_of(res.image),
-             mean_spp=float(np.asarray(res.spp_map).mean()))
+             mean_spp=float(jnp.mean(res.spp_map.astype(jnp.float32))))
 
     emit(event="done")
     return 0

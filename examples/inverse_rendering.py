@@ -26,6 +26,10 @@ def main() -> int:
     ap.add_argument("--bounces", type=int, default=6)
     ap.add_argument("--lr", type=float, default=2e-2)
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--impl", choices=["oracle", "pallas"], default="oracle",
+                    help="pallas: Pallas forward + Pallas backward kernel "
+                         "(TPU; the train loop stays unjitted at top level "
+                         "— one Mosaic kernel per program)")
     ap.add_argument("--out", default="recovered.ppm")
     args = ap.parse_args()
 
@@ -64,9 +68,13 @@ def main() -> int:
     )
     init_fn, step_fn = gradlib.make_train_step(
         W, H, args.samples, args.bounces,
-        learning_rate=args.lr, trainable=trainable,
+        learning_rate=args.lr, trainable=trainable, impl=args.impl,
     )
-    step_fn = jax.jit(step_fn)
+    if args.impl == "oracle":
+        step_fn = jax.jit(step_fn)
+    # impl=pallas: fwd and bwd are separately jitted programs inside the
+    # custom VJP; jitting the whole step would put two Mosaic kernels in
+    # one program (rejected by the TPU compile service)
     state = init_fn(init_params)
 
     for i in range(args.steps):

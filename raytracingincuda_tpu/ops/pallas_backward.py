@@ -68,7 +68,6 @@ from .pallas_kernel import (
     COL_CY,
     COL_CZ,
     COL_RADIUS,
-    DEFAULT_RAY_TILE,
     NUM_COLS,
     _gather_hit,
     _hit_select,

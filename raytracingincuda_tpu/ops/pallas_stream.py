@@ -52,7 +52,6 @@ from .pallas_kernel import (
     COL_CZ,
     COL_RADIUS,
     NUM_COLS,
-    _gather_hit,
     _hit_select,
     _regen_body,
     _round_up,
