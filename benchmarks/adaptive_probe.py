@@ -53,11 +53,19 @@ def main() -> int:
     emit(case="truth", spp=args.truth_spp,
          secs=time.perf_counter() - t0)
 
-    # error on DEVICE; only the scalar crosses the (slow) tunnel
-    err_fn = jax.jit(lambda a, b: jnp.mean(jnp.abs(a - b)))
+    # error on DEVICE; only scalars cross the (slow) tunnel. Mean error
+    # rewards spreading samples uniformly; adaptive targets the TAIL
+    # (worst pixels), so report p99/p999 of the per-pixel error too.
+    def _errs(a, b):
+        d = jnp.mean(jnp.abs(a - b), axis=-1)
+        return (jnp.mean(d), jnp.percentile(d, 99.0),
+                jnp.percentile(d, 99.9))
+
+    err_fn = jax.jit(_errs)
 
     def err_of(img):
-        return float(err_fn(img, truth))
+        m, p99, p999 = err_fn(img, truth)
+        return dict(err=float(m), p99=float(p99), p999=float(p999))
 
     for spp in (16, 32, 64, 100):
         f = jax.jit(lambda s, c, spp=spp: render_pallas(
@@ -67,7 +75,7 @@ def main() -> int:
         img = f(scene, cam)
         force(img)
         ms = (time.perf_counter() - t0) * 1e3
-        emit(case=f"uniform_{spp}", ms=ms, err=err_of(img), mean_spp=spp)
+        emit(case=f"uniform_{spp}", ms=ms, mean_spp=spp, **err_of(img))
 
     for base, mx, tol in ((16, 256, 0.08), (16, 256, 0.05),
                           (32, 512, 0.05), (16, 128, 0.1)):
@@ -79,8 +87,8 @@ def main() -> int:
         force(res.image)
         ms = (time.perf_counter() - t0) * 1e3
         emit(case=f"adaptive_b{base}_m{mx}_t{tol}", ms=ms,
-             err=err_of(res.image),
-             mean_spp=float(jnp.mean(res.spp_map.astype(jnp.float32))))
+             mean_spp=float(jnp.mean(res.spp_map.astype(jnp.float32))),
+             **err_of(res.image))
 
     emit(event="done")
     return 0

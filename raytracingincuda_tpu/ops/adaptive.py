@@ -88,11 +88,15 @@ def _make_phases(
     most ONE Mosaic kernel (TPU compile-service constraint); host glue
     (error map, budgets, bucket order, normalization) jits separately."""
     half = base_spp // 2
+    # multi-pixel lanes flatten the refine pass's extreme per-lane budget
+    # variance (pixels_per_lane=8 measured best at high spp; K must keep
+    # lanes*K <= padded pixels, trivially true here)
+    kpl = 8 if not legacy_sky else 1
     common = dict(
         img_width=img_width, img_height=img_height, max_depth=max_depth,
         seed=seed, gamma=False, ray_tile=ray_tile, mesh=mesh,
         interpret=interpret, accumulate_only=True, rr_start=rr_start,
-        legacy_sky=legacy_sky,
+        legacy_sky=legacy_sky, pixels_per_lane=kpl,
     )
     probe_a = jax.jit(functools.partial(
         render_pallas, samples_per_pixel=half, sample_offset=0, **common,
@@ -107,7 +111,7 @@ def _make_phases(
         import numpy as _np
 
         n_shards = int(_np.prod(list(mesh.shape.values())))
-    padded = _round_up(num_pixels, ray_tile * n_shards)
+    padded = _round_up(num_pixels, kpl * ray_tile * n_shards)
     max_extra_cap = max_spp - base_spp
 
     @jax.jit

@@ -842,7 +842,13 @@ def _regen_body_multi(
     def body(carry):
         (w, sample_f, bounce_f, k_f, pix_f, fi, fj, bud,
          o, d, atten, acc) = carry
-        active = k_f < kf_done
+        has_pixel = k_f < kf_done
+        # a pixel may carry ZERO quota for this pass (adaptive refine:
+        # converged pixels get no extra samples) — such lanes must not
+        # trace; they complete immediately below (one wave per skipped
+        # pixel)
+        has_quota = sample_f < bud
+        active = has_pixel & has_quota
         pixel_ids = to_u32(pix_f)
 
         if hit_fn is not None:
@@ -912,7 +918,7 @@ def _regen_body_multi(
 
         # dying lanes: next sample of this pixel, or pull the next pixel
         sample_next = sample_f + jnp.where(dies, one_row, zero_row)
-        complete = dies & (sample_next >= bud)
+        complete = (dies & (sample_next >= bud)) | (has_pixel & ~has_quota)
 
         # flush completed pixels into their (K, R) output rows
         def mk_flush(val):

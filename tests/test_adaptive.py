@@ -41,6 +41,28 @@ def test_mixed_budgets_bit_exact(tiny_scene, default_camera):
 
 
 @pytest.mark.slow
+def test_zero_budget_pixels_with_multi_pixel_lanes(tiny_scene,
+                                                   default_camera):
+    """Regression: zero-quota pixels (adaptive refine's converged pixels)
+    must contribute nothing and not stall multi-pixel lanes."""
+    rng = np.random.default_rng(2)
+    nb = rng.integers(0, 5, W * H).astype(np.int32)   # includes zeros
+    kw2 = dict(**KW, sample_offset=2)
+    a1 = np.asarray(
+        render_pallas(tiny_scene, default_camera, W, H, 5, D,
+                      sample_budgets=jnp.asarray(nb), **kw2)
+    )
+    a4 = np.asarray(
+        render_pallas(tiny_scene, default_camera, W, H, 5, D,
+                      sample_budgets=jnp.asarray(nb), pixels_per_lane=4,
+                      **kw2)
+    )
+    np.testing.assert_array_equal(a1, a4)
+    zero_mask = (nb == 0).reshape(H, W)
+    assert np.all(a1[zero_mask] == 0.0)
+
+
+@pytest.mark.slow
 def test_incremental_passes_join_to_full(tiny_scene, default_camera):
     """[0,4) == [0,2) + [2,4) up to one reassociation ulp at the join."""
     full = np.asarray(
