@@ -112,7 +112,8 @@ def test_adaptive_end_to_end(tiny_scene, default_camera):
 
 def test_budget_formula():
     err = jnp.asarray([0.0, 0.05, 0.1, 10.0])
-    extra = np.asarray(budgets_from_error(err, 16, 64, tol=0.05))
+    extra = np.asarray(budgets_from_error(err, 16, 64, tol=0.05,
+                                          smooth=False))
     assert extra[0] == 0
     assert extra[1] == 0          # already at tolerance
     assert 0 < extra[2] <= 48
