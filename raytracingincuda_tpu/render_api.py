@@ -116,8 +116,10 @@ def make_renderer(cfg: RenderConfig, n_devices: int = 0):
 
         # Difficulty-sorted tiling: the prepass runs as a SEPARATE jit (the
         # TPU AOT compile service rejects two Mosaic kernels per program)
-        # and its bucket ordering feeds the main render as data.
-        if cfg.samples >= 4 and cfg.bounces > 4:
+        # and its bucket ordering feeds the main render as data. Only worth
+        # it at high sample counts: the 6-sample probe is ~60% overhead on
+        # a 10-spp render but 6% at 100 spp (and cached across renders).
+        if cfg.samples >= 32 and cfg.bounces > 4:
             probe_depth = min(8, cfg.bounces)
             probe_samples = min(6, cfg.samples)
             prepass = jax.jit(
