@@ -26,10 +26,13 @@ def main() -> int:
     ap.add_argument("--bounces", type=int, default=6)
     ap.add_argument("--lr", type=float, default=2e-2)
     ap.add_argument("--platform", default=None)
-    ap.add_argument("--impl", choices=["oracle", "pallas"], default="oracle",
+    ap.add_argument("--impl", choices=["oracle", "pallas", "fused"],
+                    default="oracle",
                     help="pallas: Pallas forward + Pallas backward kernel "
                          "(TPU; the train loop stays unjitted at top level "
-                         "— one Mosaic kernel per program)")
+                         "— one Mosaic kernel per program). fused: ONE "
+                         "kernel computes loss AND grads, so the whole "
+                         "step jits end-to-end (fastest on TPU)")
     ap.add_argument("--out", default="recovered.ppm")
     args = ap.parse_args()
 
@@ -70,11 +73,12 @@ def main() -> int:
         W, H, args.samples, args.bounces,
         learning_rate=args.lr, trainable=trainable, impl=args.impl,
     )
-    if args.impl == "oracle":
+    if args.impl in ("oracle", "fused"):
         step_fn = jax.jit(step_fn)
     # impl=pallas: fwd and bwd are separately jitted programs inside the
     # custom VJP; jitting the whole step would put two Mosaic kernels in
-    # one program (rejected by the TPU compile service)
+    # one program (rejected by the TPU compile service). impl=fused is
+    # a single kernel, so the whole step (optimizer included) jits.
     state = init_fn(init_params)
 
     for i in range(args.steps):

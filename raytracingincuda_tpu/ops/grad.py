@@ -144,9 +144,6 @@ def make_train_step(
         opt = optax.multi_transform(
             {"train": opt, "freeze": optax.set_to_zero()}, labels
         )
-    loss_fn = make_loss_fn(
-        img_width, img_height, samples_per_pixel, max_depth, **kw
-    )
 
     def init_fn(params: SceneParams) -> TrainState:
         return TrainState(
@@ -154,6 +151,46 @@ def make_train_step(
             opt_state=opt.init(params),
             step=jnp.zeros((), jnp.int32),
         )
+
+    if kw.get("impl") == "fused":
+        # Fused MSE value-and-grad kernel (ops/pallas_backward): render,
+        # loss, and cotangents from ONE Mosaic kernel, so the whole step
+        # (including the optimizer update) is one jittable program — the
+        # two-program custom_vjp path cannot be jitted end-to-end under
+        # the compile service's one-kernel-per-program limit.
+        from .pallas_backward import chain_to_params, mse_train_pallas
+
+        gamma = kw.get("gamma", False)
+        seed = kw.get("seed", 1227)
+        mesh = kw.get("mesh")
+        interpret = kw.get("interpret")
+        if interpret is None:  # Mosaic needs a TPU; interpret elsewhere
+            interpret = jax.default_backend() == "cpu"
+
+        def fused_step(state: TrainState, cam_cfg: CameraConfig,
+                       mat_type, active, target):
+            scene = Scene(params=state.params, mat_type=mat_type,
+                          active=active)
+            loss, _img, d_sm, d_cr = mse_train_pallas(
+                scene, cam_cfg, target, img_width, img_height,
+                samples_per_pixel, max_depth, seed=seed, gamma=gamma,
+                mesh=mesh, interpret=interpret,
+            )
+            d_params, _d_cam = chain_to_params(
+                d_sm, d_cr, state.params, cam_cfg, mat_type, active,
+                img_width, img_height,
+            )
+            updates, opt_state = opt.update(
+                d_params, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(params, opt_state, state.step + 1), loss
+
+        return init_fn, fused_step
+
+    loss_fn = make_loss_fn(
+        img_width, img_height, samples_per_pixel, max_depth, **kw
+    )
 
     def step_fn(state: TrainState, cam_cfg: CameraConfig,
                 mat_type, active, target):

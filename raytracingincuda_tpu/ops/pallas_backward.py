@@ -188,27 +188,30 @@ def _unpack_residual(blk: jnp.ndarray):
             blk[_R_ALIVE:_R_ALIVE + 1, :])
 
 
-def _grad_tile_kernel(
-    ids_ref, ii_ref, jj_ref, gr_ref, gg_ref, gb_ref, scene_ref, cam_ref,
-    dscene_ref, dcx_ref, dcy_ref, dcz_ref, dr_ref, dcam_ref, st_ref,
-    *, samples: int, max_depth: int, seed: int, dtype,
-):
-    key = rtrng.key_from_seed(seed)
+def _read_tile_refs(ids_ref, ii_ref, jj_ref, scene_ref, cam_ref):
+    """Common tile-ref parsing shared by the grad and fused kernels."""
     pixel_ids = ids_ref[0, :, :]                              # (1, R) uint32
     fi = ii_ref[0, :, :]
     fj = jj_ref[0, :, :]
-    shape = pixel_ids.shape
     scene_mat = scene_ref[:, :]
     cx = scene_ref[:, COL_CX:COL_CX + 1]                      # (N, 1)
     cy = scene_ref[:, COL_CY:COL_CY + 1]
     cz = scene_ref[:, COL_CZ:COL_CZ + 1]
     rc = scene_ref[:, COL_RADIUS:COL_RADIUS + 1]
     active_col = scene_ref[:, COL_ACTIVE:COL_ACTIVE + 1]
-    g = Vec3(gr_ref[0, :, :], gg_ref[0, :, :], gb_ref[0, :, :])
-
     cam_vals = tuple(cam_ref[0, k] for k in range(_N_CAM))
     use_defocus = cam_ref[0, 18] > 0.5
+    return (pixel_ids, fi, fj, scene_mat, cx, cy, cz, rc, active_col,
+            cam_vals, use_defocus)
 
+
+def _tile_grad_sweep(scene_mat, cx, cy, cz, rc, active_col, cam_vals,
+                     use_defocus, pixel_ids, fi, fj, g, key, st_ref,
+                     *, samples: int, max_depth: int, dtype):
+    """Per-tile gradient accumulation for an upstream image cotangent ``g``
+    (Vec3 of (1, R) rows, accumulated-radiance domain): per-sample forward
+    sweep parking residuals in ``st_ref``, then the reverse vjp sweep."""
+    shape = pixel_ids.shape
     n, cols = scene_mat.shape
     ncol_zeros = jnp.zeros((n, 1), dtype)
 
@@ -289,11 +292,20 @@ def _grad_tile_kernel(
                 d_cz_acc + d_cz, d_r_acc + d_r, d_cam_new)
 
     zero_cam = tuple(jnp.zeros((), dtype) for _ in range(_N_CAM))
-    d_scene, d_cx, d_cy, d_cz, d_r, d_cam = lax.fori_loop(
+    return lax.fori_loop(
         0, samples, one_sample,
         (jnp.zeros((n, cols), dtype),
          ncol_zeros, ncol_zeros, ncol_zeros, ncol_zeros, zero_cam),
     )
+
+
+def _write_grad_outputs(dscene_ref, dcx_ref, dcy_ref, dcz_ref, dr_ref,
+                        dcam_ref, d_scene, d_cx, d_cy, d_cz, d_r, d_cam,
+                        dtype):
+    """Accumulate tile cotangents into the shared output blocks
+    (zero-initialized at program 0; TPU grids are sequential)."""
+    n, cols = d_scene.shape
+    ncol_zeros = jnp.zeros((n, 1), dtype)
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -312,6 +324,120 @@ def _grad_tile_kernel(
     dr_ref[:, :] = dr_ref[:, :] + d_r
     for k in range(_N_CAM):
         dcam_ref[0, k] = dcam_ref[0, k] + d_cam[k]
+
+
+def _grad_tile_kernel(
+    ids_ref, ii_ref, jj_ref, gr_ref, gg_ref, gb_ref, scene_ref, cam_ref,
+    dscene_ref, dcx_ref, dcy_ref, dcz_ref, dr_ref, dcam_ref, st_ref,
+    *, samples: int, max_depth: int, seed: int, dtype,
+):
+    key = rtrng.key_from_seed(seed)
+    (pixel_ids, fi, fj, scene_mat, cx, cy, cz, rc, active_col,
+     cam_vals, use_defocus) = _read_tile_refs(
+        ids_ref, ii_ref, jj_ref, scene_ref, cam_ref
+    )
+    g = Vec3(gr_ref[0, :, :], gg_ref[0, :, :], gb_ref[0, :, :])
+    d_scene, d_cx, d_cy, d_cz, d_r, d_cam = _tile_grad_sweep(
+        scene_mat, cx, cy, cz, rc, active_col, cam_vals, use_defocus,
+        pixel_ids, fi, fj, g, key, st_ref,
+        samples=samples, max_depth=max_depth, dtype=dtype,
+    )
+    _write_grad_outputs(dscene_ref, dcx_ref, dcy_ref, dcz_ref, dr_ref,
+                        dcam_ref, d_scene, d_cx, d_cy, d_cz, d_r, d_cam,
+                        dtype)
+
+
+def _fused_tile_kernel(
+    ids_ref, ii_ref, jj_ref, tr_ref, tg_ref, tb_ref, scene_ref, cam_ref,
+    loss_ref, imr_ref, img_ref, imb_ref,
+    dscene_ref, dcx_ref, dcy_ref, dcz_ref, dr_ref, dcam_ref, st_ref,
+    *, samples: int, max_depth: int, seed: int, dtype, gamma: bool,
+    num_pixels: int,
+):
+    """Fused MSE train step: ONE kernel computes the rendered tile, the
+    MSE-vs-target loss contribution, AND the scene/camera cotangents.
+
+    Three sweeps: (1) forward radiance accumulation (the render), (2) the
+    in-kernel loss + upstream-cotangent chain (MSE through gamma and the
+    1/spp scale), (3) the shared per-sample forward+reverse grad sweep
+    (_tile_grad_sweep) with that cotangent. Replaces the two-program
+    forward-then-backward train step — and because it is a single Mosaic
+    kernel, the whole value_and_grad (plus an optimizer update) fits in
+    ONE jitted program despite the compile service's one-kernel limit."""
+    key = rtrng.key_from_seed(seed)
+    (pixel_ids, fi, fj, scene_mat, cx, cy, cz, rc, active_col,
+     cam_vals, use_defocus) = _read_tile_refs(
+        ids_ref, ii_ref, jj_ref, scene_ref, cam_ref
+    )
+    shape = pixel_ids.shape
+    cam = _camera_from_scalars(cam_vals, use_defocus)
+
+    # ---- sweep 1: forward radiance accumulation (no residuals) --------
+    def one_sample_fwd(s_i, acc):
+        s_u = s_i.astype(jnp.uint32)
+        o0, d0 = primary_rays_from_ij(cam, fi, fj, pixel_ids, s_u, key,
+                                      dtype)
+
+        def body(b, st):
+            o, d, atten, alive_f, acc3 = st
+            (o2, d2, at2, al2), contrib = _bounce_tile(
+                scene_mat, cx, cy, cz, rc, active_col,
+                o, d, atten, alive_f, pixel_ids, s_u,
+                b.astype(jnp.uint32), key, dtype,
+            )
+            return (o2, d2, at2, al2, acc3 + contrib)
+
+        init = (o0, d0, Vec3.full(shape, 1.0, 1.0, 1.0, dtype=dtype),
+                jnp.ones(shape, dtype), acc)
+        return lax.fori_loop(0, max_depth, body, init)[4]
+
+    acc = lax.fori_loop(0, samples, one_sample_fwd,
+                        Vec3.zeros(shape, dtype=dtype))
+
+    # ---- sweep 2 (pointwise): image, loss, upstream cotangent ---------
+    inv_spp = 1.0 / samples
+    lin = acc * inv_spp
+    if gamma:
+        img = Vec3(jnp.sqrt(jnp.maximum(lin.x, 0.0)),
+                   jnp.sqrt(jnp.maximum(lin.y, 0.0)),
+                   jnp.sqrt(jnp.maximum(lin.z, 0.0)))
+    else:
+        img = lin
+    valid = pixel_ids < jnp.uint32(num_pixels)
+    target = Vec3(tr_ref[0, :, :], tg_ref[0, :, :], tb_ref[0, :, :])
+    diff = vec.where(valid, img - target, Vec3.zeros(shape, dtype=dtype))
+    w = 1.0 / (num_pixels * 3)
+    loss_tile = w * jnp.sum(diff.x * diff.x + diff.y * diff.y
+                            + diff.z * diff.z)
+    g_img = diff * (2.0 * w)
+    if gamma:
+        # d sqrt(x) = 0.5 / sqrt(x) = 0.5 / img; subgradient 0 at black
+        # (same convention as make_diff_render's host chain)
+        chain = lambda gc, ic: jnp.where(ic > 0, 0.5 * gc / jnp.where(
+            ic > 0, ic, 1.0), 0.0)
+        g_img = Vec3(chain(g_img.x, img.x), chain(g_img.y, img.y),
+                     chain(g_img.z, img.z))
+    g = g_img * inv_spp
+
+    imr_ref[0, :, :] = img.x
+    img_ref[0, :, :] = img.y
+    imb_ref[0, :, :] = img.z
+
+    # ---- sweep 3: the shared residual-store + reverse vjp sweep -------
+    d_scene, d_cx, d_cy, d_cz, d_r, d_cam = _tile_grad_sweep(
+        scene_mat, cx, cy, cz, rc, active_col, cam_vals, use_defocus,
+        pixel_ids, fi, fj, g, key, st_ref,
+        samples=samples, max_depth=max_depth, dtype=dtype,
+    )
+    _write_grad_outputs(dscene_ref, dcx_ref, dcy_ref, dcz_ref, dr_ref,
+                        dcam_ref, d_scene, d_cx, d_cy, d_cz, d_r, d_cam,
+                        dtype)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init_loss():
+        loss_ref[0, 0] = 0.0
+
+    loss_ref[0, 0] = loss_ref[0, 0] + loss_tile
 
 
 def render_pallas_grads(
@@ -452,6 +578,202 @@ def render_pallas_grads(
     d_sm = d_sm.at[:, COL_CZ].add(d_cz[:, 0])
     d_sm = d_sm.at[:, COL_RADIUS].add(d_r[:, 0])
     return d_sm, d_cr
+
+
+def mse_train_pallas(
+    scene: Scene,
+    cam_cfg: CameraConfig,
+    target: jnp.ndarray,
+    img_width: int,
+    img_height: int,
+    samples_per_pixel: int,
+    max_depth: int,
+    *,
+    seed: int = rtrng.DEFAULT_SEED,
+    dtype=jnp.float32,
+    gamma: bool = True,
+    ray_tile: int = 256,
+    mesh=None,
+    interpret: bool = False,
+):
+    """Fused MSE train step: ONE Mosaic kernel returning
+    ``(loss, image, d_scene_matrix, d_camera_row)`` against a target
+    image (H, W, 3).
+
+    loss = mean((render - target)^2) over all pixel channels, with the
+    render going through the standard 1/spp + gamma postprocess in-kernel.
+    Compared with make_diff_render's two-program custom_vjp path this
+    saves the separate forward program (the backward kernel re-traces
+    forward anyway) and — because the whole value-and-grad is one
+    kernel — composes with an optimizer update inside a single jit
+    despite the compile service's one-Mosaic-kernel-per-program limit.
+    Callers chain the cotangents to parameter pytrees with
+    ``chain_to_params``."""
+    cam = initialize(cam_cfg, img_width, img_height)
+    num_pixels = img_width * img_height
+    n_shards = (
+        int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
+    )
+    padded = _round_up(num_pixels, ray_tile * n_shards)
+    n_tiles = padded // ray_tile
+
+    ids = jnp.arange(padded, dtype=jnp.uint32)
+    ii = (ids % jnp.uint32(img_width)).astype(dtype)
+    jj = (ids // jnp.uint32(img_width)).astype(dtype)
+    ids2 = ids.reshape(n_tiles, 1, ray_tile)
+    ii2 = ii.reshape(n_tiles, 1, ray_tile)
+    jj2 = jj.reshape(n_tiles, 1, ray_tile)
+
+    t_flat = target.reshape(num_pixels, 3).astype(dtype)
+    t_pad = jnp.zeros((padded, 3), dtype).at[:num_pixels].set(t_flat)
+    tr = t_pad[:, 0].reshape(n_tiles, 1, ray_tile)
+    tg = t_pad[:, 1].reshape(n_tiles, 1, ray_tile)
+    tb = t_pad[:, 2].reshape(n_tiles, 1, ray_tile)
+
+    scene_mat = pack_scene_matrix(scene, dtype)
+    cam_row = pack_camera(cam, dtype)
+    n_spheres = scene_mat.shape[0]
+
+    kernel = functools.partial(
+        _fused_tile_kernel,
+        samples=samples_per_pixel,
+        max_depth=max_depth,
+        seed=seed,
+        dtype=dtype,
+        gamma=gamma,
+        num_pixels=num_pixels,
+    )
+
+    def run(ids_arr, ii_arr, jj_arr, t_r, t_g, t_b, scene_m, cam_r):
+        tiles = ids_arr.shape[0]
+        row_spec = pl.BlockSpec((1, 1, ray_tile), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        acc_spec = lambda shape: pl.BlockSpec(
+            shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+        ncol = (n_spheres, 1)
+        row_shape = jax.ShapeDtypeStruct((tiles, 1, ray_tile), dtype)
+        return pl.pallas_call(
+            kernel,
+            grid=(tiles,),
+            in_specs=[
+                row_spec, row_spec, row_spec,
+                row_spec, row_spec, row_spec,
+                acc_spec((n_spheres, NUM_COLS)),
+                pl.BlockSpec((1, _CAM_COLS), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                row_spec, row_spec, row_spec,
+                acc_spec((n_spheres, NUM_COLS)),
+                acc_spec(ncol), acc_spec(ncol), acc_spec(ncol),
+                acc_spec(ncol),
+                pl.BlockSpec((1, _CAM_COLS), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((1, 1), dtype),
+                row_shape, row_shape, row_shape,
+                jax.ShapeDtypeStruct((n_spheres, NUM_COLS), dtype),
+                jax.ShapeDtypeStruct(ncol, dtype),
+                jax.ShapeDtypeStruct(ncol, dtype),
+                jax.ShapeDtypeStruct(ncol, dtype),
+                jax.ShapeDtypeStruct(ncol, dtype),
+                jax.ShapeDtypeStruct((1, _CAM_COLS), dtype),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((max_depth * _ST_ROWS, ray_tile), dtype),
+            ],
+            cost_estimate=pl.CostEstimate(
+                # ~1.5x the grad kernel: sweeps 1+3 both trace forward
+                flops=int(
+                    4 * samples_per_pixel * max_depth * padded
+                    * n_spheres * 20
+                ),
+                bytes_accessed=int(padded) * 4 * 16,
+                transcendentals=int(
+                    3 * samples_per_pixel * max_depth * padded * 4
+                ),
+            ),
+            interpret=interpret,
+        )(ids_arr, ii_arr, jj_arr, t_r, t_g, t_b, scene_m, cam_r)
+
+    if mesh is not None:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        axes = tuple(mesh.axis_names)
+
+        def run_psum(*args):
+            loss, im_r, im_g, im_b, *grads = run(*args)
+            # loss and scene/camera grads are sums over all pixels ->
+            # all-reduce over the mesh (rides ICI); image rows stay
+            # sharded by pixel tile
+            return ((lax.psum(loss, axes), im_r, im_g, im_b)
+                    + tuple(lax.psum(o, axes) for o in grads))
+
+        sharded = shard_map(
+            run_psum, mesh=mesh,
+            in_specs=(P(axes), P(axes), P(axes),
+                      P(axes), P(axes), P(axes), P(), P()),
+            out_specs=(P(), P(axes), P(axes), P(axes),
+                       P(), P(), P(), P(), P(), P()),
+            check_rep=False,
+        )
+        outs = sharded(ids2, ii2, jj2, tr, tg, tb, scene_mat, cam_row)
+    else:
+        outs = run(ids2, ii2, jj2, tr, tg, tb, scene_mat, cam_row)
+
+    loss, im_r, im_g, im_b, d_sm, d_cx, d_cy, d_cz, d_r, d_cr = outs
+    img = jnp.stack(
+        [im_r.reshape(padded)[:num_pixels],
+         im_g.reshape(padded)[:num_pixels],
+         im_b.reshape(padded)[:num_pixels]], axis=-1,
+    ).reshape(img_height, img_width, 3)
+    d_sm = d_sm.at[:, COL_CX].add(d_cx[:, 0])
+    d_sm = d_sm.at[:, COL_CY].add(d_cy[:, 0])
+    d_sm = d_sm.at[:, COL_CZ].add(d_cz[:, 0])
+    d_sm = d_sm.at[:, COL_RADIUS].add(d_r[:, 0])
+    return loss[0, 0], img, d_sm, d_cr
+
+
+def make_mse_train(
+    mat_type,
+    active,
+    img_width: int,
+    img_height: int,
+    samples_per_pixel: int,
+    max_depth: int,
+    *,
+    seed: int = rtrng.DEFAULT_SEED,
+    gamma: bool = True,
+    ray_tile: int = 256,
+    mesh=None,
+    interpret: bool = False,
+):
+    """User-facing fused train step builder.
+
+    Returns jittable ``f(params, cam_cfg, target) ->
+    (loss, image, (d_params, d_cam_cfg))`` — one program containing one
+    Mosaic kernel, so it composes with an optimizer update in the same
+    jit (see examples/inverse_rendering.py)."""
+
+    def f(params, cam_cfg, target):
+        scene = Scene(params=params, mat_type=mat_type, active=active)
+        loss, img, d_sm, d_cr = mse_train_pallas(
+            scene, cam_cfg, target, img_width, img_height,
+            samples_per_pixel, max_depth, seed=seed, gamma=gamma,
+            ray_tile=ray_tile, mesh=mesh, interpret=interpret,
+        )
+        d_params, d_cam = chain_to_params(
+            d_sm, d_cr, params, cam_cfg, mat_type, active,
+            img_width, img_height,
+        )
+        return loss, img, (d_params, d_cam)
+
+    return f
 
 
 def chain_to_params(

@@ -1,0 +1,148 @@
+"""Fused MSE value-and-grad kernel (ops/pallas_backward.make_mse_train).
+
+One Mosaic kernel computes the render, the MSE-vs-target loss, and the
+scene/camera cotangents (three sweeps; see _fused_tile_kernel). Ground
+truth is jax.value_and_grad through the jnp oracle — both consume the
+same Threefry streams, so the image is bit-exact in interpret mode and
+gradients agree to float-reassociation precision."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from raytracingincuda_tpu.models.camera import CameraConfig
+from raytracingincuda_tpu.models.scene import (
+    DIELECTRIC, LAMBERTIAN, METAL, Scene,
+)
+from raytracingincuda_tpu.ops import tracer
+from raytracingincuda_tpu.ops.pallas_backward import make_mse_train
+from helpers import scene_from_spheres
+
+W, H = 24, 16
+SPP, DEPTH = 2, 4
+
+
+@pytest.fixture(scope="module")
+def mixed_scene():
+    return scene_from_spheres(
+        [
+            dict(center=(0, -1000, 0), radius=1000.0, mat=LAMBERTIAN,
+                 albedo=(0.5, 0.5, 0.5)),
+            dict(center=(0, 1, 0), radius=1.0, mat=DIELECTRIC, ior=1.5),
+            dict(center=(-2, 1, 0), radius=1.0, mat=LAMBERTIAN,
+                 albedo=(0.4, 0.2, 0.1)),
+            dict(center=(2, 1, 0), radius=1.0, mat=METAL,
+                 albedo=(0.7, 0.6, 0.5), fuzz=0.1),
+        ],
+        pad_to=8,
+    )
+
+
+@pytest.fixture(scope="module")
+def target():
+    rng = np.random.default_rng(1)
+    return jnp.asarray(rng.uniform(0.0, 1.0, (H, W, 3)), jnp.float32)
+
+
+def _fused(scene, cam, target, *, gamma=True, mesh=None, ray_tile=256):
+    f = make_mse_train(
+        scene.mat_type, scene.active, W, H, SPP, DEPTH,
+        gamma=gamma, interpret=True, mesh=mesh, ray_tile=ray_tile,
+    )
+    return f(scene.params, cam, target)
+
+
+def _oracle(scene, cam, target, *, gamma=True):
+    def loss(p, c):
+        img = tracer.render(
+            Scene(p, scene.mat_type, scene.active), c, W, H, SPP, DEPTH,
+            gamma=gamma,
+        )
+        return jnp.mean((img - target) ** 2)
+
+    return jax.value_and_grad(loss, argnums=(0, 1))(scene.params, cam)
+
+
+def _assert_tree_close(a, b, rtol=5e-3, atol=5e-4):
+    fa = jax.tree_util.tree_leaves(a)
+    fb = jax.tree_util.tree_leaves(b)
+    assert len(fa) == len(fb)
+    for va, vb in zip(fa, fb):
+        assert np.isfinite(np.asarray(va)).all()
+        np.testing.assert_allclose(
+            np.asarray(va), np.asarray(vb), rtol=rtol, atol=atol
+        )
+
+
+@pytest.mark.slow
+def test_matches_oracle_value_and_grad(mixed_scene, default_camera, target):
+    loss, img, grads = _fused(mixed_scene, default_camera, target)
+    oloss, ograds = _oracle(mixed_scene, default_camera, target)
+    np.testing.assert_allclose(float(loss), float(oloss), rtol=1e-6)
+    # the fused forward sweep shares the oracle's math and streams exactly
+    oimg = tracer.render(mixed_scene, default_camera, W, H, SPP, DEPTH,
+                         gamma=True)
+    assert float(jnp.abs(img - oimg).max()) == 0.0
+    _assert_tree_close(grads, ograds)
+
+
+@pytest.mark.slow
+def test_linear_domain(mixed_scene, default_camera, target):
+    """gamma=False: MSE in the linear radiance domain."""
+    loss, img, grads = _fused(mixed_scene, default_camera, target,
+                              gamma=False)
+    oloss, ograds = _oracle(mixed_scene, default_camera, target,
+                            gamma=False)
+    np.testing.assert_allclose(float(loss), float(oloss), rtol=1e-6)
+    _assert_tree_close(grads, ograds, rtol=1e-3, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_ray_tile_invariance(mixed_scene, default_camera, target):
+    """Padded lanes contribute exactly zero loss and gradient."""
+    l1, _, g1 = _fused(mixed_scene, default_camera, target, ray_tile=128)
+    l2, _, g2 = _fused(mixed_scene, default_camera, target, ray_tile=512)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    _assert_tree_close(g1, g2, rtol=1e-4, atol=5e-7)
+
+
+@pytest.mark.slow
+def test_sharded_matches_single(mixed_scene, default_camera, target):
+    """Mesh path: pixel tiles sharded over 8 virtual devices; loss and
+    cotangents psum'd inside shard_map."""
+    from raytracingincuda_tpu.parallel import mesh as meshlib
+
+    m = meshlib.make_mesh()
+    lm, im_m, gm = _fused(mixed_scene, default_camera, target,
+                          mesh=m, ray_tile=128)
+    l1, im_1, g1 = _fused(mixed_scene, default_camera, target,
+                          ray_tile=128)
+    np.testing.assert_allclose(float(lm), float(l1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(im_m), np.asarray(im_1),
+                               rtol=1e-6, atol=1e-7)
+    _assert_tree_close(gm, g1, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_jittable_with_optimizer(mixed_scene, default_camera, target):
+    """The whole train step — value, grads, AND an SGD update — in one
+    jit (single Mosaic kernel; the property the two-program custom_vjp
+    path cannot offer under the compile service's one-kernel limit)."""
+    f = make_mse_train(
+        mixed_scene.mat_type, mixed_scene.active, W, H, SPP, DEPTH,
+        gamma=True, interpret=True,
+    )
+
+    @jax.jit
+    def step(params, cam_cfg, tgt):
+        loss, img, (dp, dc) = f(params, cam_cfg, tgt)
+        new_params = jax.tree_util.tree_map(
+            lambda p, g: p - 0.1 * g, params, dp
+        )
+        return loss, new_params
+
+    l0, p1 = step(mixed_scene.params, default_camera, target)
+    l1, _ = step(p1, default_camera, target)
+    assert np.isfinite(float(l0)) and np.isfinite(float(l1))
+    # one SGD step on a smooth MSE objective must reduce the loss
+    assert float(l1) < float(l0)
