@@ -77,16 +77,21 @@ def main() -> int:
         ms = (time.perf_counter() - t0) * 1e3
         emit(case=f"uniform_{spp}", ms=ms, mean_spp=spp, **err_of(img))
 
-    for base, mx, tol in ((16, 256, 0.08), (16, 256, 0.05),
-                          (32, 512, 0.05), (16, 128, 0.1)):
-        kw = dict(base_spp=base, max_spp=mx, tol=tol, gamma=False)
+    for base, mx, tol, rounds in (
+        (16, 256, 0.08, 1), (16, 256, 0.05, 1),
+        (32, 512, 0.05, 1), (16, 128, 0.1, 1),
+        # multi-round: re-estimate error after each refine pass
+        (16, 256, 0.05, 2), (16, 256, 0.05, 3), (32, 512, 0.05, 2),
+    ):
+        kw = dict(base_spp=base, max_spp=mx, tol=tol, gamma=False,
+                  rounds=rounds)
         res = render_adaptive(scene, cam, W, H, D, **kw)   # compile
         force(res.image)
         t0 = time.perf_counter()
         res = render_adaptive(scene, cam, W, H, D, **kw)
         force(res.image)
         ms = (time.perf_counter() - t0) * 1e3
-        emit(case=f"adaptive_b{base}_m{mx}_t{tol}", ms=ms,
+        emit(case=f"adaptive_b{base}_m{mx}_t{tol}_r{rounds}", ms=ms,
              mean_spp=float(jnp.mean(res.spp_map.astype(jnp.float32))),
              **err_of(res.image))
 

@@ -53,6 +53,9 @@ class RenderConfig:
     # adaptive_tol (ops/adaptive.py).
     max_samples: Optional[int] = None
     adaptive_tol: float = 0.05
+    # impl='adaptive': refine rounds; >1 re-estimates error after each
+    # refine pass (two half-budget launches per round, ops/adaptive.py)
+    adaptive_rounds: int = 1
     # pixels per lane in the regen kernel (None = auto by sample count).
     # K>1 averages each lane's work over K pixels, shrinking the
     # max-over-lanes tile tail (measured on v5e at the headline config:
@@ -87,6 +90,8 @@ class RenderConfig:
                 )
             if self.effective_max_samples < self.samples:
                 raise ValueError("max_samples must be >= samples")
+            if self.adaptive_rounds < 1:
+                raise ValueError("adaptive_rounds must be >= 1")
 
     @property
     def effective_max_samples(self) -> int:

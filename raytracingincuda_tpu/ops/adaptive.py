@@ -23,9 +23,16 @@ Schedule (split-buffer error estimate, the production standard):
      with similar extra_p so tiles stay load-balanced.
   4. image = (A + B + C) / (base_spp + extra_p), gamma.
 
-Estimator note: budgets depend only on the probe samples and each pixel's
-estimate is the mean of ALL its samples, so the image is unbiased
-conditional on the budget map (standard adaptive-MC practice; the
+Multi-round (``rounds`` > 1): each refine renders its budget as TWO
+half-budget launches accumulated into the A/B split buffers, so the
+error can be re-estimated at the new counts and refined again. Every
+round draws from a disjoint static sample-id window — the counter-based
+RNG needs distinct stream ids, not contiguous ones, which is what makes
+per-round windows exact without per-pixel dynamic offsets.
+
+Estimator note: budgets depend only on already-drawn samples and each
+pixel's estimate is the mean of ALL its samples, so the image is unbiased
+conditional on the budget schedule (standard adaptive-MC practice; the
 reference has no analog).
 
 Measured (v5e, scene 1, 640x384/25b vs a 1024-spp truth —
@@ -109,7 +116,7 @@ def budgets_from_error(
 @functools.lru_cache(maxsize=32)
 def _make_phases(
     img_width, img_height, max_depth, base_spp, max_spp, tol, seed, gamma,
-    ray_tile, mesh, interpret, rr_start, legacy_sky,
+    ray_tile, mesh, interpret, rr_start, legacy_sky, rounds=1,
 ):
     """Jitted phase programs for one adaptive config. Each phase holds at
     most ONE Mosaic kernel (TPU compile-service constraint); host glue
@@ -142,9 +149,26 @@ def _make_phases(
     max_extra_cap = max_spp - base_spp
 
     @jax.jit
-    def plan(a_acc, b_acc):
-        err = split_buffer_error(a_acc, b_acc, half)
-        extra = budgets_from_error(err, base_spp, max_spp, tol)
+    def plan(a_acc, b_acc, counts):
+        # generic split-buffer estimate at per-pixel counts (round 1:
+        # counts == base_spp everywhere, identical to the scalar form)
+        half_counts = jnp.maximum(counts // 2, 1).astype(a_acc.dtype)
+        a = a_acc / half_counts[..., None]
+        b = b_acc / half_counts[..., None]
+        mean_lum = _luminance((a + b) * 0.5)
+        diff_lum = jnp.abs(_luminance(a) - _luminance(b))
+        err = diff_lum / jnp.maximum(mean_lum, 0.05)
+        # budget to hit tol under 1/sqrt(n) scaling from the current count
+        plan_err = _dilate_blur(err)
+        counts_f = counts.astype(jnp.float32)
+        want = counts_f * (plan_err / tol) ** 2
+        extra = jnp.clip(
+            jnp.round(want - counts_f), 0, max_spp - counts
+        ).astype(jnp.int32)
+        if rounds > 1:
+            # multi-round refines render as two half-budget launches so
+            # the split buffers stay balanced — budgets must be even
+            extra = (extra // 2) * 2
         flat = jnp.zeros((padded,), jnp.int32).at[:num_pixels].set(
             extra.reshape(-1)
         )
@@ -156,23 +180,43 @@ def _make_phases(
         order = _bucket_order(jnp.clip(q, 0, n_buckets - 1), n_buckets - 1)
         return err, extra, order, jnp.max(extra)
 
-    # refine pass: static sample cap = max_spp - base_spp; the per-lane
-    # budget row bounds the actual work, the cap only sizes the wave loop
-    refine = jax.jit(functools.partial(
-        render_pallas, samples_per_pixel=max(max_extra_cap, 1),
-        sample_offset=base_spp, **common,
-    ))
+    # refine passes: static sample cap = max_spp - base_spp; the per-lane
+    # budget row bounds the actual work, the cap only sizes the wave loop.
+    # Each round r draws from its OWN disjoint sample-id window (offsets
+    # below): the counter-based RNG needs distinct stream ids, not
+    # contiguous ones, so per-round windows sidestep per-pixel offsets
+    # (pixel p's next contiguous id would be base+extra_p — dynamic) while
+    # keeping every sample an independent draw and the mean unbiased.
+    if rounds == 1:
+        refines = (jax.jit(functools.partial(
+            render_pallas, samples_per_pixel=max(max_extra_cap, 1),
+            sample_offset=base_spp, **common,
+        )),)
+    else:
+        w_cap = max(max_extra_cap, 2)
+        refines = tuple(
+            (
+                jax.jit(functools.partial(
+                    render_pallas, samples_per_pixel=max(w_cap // 2, 1),
+                    sample_offset=base_spp + (2 * r) * w_cap, **common,
+                )),
+                jax.jit(functools.partial(
+                    render_pallas, samples_per_pixel=max(w_cap // 2, 1),
+                    sample_offset=base_spp + (2 * r + 1) * w_cap, **common,
+                )),
+            )
+            for r in range(rounds)
+        )
 
     @jax.jit
-    def finish(a_acc, b_acc, c_acc, extra):
-        acc = a_acc + b_acc + c_acc
-        counts = base_spp + extra
+    def finish(a_acc, b_acc, counts):
+        acc = a_acc + b_acc
         img = acc / counts[..., None].astype(acc.dtype)
         if gamma:
             img = _linear_to_gamma(img)
         return img, counts
 
-    return probe_a, probe_b, plan, refine, finish
+    return probe_a, probe_b, plan, refines, finish
 
 
 def render_adaptive(
@@ -192,29 +236,53 @@ def render_adaptive(
     interpret: bool = False,
     rr_start: Optional[int] = None,
     legacy_sky: bool = False,
+    rounds: int = 1,
 ) -> AdaptiveResult:
     """Adaptive render: probe at base_spp, refine noisy pixels to max_spp.
 
-    NOT a single jit — four phase programs with one host sync (the refine
-    skip decision) between; phases are cached across calls per config.
-    base_spp must be even."""
+    ``rounds`` > 1 re-estimates the error after each refine pass and
+    refines again (each round renders two half-budget launches from its
+    own disjoint sample-id window so the split-buffer estimate stays
+    balanced); a round with an all-zero budget stops early. The total
+    per-pixel count is always capped at max_spp.
+
+    NOT a single jit — phase programs with one host sync per round (the
+    refine-skip decision) between; phases are cached across calls per
+    config. base_spp must be even."""
     if base_spp % 2 != 0:
         raise ValueError("base_spp must be even (two half-buffers)")
-    probe_a, probe_b, plan, refine, finish = _make_phases(
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    probe_a, probe_b, plan, refines, finish = _make_phases(
         img_width, img_height, max_depth, base_spp, max_spp, tol, seed,
-        gamma, ray_tile, mesh, interpret, rr_start, legacy_sky,
+        gamma, ray_tile, mesh, interpret, rr_start, legacy_sky, rounds,
     )
 
-    a_acc = probe_a(scene, cam_cfg)
-    b_acc = probe_b(scene, cam_cfg)
-    err, extra, order, max_extra = plan(a_acc, b_acc)
-
-    if int(max_extra) > 0:
-        c_acc = refine(
-            scene, cam_cfg, sample_budgets=extra.reshape(-1),
-            pixel_order=order,
-        )
-    else:
-        c_acc = jnp.zeros_like(a_acc)
-    img, counts = finish(a_acc, b_acc, c_acc, extra)
+    a_cum = probe_a(scene, cam_cfg)
+    b_cum = probe_b(scene, cam_cfg)
+    counts = jnp.full(a_cum.shape[:2], base_spp, jnp.int32)
+    err = None
+    for r in range(rounds):
+        err, extra, order, max_extra = plan(a_cum, b_cum, counts)
+        if int(max_extra) == 0:
+            break
+        if rounds == 1:
+            c_acc = refines[0](
+                scene, cam_cfg, sample_budgets=extra.reshape(-1),
+                pixel_order=order,
+            )
+            a_cum = a_cum + c_acc
+        else:
+            ref_a, ref_b = refines[r]
+            half_budget = (extra // 2).reshape(-1)
+            a_cum = a_cum + ref_a(
+                scene, cam_cfg, sample_budgets=half_budget,
+                pixel_order=order,
+            )
+            b_cum = b_cum + ref_b(
+                scene, cam_cfg, sample_budgets=half_budget,
+                pixel_order=order,
+            )
+        counts = counts + extra
+    img, counts = finish(a_cum, b_cum, counts)
     return AdaptiveResult(image=img, spp_map=counts, error_map=err)
