@@ -29,6 +29,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     # the reference's six flags (main.cu:42-55)
     p.add_argument("--scene_id", type=int, help="ID of the scene to render")
+    p.add_argument("--scene_file", type=str, default=None,
+                   help="render a scene asset (.npz or .csv, models/io.py)"
+                        " instead of a built-in --scene_id")
     p.add_argument("--width", type=int, default=320,
                    help="Width of the output image")
     p.add_argument("--height", type=int, default=192,
@@ -62,6 +65,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "4x --samples); --samples is the probe budget")
     p.add_argument("--adaptive_tol", type=float, default=0.05,
                    help="impl=adaptive: target relative error per pixel")
+    p.add_argument("--adaptive_rounds", type=int, default=1,
+                   help="impl=adaptive: refine rounds (>1 re-estimates "
+                        "error after each refine pass)")
     p.add_argument("--pixels_per_lane", type=int, default=None,
                    help="regen kernel pixels per lane (default auto; "
                         "K>1 shrinks the tile-tail work imbalance)")
@@ -79,8 +85,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    if args.scene_id is None:
-        print("Error: --scene_id is required.", file=sys.stderr)
+    if args.scene_id is None and args.scene_file is None:
+        print("Error: --scene_id (or --scene_file) is required.",
+              file=sys.stderr)
         build_parser().print_help()
         return 1
 
@@ -99,7 +106,7 @@ def main(argv=None) -> int:
     from .utils.ppm import write_ppm
 
     cfg = RenderConfig(
-        scene_id=args.scene_id,
+        scene_id=args.scene_id if args.scene_id is not None else 0,
         width=args.width,
         height=args.height,
         samples=args.samples,
@@ -114,6 +121,7 @@ def main(argv=None) -> int:
         rr_start=args.rr_start,
         max_samples=args.max_samples,
         adaptive_tol=args.adaptive_tol,
+        adaptive_rounds=args.adaptive_rounds,
         pixels_per_lane=args.pixels_per_lane,
     )
 
@@ -121,8 +129,16 @@ def main(argv=None) -> int:
 
     renderer = make_renderer(cfg, n_devices=args.devices)
 
+    def make_scene():
+        if args.scene_file is not None:
+            from .models.io import load_scene
+
+            return load_scene(args.scene_file, dtype=cfg.jnp_dtype)
+        return build_scene(cfg.scene_id, seed=cfg.seed,
+                           dtype=cfg.jnp_dtype)
+
     # Warmup: compile outside the timed region (see module docstring).
-    scene_w = build_scene(cfg.scene_id, seed=cfg.seed, dtype=cfg.jnp_dtype)
+    scene_w = make_scene()
     cam_w = CameraConfig.reference_default(dtype=cfg.jnp_dtype)
     if args.warmup:
         force(renderer(scene_w, cam_w))
@@ -130,7 +146,7 @@ def main(argv=None) -> int:
     # --- end-to-end timing starts (analog of main.cu:95) ---
     t_e2e0 = time.perf_counter()
 
-    scene = build_scene(cfg.scene_id, seed=cfg.seed, dtype=cfg.jnp_dtype)
+    scene = make_scene()
     cam = CameraConfig.reference_default(dtype=cfg.jnp_dtype)
     scene = jax.device_put(scene)
 

@@ -28,7 +28,7 @@ def run_cli(*extra, cwd):
 def test_scene_id_required(tmp_path):
     r = run_cli(cwd=tmp_path)
     assert r.returncode == 1
-    assert "scene_id is required" in r.stderr
+    assert "scene_id (or --scene_file) is required" in r.stderr
 
 
 @pytest.mark.slow
@@ -54,6 +54,29 @@ def test_render_contract(tmp_path):
     assert maxval == 255
     assert arr.shape == (24, 40, 3)
     assert arr.max() > 100  # sky is bright
+
+
+@pytest.mark.slow
+def test_scene_file_render(tmp_path):
+    """--scene_file: render an asset (models/io.py) instead of a built-in
+    scene id, exercising save -> CLI load -> render end-to-end."""
+    from raytracingincuda_tpu.models.io import save_scene
+    from raytracingincuda_tpu.models.scene import build_scene
+
+    asset = tmp_path / "asset.npz"
+    save_scene(str(asset), build_scene(2))
+    r = run_cli("--scene_file", str(asset), "--width", "40", "--height",
+                "24", "--samples", "2", "--bounces", "4", cwd=tmp_path)
+    assert r.returncode == 0, r.stderr
+    line = r.stdout.strip().splitlines()[-1]
+    assert re.match(r"^\s*(\d+\.\d{8}),\s*(\d+\.\d{8})$", line)
+    out = tmp_path / RenderConfig(
+        scene_id=0, width=40, height=24, samples=2, bounces=4
+    ).output_filename()
+    assert out.exists()
+    arr, _ = read_ppm(str(out))
+    assert arr.shape == (24, 40, 3)
+    assert arr.max() > 100
 
 
 def test_config_validation():
