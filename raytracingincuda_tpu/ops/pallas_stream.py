@@ -72,6 +72,11 @@ DEFAULT_BLOCK = 512
 STREAM_COLS = 128
 
 
+STREAM_COL_SID = 11   # stream-slot id (row number) as f32, exact to 2^24;
+                      # gathered with the winner's params so the backward
+                      # kernel knows WHICH sphere to scatter gradients to
+
+
 class StreamScene(NamedTuple):
     """Preprocessed large scene: Morton-sorted packed matrix + block
     bounds. Build once with prepare_stream_scene (host, eager)."""
@@ -79,6 +84,9 @@ class StreamScene(NamedTuple):
     scene_mat: jnp.ndarray    # (N, 128) f32, N % (2*block) == 0
     bounds: jnp.ndarray       # (NB, 8) f32: cx, cy, cz, r_bound, pad
     block: int
+    # original Scene slot index of each ACTIVE stream row (n_active,),
+    # mapping stream-order gradients back to Scene order (backward pass)
+    perm: jnp.ndarray = None
 
     @property
     def n_blocks(self) -> int:
@@ -105,6 +113,7 @@ def prepare_stream_scene(
     active = mat[:, COL_ACTIVE] > 0.5
     n_act = int(active.sum())
 
+    act_idx = np.flatnonzero(active)
     act_mat = mat[active]
     if sort and n_act > 1:
         c = act_mat[:, COL_CX:COL_CZ + 1].astype(np.float64)
@@ -113,10 +122,13 @@ def prepare_stream_scene(
         q = np.clip(((c - lo) / span * 1023.0), 0, 1023).astype(np.uint32)
         order = np.argsort(_morton3(q), kind="stable")
         act_mat = act_mat[order]
+        act_idx = act_idx[order]
 
     n_pad = _round_up(max(n_act, 1), 2 * block)
     out = np.zeros((n_pad, STREAM_COLS), np.float32)
     out[:n_act, :NUM_COLS] = act_mat
+    # stream-slot ids ride along with the winner gather (backward scatter)
+    out[:, STREAM_COL_SID] = np.arange(n_pad, dtype=np.float32)
     # inactive padding: radius 0, active 0 (never hit); centers at origin
     nb = n_pad // block
     bounds = np.zeros((nb, 8), np.float32)
@@ -134,7 +146,8 @@ def prepare_stream_scene(
         bounds[b, 0:3] = ctr
         bounds[b, 3] = rb * 1.0001 + 1e-4          # conservative slack
     return StreamScene(
-        scene_mat=jnp.asarray(out), bounds=jnp.asarray(bounds), block=block
+        scene_mat=jnp.asarray(out), bounds=jnp.asarray(bounds), block=block,
+        perm=jnp.asarray(act_idx, jnp.int32),
     )
 
 
@@ -246,8 +259,11 @@ def _hit_world_stream(scene_hbm, bounds_ref, bufs, sems, o: Vec3, d: Vec3,
     hit = t_best < T_MISS
     row = lambda k: params_best[k:k + 1, :]
     center = Vec3(row(COL_CX), row(COL_CY), row(COL_CZ))
+    # 9th element: winner stream-slot id (f32 row, STREAM_COL_SID) — the
+    # backward kernel's gradient-scatter target; forward callers drop it
     return (hit, t_best, center, row(COL_RADIUS),
-            Vec3(row(4), row(5), row(6)), row(7), row(8), row(9))
+            Vec3(row(4), row(5), row(6)), row(7), row(8), row(9),
+            row(STREAM_COL_SID))
 
 
 def _stream_tile_kernel(
@@ -260,7 +276,7 @@ def _stream_tile_kernel(
         return _hit_world_stream(
             scene_hbm, bounds_ref, (buf0, buf1), (sem0, sem1), o, d,
             n_blocks, block, dtype,
-        )
+        )[:8]
 
     _regen_body(
         ids_ref, ii_ref, jj_ref, budget_ref, None, cam_ref,

@@ -1,0 +1,434 @@
+"""Pallas backward (VJP) kernel for STREAMING-HBM scenes.
+
+The VMEM backward kernel (ops/pallas_backward.py) holds the whole scene
+matrix in VMEM and transposes the full hit scan with in-kernel jax.vjp —
+impossible when the scene is 100k spheres streamed from HBM. The key
+observation making a streaming backward tractable: under the
+detached-sampler convention the min-over-spheres hit select has gradients
+only through the WINNING sphere (the subgradient of min), so the reverse
+sweep never needs the scene at all — it needs each bounce's winner.
+
+Structure per ray tile:
+  * forward sweep (per sample, per bounce): the SAME double-buffered HBM
+    block walk as the forward kernel (_hit_world_stream) finds the
+    winner; its parameters AND its stream-slot id (STREAM_COL_SID, which
+    rides along with the winner gather) are parked in the VMEM residual
+    scratch together with the ray state.
+  * reverse sweep: a winner-restricted bounce replay — the winner's
+    quadratic recomputed differentiably from its stored center/radius,
+    the same scatter math as the forward (identical inputs => identical
+    branch decisions), transposed with in-kernel jax.vjp. No DMA.
+  * gradient scatter: per bounce, the winner cotangent rows (16, R) are
+    scattered into a VMEM-resident (N, 16) accumulator by a block loop:
+    one-hot(local ids == sid - base) @ d_rows^T on the MXU, skipped with
+    a cheap sid-range test per block (Morton-sorted scenes keep a tile's
+    winners in few blocks). The (N, 16) accumulator bounds N to ~200k
+    spheres (VMEM); far beyond the forward's VMEM limit (~5k).
+
+Gradients come back in STREAM order; ``stream_grads_to_scene_mat`` maps
+them to Scene slot order via StreamScene.perm. Camera cotangents follow
+the VMEM backward's 18-scalar SMEM convention.
+
+The reference has no backward at all (SURVEY.md §4); this completes
+differentiability for the "global memory" (HBM) layout axis.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models import materials
+from ..models.camera import CameraConfig, initialize
+from . import rng as rtrng
+from . import vec
+from .intersect import T_MIN
+from .pallas_backward import (
+    _CAM_COLS,
+    _N_CAM,
+    _camera_from_scalars,
+)
+from .pallas_kernel import NUM_COLS, _round_up, pack_camera
+from .pallas_stream import (
+    STREAM_COL_SID,
+    STREAM_COLS,
+    StreamScene,
+    _hit_world_stream,
+)
+from .tracer import _sky_color, primary_rays_from_ij
+from .vec import Vec3
+
+# residual rows per bounce (padded to 32 sublanes)
+_R_O = 0        # 0-2 origin
+_R_D = 3        # 3-5 direction
+_R_A = 6        # 6-8 attenuation
+_R_ALIVE = 9
+_R_HIT = 10
+_R_WC = 11      # 11-13 winner center
+_R_WR = 14      # winner radius
+_R_WALB = 15    # 15-17 winner albedo
+_R_WFUZZ = 18
+_R_WIOR = 19
+_R_WMAT = 20
+_R_SID = 21
+_ST_ROWS = 32
+
+
+def _pack_residual(o, d, atten, alive_f, hit_f, wc, wr, walb, wfuzz,
+                   wior, wmat, sid):
+    rows = [o.x, o.y, o.z, d.x, d.y, d.z, atten.x, atten.y, atten.z,
+            alive_f, hit_f, wc.x, wc.y, wc.z, wr,
+            walb.x, walb.y, walb.z, wfuzz, wior, wmat, sid]
+    rows += [jnp.zeros_like(alive_f)] * (_ST_ROWS - len(rows))
+    return jnp.concatenate(rows, axis=0)                      # (32, R)
+
+
+def _unpack_residual(blk):
+    r1 = lambda k: blk[k:k + 1, :]
+    r3 = lambda k: Vec3(r1(k), r1(k + 1), r1(k + 2))
+    return (r3(_R_O), r3(_R_D), r3(_R_A), r1(_R_ALIVE), r1(_R_HIT),
+            r3(_R_WC), r1(_R_WR), r3(_R_WALB), r1(_R_WFUZZ),
+            r1(_R_WIOR), r1(_R_WMAT), r1(_R_SID))
+
+
+def _winner_bounce(wc: Vec3, wr, walb: Vec3, wfuzz, wior, wmat_f, hit,
+                   o: Vec3, d: Vec3, atten: Vec3, alive_f,
+                   pixel_ids, s_u, b_u, key, dtype):
+    """One bounce restricted to the stored winner sphere.
+
+    Differentiable in (wc, wr, walb, wfuzz, wior, o, d, atten): the
+    winner's root is recomputed from its quadratic (the same numerator-
+    domain form as _hit_select, so the primal matches the forward walk
+    bitwise), and the scatter math is the shared materials.scatter. The
+    ``hit`` flag is the stored (detached) forward decision."""
+    shape = alive_f.shape
+    alive = alive_f > 0.5
+
+    a = jnp.maximum(vec.length_sq(d), 1e-12)
+    h = vec.dot(wc, d) - vec.dot(d, o)
+    c2r2 = vec.length_sq(wc) - wr * wr
+    c = (c2r2 + vec.length_sq(o)) - 2.0 * vec.dot(wc, o)
+    disc = h * h - a * c
+    sqrtd = jnp.sqrt(jnp.where(disc > 0.0, disc, 1.0))
+    tmin_a = T_MIN * a
+    near_num = h - sqrtd
+    root_num = jnp.where(near_num > tmin_a, near_num, h + sqrtd)
+    t = root_num * (1.0 / a)
+
+    # NaN hygiene on miss/dead lanes (same argument as the VMEM backward:
+    # their cotangents are identically zero, the primals just must stay
+    # finite)
+    wr_safe = jnp.where(hit, wr, 1.0)
+    ior_safe = jnp.where(hit, wior, 1.0)
+    t_safe = jnp.where(hit, t, 1.0)
+
+    p = o + d * t_safe
+    outward = (p - wc) / jnp.maximum(wr_safe, 1e-12)
+    front_face = vec.dot(d, outward) < 0.0
+    normal = vec.where(front_face, outward, -outward)
+
+    unit_rand = rtrng.random_unit_vector(
+        key, pixel_ids, s_u, b_u, rtrng.DRAW_SCATTER, dtype
+    )
+    coin_u, _ = rtrng.uniform2(
+        key, pixel_ids, s_u, b_u, rtrng.DRAW_COIN, dtype
+    )
+    sc = materials.scatter(
+        d, normal, front_face, wmat_f.astype(jnp.int32), walb, wfuzz,
+        ior_safe, unit_rand, coin_u,
+    )
+
+    sky = _sky_color(d, dtype)
+    miss_now = alive & ~hit
+    zero = Vec3.zeros(shape, dtype=dtype)
+    contrib = vec.where(miss_now, atten * sky, zero)
+
+    scattered_alive = alive & hit & sc.scattered
+    atten2 = vec.where(scattered_alive, atten * sc.attenuation, atten)
+    o2 = vec.where(scattered_alive, p, o)
+    d2 = vec.where(scattered_alive, sc.direction, d)
+    alive2 = jnp.where(scattered_alive, 1.0, 0.0).astype(dtype)
+    return (o2, d2, atten2, alive2), contrib
+
+
+def _stream_grad_kernel(
+    ids_ref, ii_ref, jj_ref, gr_ref, gg_ref, gb_ref, scene_hbm,
+    bounds_ref, cam_ref,
+    dscene_ref, dcam_ref,
+    buf0, buf1, sem0, sem1, st_ref,
+    *, samples: int, max_depth: int, seed: int, dtype, block: int,
+    n_blocks: int,
+):
+    key = rtrng.key_from_seed(seed)
+    pixel_ids = ids_ref[0, :, :]
+    fi = ii_ref[0, :, :]
+    fj = jj_ref[0, :, :]
+    shape = pixel_ids.shape
+    g = Vec3(gr_ref[0, :, :], gg_ref[0, :, :], gb_ref[0, :, :])
+    cam_vals = tuple(cam_ref[0, k] for k in range(_N_CAM))
+    use_defocus = cam_ref[0, 18] > 0.5
+    n_total = n_blocks * block
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dscene_ref[:, :] = jnp.zeros((n_total, NUM_COLS), dtype)
+        for k in range(_CAM_COLS):
+            dcam_ref[0, k] = 0.0
+
+    def one_sample(s_i, d_cam_acc):
+        s_u = s_i.astype(jnp.uint32)
+
+        def primary(vals):
+            cam = _camera_from_scalars(vals, use_defocus)
+            return primary_rays_from_ij(
+                cam, fi, fj, pixel_ids, s_u, key, dtype
+            )
+
+        (o0, d0), vjp_primary = jax.vjp(primary, cam_vals)
+
+        # ---- forward sweep: HBM block walk per bounce, park winner ----
+        def fwd_body(b, st):
+            o, d, atten, alive_f = st
+            b_u = b.astype(jnp.uint32)
+            (hit, t, wc, wr, walb, wfuzz, wior, wmat, sid) = (
+                _hit_world_stream(
+                    scene_hbm, bounds_ref, (buf0, buf1), (sem0, sem1),
+                    o, d, n_blocks, block, dtype,
+                )
+            )
+            hit_f = hit.astype(dtype)
+            st_ref[pl.ds(pl.multiple_of(b * _ST_ROWS, _ST_ROWS),
+                         _ST_ROWS), :] = _pack_residual(
+                o, d, atten, alive_f, hit_f, wc, wr, walb, wfuzz,
+                wior, wmat, sid,
+            )
+            (o2, d2, at2, al2), _ = _winner_bounce(
+                wc, wr, walb, wfuzz, wior, wmat, hit,
+                o, d, atten, alive_f, pixel_ids, s_u, b_u, key, dtype,
+            )
+            return (o2, d2, at2, al2)
+
+        init = (o0, d0, Vec3.full(shape, 1.0, 1.0, 1.0, dtype=dtype),
+                jnp.ones(shape, dtype))
+        lax.fori_loop(0, max_depth, fwd_body, init)
+
+        # ---- reverse sweep: winner replay vjp + block scatter ----------
+        def rev_body(i, carry):
+            ct_o, ct_d, ct_at, ct_al = carry
+            b = max_depth - 1 - i
+            blk = st_ref[pl.ds(pl.multiple_of(b * _ST_ROWS, _ST_ROWS),
+                               _ST_ROWS), :]
+            (o, d, atten, alive_f, hit_f, wc, wr, walb, wfuzz, wior,
+             wmat, sid) = _unpack_residual(blk)
+            hit = hit_f > 0.5
+            b_u = b.astype(jnp.uint32)
+
+            def f(wc_, wr_, walb_, wfuzz_, wior_, o_, d_, at_, al_):
+                return _winner_bounce(
+                    wc_, wr_, walb_, wfuzz_, wior_, wmat, hit,
+                    o_, d_, at_, al_, pixel_ids, s_u, b_u, key, dtype,
+                )
+
+            _, vjp_f = jax.vjp(f, wc, wr, walb, wfuzz, wior,
+                               o, d, atten, alive_f)
+            (d_wc, d_wr, d_walb, d_wfuzz, d_wior,
+             d_o, d_d, d_at, d_al) = vjp_f(
+                ((ct_o, ct_d, ct_at, ct_al), g)
+            )
+
+            # winner cotangents -> (16, R) rows in scene-matrix column
+            # order (pack_scene_matrix cols 0-8; mat/active cols get 0)
+            zero = jnp.zeros(shape, dtype)
+            d_rows = jnp.concatenate(
+                [d_wc.x, d_wc.y, d_wc.z, d_wr,
+                 d_walb.x, d_walb.y, d_walb.z, d_wfuzz, d_wior]
+                + [zero] * (NUM_COLS - 9),
+                axis=0,
+            )                                             # (16, R)
+            valid = hit & (alive_f > 0.5)
+            sid_v = jnp.where(valid, sid, -1.0)           # never scatters
+
+            def scatter_block(blk_i, _):
+                base = blk_i * block
+                base_f = base.astype(dtype)
+                in_blk = (sid_v >= base_f) & (sid_v < base_f + block)
+
+                @pl.when(jnp.max(in_blk.astype(dtype)) > 0.0)
+                def _():
+                    local = jax.lax.broadcasted_iota(
+                        dtype, (block, 1), 0
+                    )                                      # (B, 1)
+                    one_hot = (
+                        (sid_v - base_f) == local
+                    ).astype(dtype)                        # (B, R)
+                    d_blk = lax.dot_general(
+                        one_hot, d_rows,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )                                      # (B, 16)
+                    ds = pl.ds(pl.multiple_of(base, block), block)
+                    dscene_ref[ds, :] = dscene_ref[ds, :] + d_blk
+
+                return 0
+
+            lax.fori_loop(0, n_blocks, scatter_block, 0)
+            return (d_o, d_d, d_at, d_al)
+
+        ct0 = (Vec3.zeros(shape, dtype=dtype),
+               Vec3.zeros(shape, dtype=dtype),
+               Vec3.zeros(shape, dtype=dtype),
+               jnp.zeros(shape, dtype))
+        ct_o, ct_d, _, _ = lax.fori_loop(0, max_depth, rev_body, ct0)
+
+        (d_cam_vals,) = vjp_primary((ct_o, ct_d))
+        return tuple(d_cam_acc[k] + d_cam_vals[k] for k in range(_N_CAM))
+
+    zero_cam = tuple(jnp.zeros((), dtype) for _ in range(_N_CAM))
+    d_cam = lax.fori_loop(0, samples, one_sample, zero_cam)
+
+    for k in range(_N_CAM):
+        dcam_ref[0, k] = dcam_ref[0, k] + d_cam[k]
+
+
+def render_pallas_stream_grads(
+    stream: StreamScene,
+    cam_cfg: CameraConfig,
+    g_acc: jnp.ndarray,
+    img_width: int,
+    img_height: int,
+    samples_per_pixel: int,
+    max_depth: int,
+    *,
+    seed: int = rtrng.DEFAULT_SEED,
+    dtype=jnp.float32,
+    ray_tile: int = 256,
+    mesh=None,
+    interpret: bool = False,
+):
+    """Cotangents for an upstream ``g_acc`` (H, W, 3) in the ACCUMULATED
+    radiance domain: (d_stream_matrix (N, 16) in STREAM row order,
+    d_camera_row (1, 24)). Map the former back to Scene order with
+    stream_grads_to_scene_mat. Non-RR estimator only (like the VMEM
+    backward)."""
+    cam = initialize(cam_cfg, img_width, img_height)
+    num_pixels = img_width * img_height
+    n_shards = (
+        int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
+    )
+    padded = _round_up(num_pixels, ray_tile * n_shards)
+    n_tiles = padded // ray_tile
+
+    ids = jnp.arange(padded, dtype=jnp.uint32)
+    ii = (ids % jnp.uint32(img_width)).astype(dtype)
+    jj = (ids // jnp.uint32(img_width)).astype(dtype)
+    ids2 = ids.reshape(n_tiles, 1, ray_tile)
+    ii2 = ii.reshape(n_tiles, 1, ray_tile)
+    jj2 = jj.reshape(n_tiles, 1, ray_tile)
+
+    g_flat = g_acc.reshape(num_pixels, 3).astype(dtype)
+    g_pad = jnp.zeros((padded, 3), dtype).at[:num_pixels].set(g_flat)
+    gr = g_pad[:, 0].reshape(n_tiles, 1, ray_tile)
+    gg = g_pad[:, 1].reshape(n_tiles, 1, ray_tile)
+    gb = g_pad[:, 2].reshape(n_tiles, 1, ray_tile)
+
+    cam_row = pack_camera(cam, dtype)
+    block = stream.block
+    n_blocks = stream.n_blocks
+    n_total = n_blocks * block
+    nb_pad = stream.bounds.shape[0]
+
+    kernel = functools.partial(
+        _stream_grad_kernel,
+        samples=samples_per_pixel,
+        max_depth=max_depth,
+        seed=seed,
+        dtype=dtype,
+        block=block,
+        n_blocks=n_blocks,
+    )
+
+    def run(ids_arr, ii_arr, jj_arr, g_r, g_g, g_b, scene_m, bounds_m,
+            cam_r):
+        tiles = ids_arr.shape[0]
+        row_spec = pl.BlockSpec((1, 1, ray_tile), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=(tiles,),
+            in_specs=[
+                row_spec, row_spec, row_spec,
+                row_spec, row_spec, row_spec,
+                pl.BlockSpec(memory_space=pltpu.ANY),     # scene in HBM
+                pl.BlockSpec((nb_pad, 8), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, _CAM_COLS), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((n_total, NUM_COLS), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, _CAM_COLS), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((n_total, NUM_COLS), dtype),
+                jax.ShapeDtypeStruct((1, _CAM_COLS), dtype),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((block, STREAM_COLS), dtype),
+                pltpu.VMEM((block, STREAM_COLS), dtype),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((max_depth * _ST_ROWS, ray_tile), dtype),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=int(2 * samples_per_pixel * max_depth * padded
+                          * n_total * 20),
+                bytes_accessed=int(
+                    2 * samples_per_pixel * max_depth
+                    * stream.scene_mat.size * 4
+                ),
+                transcendentals=int(
+                    2 * samples_per_pixel * max_depth * padded * 4
+                ),
+            ),
+            interpret=interpret,
+        )(ids_arr, ii_arr, jj_arr, g_r, g_g, g_b, scene_m, bounds_m,
+          cam_r)
+
+    if mesh is not None:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        axes = tuple(mesh.axis_names)
+
+        def run_psum(*args):
+            outs = run(*args)
+            return tuple(lax.psum(o, axes) for o in outs)
+
+        sharded = shard_map(
+            run_psum, mesh=mesh,
+            in_specs=(P(axes), P(axes), P(axes),
+                      P(axes), P(axes), P(axes), P(), P(), P()),
+            out_specs=(P(), P()),
+            check_rep=False,
+        )
+        return sharded(ids2, ii2, jj2, gr, gg, gb, stream.scene_mat,
+                       stream.bounds, cam_row)
+    return run(ids2, ii2, jj2, gr, gg, gb, stream.scene_mat,
+               stream.bounds, cam_row)
+
+
+def stream_grads_to_scene_mat(d_stream: jnp.ndarray, stream: StreamScene,
+                              n_slots: int) -> jnp.ndarray:
+    """Map stream-order cotangents (N_stream, 16) back to Scene slot
+    order (n_slots, 16) via the Morton-sort permutation (inactive slots
+    get zero — they have no gradient by construction)."""
+    n_act = stream.perm.shape[0]
+    return jnp.zeros((n_slots, NUM_COLS), d_stream.dtype).at[
+        stream.perm].set(d_stream[:n_act])

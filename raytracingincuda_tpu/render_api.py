@@ -70,6 +70,7 @@ def make_renderer(cfg: RenderConfig, n_devices: int = 0):
                 base_spp=cfg.samples, max_spp=cfg.effective_max_samples,
                 tol=cfg.adaptive_tol, seed=cfg.seed,
                 legacy_sky=cfg.legacy_sky, rr_start=cfg.rr_start,
+                rounds=cfg.adaptive_rounds,
                 mesh=pallas_mesh, interpret=interpret,
             ).image
 
