@@ -40,7 +40,9 @@ def main():
     log({"event": "start", "devices": str(jax.devices()),
          "cfg": f"{N_SPHERES}sph_{W}x{H}x{SPP}spp_d{DEPTH}"})
     scene = build_random_scene(N_SPHERES, seed=3)
-    stream = jax.device_put(prepare_stream_scene(scene))
+    # NOTE: no jax.device_put on the NamedTuple — it would turn the static
+    # int `block` field into a device scalar the kernel can't close over
+    stream = prepare_stream_scene(scene)
     cam = CameraConfig.reference_default()
     g_acc = jnp.full((H, W, 3), 1.0 / (W * H * 3 * SPP), jnp.float32)
 

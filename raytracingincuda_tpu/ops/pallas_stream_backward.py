@@ -260,9 +260,11 @@ def _stream_grad_kernel(
 
                 @pl.when(jnp.max(in_blk.astype(dtype)) > 0.0)
                 def _():
+                    # iota must be integer-typed on real Mosaic (f32 iota
+                    # fails MLIR verification); cast after
                     local = jax.lax.broadcasted_iota(
-                        dtype, (block, 1), 0
-                    )                                      # (B, 1)
+                        jnp.int32, (block, 1), 0
+                    ).astype(dtype)                        # (B, 1)
                     one_hot = (
                         (sid_v - base_f) == local
                     ).astype(dtype)                        # (B, R)
