@@ -102,9 +102,11 @@ def bound_t_interval(bounds: np.ndarray, o: np.ndarray, d: np.ndarray):
 
 
 def walk_stats(t_all: np.ndarray, bounds: np.ndarray, o, d, active,
-               block: int, group: int):
+               block: int, group: int, border=None):
     """Replay the sequential block walk: per lane-group running t_best,
-    bound test per block x group. Returns (#processed block-groups,
+    bound test per block x group. ``border``: block visit order (e.g.
+    camera-distance front-to-back) — earlier near blocks tighten t_best
+    sooner, so later far blocks cull. Returns (#processed block-groups,
     #block-groups, #winner block-groups)."""
     n, r = t_all.shape
     nb = n // block
@@ -112,11 +114,13 @@ def walk_stats(t_all: np.ndarray, bounds: np.ndarray, o, d, active,
     pos, near, far, _ = bound_t_interval(bounds, o, d)      # (nb, r)
     # dead lanes can never improve: mask them out of the group reduction
     pos = pos & active[None, :]
+    if border is None:
+        border = range(nb)
 
     processed = 0
     winner_hit = 0
     t_best = np.full(r, T_MISS, np.float32)
-    for b in range(nb):
+    for b in border:
         blk_t = t_all[b * block:(b + 1) * block]            # (B, r)
         for g in range(ng):
             sl = slice(g * group, (g + 1) * group)
@@ -226,11 +230,25 @@ def main():
     scene = build_random_scene(args.n, seed=3)
     cam = initialize(CameraConfig.reference_default(), args.width,
                      args.height)
-    configs = [(512, 512), (512, 128), (128, 512), (128, 128), (64, 128)]
+    # (block, group, order): order 'scan' = Morton index order (the
+    # kernel today), 'camdist' = blocks sorted by centroid distance to
+    # the camera origin (front-to-back for primaries; free at runtime)
+    configs = [
+        (512, 512, "scan"), (512, 512, "camdist"),
+        (512, 128, "scan"), (256, 512, "camdist"),
+        (128, 512, "camdist"), (128, 128, "scan"),
+        (128, 128, "camdist"),
+    ]
     streams = {b: prepare_stream_scene(scene, block=b)
-               for b in sorted({b for b, _ in configs})}
+               for b in sorted({b for b, _, _ in configs})}
     mats = {b: np.asarray(s.scene_mat) for b, s in streams.items()}
     bnds = {b: np.asarray(s.bounds) for b, s in streams.items()}
+    cam_o = np.array([13.0, 2.0, 3.0])
+    orders = {}
+    for b, bn in bnds.items():
+        dist = np.sqrt(((bn[:, 0:3] - cam_o) ** 2).sum(1)) - bn[:, 3]
+        dist = np.where(bn[:, 3] > 0.0, dist, np.inf)   # empty blocks last
+        orders[b] = {"scan": None, "camdist": np.argsort(dist)}
 
     ray_tile = 512
     n_tiles_total = (args.width * args.height) // ray_tile
@@ -238,7 +256,7 @@ def main():
     log({"event": "start", "n": args.n, "tiles": tile_ids.tolist(),
          "configs": configs})
 
-    agg = {f"b{b}_g{g}": [0, 0, 0] for b, g in configs}
+    agg = {f"b{b}_g{g}_{o}": [0, 0, 0] for b, g, o in configs}
     per_bounce = {}
     for ti in tile_ids:
         ids = np.arange(ti * ray_tile, (ti + 1) * ray_tile,
@@ -248,25 +266,26 @@ def main():
         waves = simulate_tile(scene, cam, ids, fi, fj, args.spp,
                               args.depth, streams, rtrng.DEFAULT_SEED)
         for (o, d, active, mb) in waves:
-            for b, g in configs:
-                t_all = None
-                keyname = f"b{b}_g{g}"
-                if t_all is None:
-                    t_all = t_all_numpy(mats[b], o, d)
-                p, tot, wl = walk_stats(t_all, bnds[b], o, d, active,
-                                        b, g)
+            t_cache = {}
+            for b, g, om in configs:
+                keyname = f"b{b}_g{g}_{om}"
+                if b not in t_cache:
+                    t_cache[b] = t_all_numpy(mats[b], o, d)
+                p, tot, wl = walk_stats(t_cache[b], bnds[b], o, d,
+                                        active, b, g,
+                                        border=orders[b][om])
                 agg[keyname][0] += p
                 agg[keyname][1] += tot
                 agg[keyname][2] += wl
-                if (b, g) == (512, 512):
+                if (b, g, om) == (512, 512, "scan"):
                     bkey = int(round(mb))
                     e = per_bounce.setdefault(bkey, [0, 0])
                     e[0] += p
                     e[1] += tot
         log({"event": "tile_done", "tile": int(ti), "waves": len(waves)})
 
-    for (b, g) in configs:
-        k = f"b{b}_g{g}"
+    for (b, g, om) in configs:
+        k = f"b{b}_g{g}_{om}"
         p, tot, wl = agg[k]
         log({"case": k, "processed_frac": round(p / tot, 4),
              "winner_frac": round(wl / tot, 4),

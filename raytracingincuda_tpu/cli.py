@@ -48,7 +48,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--layout", choices=["hbm", "vmem", "packed"],
                    default="vmem",
                    help="scene memory layout (global/const/tex analog)")
-    p.add_argument("--impl", choices=["oracle", "pallas", "adaptive"],
+    p.add_argument("--impl",
+                   choices=["oracle", "pallas", "adaptive", "stream"],
                    default="pallas",
                    help="tracer implementation (pallas kernel, jnp oracle, "
                         "or adaptive per-pixel sampling)")
@@ -68,6 +69,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--adaptive_rounds", type=int, default=1,
                    help="impl=adaptive: refine rounds (>1 re-estimates "
                         "error after each refine pass)")
+    p.add_argument("--stream_block", type=int, default=256,
+                   help="impl=stream: spheres per HBM block")
+    p.add_argument("--stream_lane_group", type=int, default=128,
+                   help="impl=stream: cull granularity in lanes "
+                        "(0 = one skip decision per wave)")
     p.add_argument("--pixels_per_lane", type=int, default=None,
                    help="regen kernel pixels per lane (default auto; "
                         "K>1 shrinks the tile-tail work imbalance)")
@@ -123,6 +129,8 @@ def main(argv=None) -> int:
         adaptive_tol=args.adaptive_tol,
         adaptive_rounds=args.adaptive_rounds,
         pixels_per_lane=args.pixels_per_lane,
+        stream_block=args.stream_block,
+        stream_lane_group=args.stream_lane_group,
     )
 
     from .utils.timing import force

@@ -61,6 +61,11 @@ class RenderConfig:
     # max-over-lanes tile tail (measured on v5e at the headline config:
     # K=8 -> -23% render time at 100 spp).
     pixels_per_lane: Optional[int] = None
+    # impl='stream' (scenes larger than VMEM, streamed from HBM in
+    # Morton-sorted sphere blocks — ops/pallas_stream.py): block size and
+    # lane-group cull granularity (0 = one skip decision per wave).
+    stream_block: int = 256
+    stream_lane_group: int = 128
 
     def effective_pixels_per_lane(self) -> int:
         if self.pixels_per_lane:
@@ -78,8 +83,10 @@ class RenderConfig:
             raise ValueError(f"dtype must be one of {list(DTYPE_NAMES)}")
         if self.layout not in LAYOUT_NAMES:
             raise ValueError(f"layout must be one of {list(LAYOUT_NAMES)}")
-        if self.impl not in ("oracle", "pallas", "adaptive"):
-            raise ValueError("impl must be 'oracle', 'pallas' or 'adaptive'")
+        if self.impl not in ("oracle", "pallas", "adaptive", "stream"):
+            raise ValueError(
+                "impl must be 'oracle', 'pallas', 'adaptive' or 'stream'"
+            )
         for f in ("width", "height", "samples", "bounces"):
             if getattr(self, f) <= 0:
                 raise ValueError(f"{f} must be positive")

@@ -171,18 +171,69 @@ def _block_bound_any_hit(bx, by, bz, br, o: Vec3, d: Vec3, a, t_best):
     return jnp.max(can.astype(jnp.float32)) > 0.0    # scalar
 
 
+# sublane rows per lane group in the ray-row scratch (9 used: o xyz,
+# d xyz, a, d.o, |o|^2; padded to 16 for sublane-tile alignment)
+_RAY_ROWS = 16
+
+
 def _hit_world_stream(scene_hbm, bounds_ref, bufs, sems, o: Vec3, d: Vec3,
-                      n_blocks: int, block: int, dtype):
+                      n_blocks: int, block: int, dtype,
+                      t_refs=None, p_refs=None, ray_scr=None):
     """Closest hit over HBM-resident sphere blocks with double-buffered
     DMA and per-block bound culling. Returns (hit, t, center, radius,
-    albedo, fuzz, ior, mat_f) like the VMEM gather path."""
+    albedo, fuzz, ior, mat_f) like the VMEM gather path.
+
+    ``t_refs``/``p_refs``: per-lane-group VMEM scratch lists (one
+    (1, G) + (STREAM_COLS, G) pair per group, G = R // len) holding the
+    running best hit; the block loop then carries no vector state. One
+    entry = whole-wave culling; multiple entries = an independent bound
+    test + ``pl.when`` skip per G consecutive lanes. Finer groups skip
+    far more compute (cull_stats probe: 81% of block batches processed
+    at b512/whole-wave vs 36% at b128/g128) for one extra scalar test
+    per group. Results are BIT-IDENTICAL across granularities — grouping
+    only changes which non-improving block batches get skipped.
+
+    ``ray_scr`` ((_RAY_ROWS * n_groups, G), required when n_groups > 1):
+    per-group ray rows round-tripped through VMEM so every value entering
+    the (B, G) broadcasts sits at LANE OFFSET 0 — Mosaic rejects
+    vector.broadcast of a lane-sliced operand at offset g*G inside this
+    loop nest ("Invalid input layout", UPSTREAM_ISSUES.md #8); a store to
+    an offset-0 scratch row relayouts it. Groups stack on SUBLANES (16
+    rows each), whose offsets are unrestricted."""
     buf0, buf1 = bufs
     sem0, sem1 = sems
     shape = o.x.shape
+    r_lanes = shape[-1]
+    n_groups = len(t_refs)
+    g_size = r_lanes // n_groups
 
     a = jnp.maximum(vec.length_sq(d), 1e-12)
     d_dot_o = vec.dot(d, o)
     o2 = vec.length_sq(o)
+
+    if n_groups == 1:
+        o_g = lambda g: o
+        d_g = lambda g: d
+        a_g = lambda g: a
+        ddo_g = lambda g: d_dot_o
+        o2_g = lambda g: o2
+    else:
+        rows_full = [o.x, o.y, o.z, d.x, d.y, d.z, a, d_dot_o, o2]
+        for g in range(n_groups):
+            sl = slice(g * g_size, (g + 1) * g_size)
+            base = g * _RAY_ROWS
+            for k, r_full in enumerate(rows_full):
+                ray_scr[base + k:base + k + 1, :] = r_full[:, sl]
+
+        def row(g, k):
+            b = g * _RAY_ROWS + k
+            return ray_scr[b:b + 1, :]
+
+        o_g = lambda g: Vec3(row(g, 0), row(g, 1), row(g, 2))
+        d_g = lambda g: Vec3(row(g, 3), row(g, 4), row(g, 5))
+        a_g = lambda g: row(g, 6)
+        ddo_g = lambda g: row(g, 7)
+        o2_g = lambda g: row(g, 8)
 
     def start_copy(buf, sem, b):
         pltpu.make_async_copy(
@@ -194,67 +245,77 @@ def _hit_world_stream(scene_hbm, bounds_ref, bufs, sems, o: Vec3, d: Vec3,
             scene_hbm.at[pl.ds(b * block, block), :], buf, sem
         ).wait()
 
-    def process(buf, b, t_best, params_best):
-        """One block's (B, R) hit test + gather, skipped by bound test."""
-        blk = buf[:, :]
-        cx = blk[:, COL_CX:COL_CX + 1]
-        cy = blk[:, COL_CY:COL_CY + 1]
-        cz = blk[:, COL_CZ:COL_CZ + 1]
-        rc = blk[:, COL_RADIUS:COL_RADIUS + 1]
-        act = blk[:, COL_ACTIVE:COL_ACTIVE + 1]
-        c_dot_d = cx * d.x + cy * d.y + cz * d.z
-        c_dot_o = cx * o.x + cy * o.y + cz * o.z
-        hit_b, t_b, one_hot_b = _hit_select(
-            cx, cy, cz, rc, act, a, d_dot_o, o2, c_dot_d, c_dot_o
-        )
-        params_b = lax.dot_general(
-            blk, one_hot_b,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=lax.Precision.HIGHEST,
-        )                                            # (128, R)
-        improved = hit_b & (t_b < t_best)            # (1, R)
-        t_new = jnp.where(improved, t_b, t_best)
-        params_new = jnp.where(improved, params_b, params_best)
-        return t_new, params_new
-
-    def maybe_process(buf, b, t_best, params_best):
+    def process_block(buf, b):
+        """Bound test + (B, G) hit test per lane group; improving
+        winners update the group's scratch best-hit state in place."""
         bx = bounds_ref[b, 0]
         by = bounds_ref[b, 1]
         bz = bounds_ref[b, 2]
         br = bounds_ref[b, 3]
-        return lax.cond(
-            _block_bound_any_hit(bx, by, bz, br, o, d, a, t_best),
-            lambda tb, pb: process(buf, b, tb, pb),
-            lambda tb, pb: (tb, pb),
-            t_best, params_best,
-        )
+        for g in range(n_groups):
+            t_cur = t_refs[g][0:1, :]
 
-    # preamble: block 0 into buf0
+            @pl.when(_block_bound_any_hit(
+                bx, by, bz, br, o_g(g), d_g(g), a_g(g), t_cur))
+            def _(g=g, t_cur=t_cur):
+                blk = buf[:, :]
+                cx = blk[:, COL_CX:COL_CX + 1]
+                cy = blk[:, COL_CY:COL_CY + 1]
+                cz = blk[:, COL_CZ:COL_CZ + 1]
+                rc = blk[:, COL_RADIUS:COL_RADIUS + 1]
+                act = blk[:, COL_ACTIVE:COL_ACTIVE + 1]
+                og, dg = o_g(g), d_g(g)
+                c_dot_d = cx * dg.x + cy * dg.y + cz * dg.z
+                c_dot_o = cx * og.x + cy * og.y + cz * og.z
+                hit_b, t_b, one_hot_b = _hit_select(
+                    cx, cy, cz, rc, act, a_g(g), ddo_g(g), o2_g(g),
+                    c_dot_d, c_dot_o
+                )
+                params_b = lax.dot_general(
+                    blk, one_hot_b,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST,
+                )                                        # (128, G)
+                improved = hit_b & (t_b < t_cur)         # (1, G)
+                t_refs[g][0:1, :] = jnp.where(improved, t_b, t_cur)
+                p_refs[g][:, :] = jnp.where(
+                    improved, params_b, p_refs[g][:, :]
+                )
+
+    # preamble: block 0 into buf0; reset the best-hit scratch
     start_copy(buf0, sem0, jnp.int32(0))
-    t0_best = jnp.full(shape, T_MISS, dtype)
-    p0_best = jnp.zeros((STREAM_COLS,) + (shape[1],), dtype)
+    for g in range(n_groups):
+        t_refs[g][0:1, :] = jnp.full((1, g_size), T_MISS, dtype)
+        p_refs[g][:, :] = jnp.zeros((STREAM_COLS, g_size), dtype)
 
     def pair_body(j, carry):
-        t_best, params_best = carry
         b0 = 2 * j
         b1 = 2 * j + 1
         # buf1 is free (its previous block finished last iteration)
         start_copy(buf1, sem1, b1)
         wait_copy(buf0, sem0, b0)
-        t_best, params_best = maybe_process(buf0, b0, t_best, params_best)
+        process_block(buf0, b0)
 
         @pl.when(b1 + 1 < n_blocks)
         def _():
             start_copy(buf0, sem0, b1 + 1)
 
         wait_copy(buf1, sem1, b1)
-        t_best, params_best = maybe_process(buf1, b1, t_best, params_best)
-        return t_best, params_best
+        process_block(buf1, b1)
+        return carry
 
-    t_best, params_best = lax.fori_loop(
-        0, n_blocks // 2, pair_body, (t0_best, p0_best)
-    )
+    lax.fori_loop(0, n_blocks // 2, pair_body, jnp.int32(0))
+    if n_groups == 1:
+        t_best = t_refs[0][0:1, :]
+        params_best = p_refs[0][:, :]
+    else:
+        t_best = jnp.concatenate(
+            [t_refs[g][0:1, :] for g in range(n_groups)], axis=1
+        )
+        params_best = jnp.concatenate(
+            [p_refs[g][:, :] for g in range(n_groups)], axis=1
+        )
 
     hit = t_best < T_MISS
     row = lambda k: params_best[k:k + 1, :]
@@ -268,14 +329,18 @@ def _hit_world_stream(scene_hbm, bounds_ref, bufs, sems, o: Vec3, d: Vec3,
 
 def _stream_tile_kernel(
     ids_ref, ii_ref, jj_ref, budget_ref, scene_hbm, bounds_ref, cam_ref,
-    out_r_ref, out_g_ref, out_b_ref, buf0, buf1, sem0, sem1,
-    *, samples: int, max_depth: int, seed: int, dtype, block: int,
-    n_blocks: int, rr_start, sample_offset: int,
+    out_r_ref, out_g_ref, out_b_ref, buf0, buf1, sem0, sem1, *scratch,
+    samples: int, max_depth: int, seed: int, dtype, block: int,
+    n_blocks: int, rr_start, sample_offset: int, n_groups: int,
 ):
+    ray_scr = scratch[0]
+    t_refs = list(scratch[1:1 + n_groups])
+    p_refs = list(scratch[1 + n_groups:])
+
     def hit_fn(o, d):
         return _hit_world_stream(
             scene_hbm, bounds_ref, (buf0, buf1), (sem0, sem1), o, d,
-            n_blocks, block, dtype,
+            n_blocks, block, dtype, t_refs, p_refs, ray_scr,
         )[:8]
 
     _regen_body(
@@ -300,6 +365,7 @@ def render_pallas_stream(
     gamma: bool = True,
     ray_tile: int = 512,
     rr_start=None,
+    lane_group: int = 0,
     mesh=None,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -328,6 +394,10 @@ def render_pallas_stream(
     n_blocks = stream.n_blocks
     nb_pad = stream.bounds.shape[0]
 
+    n_groups = (
+        ray_tile // lane_group if 0 < lane_group < ray_tile else 1
+    )
+    g_size = ray_tile // n_groups
     kernel = functools.partial(
         _stream_tile_kernel,
         samples=samples_per_pixel,
@@ -338,6 +408,7 @@ def render_pallas_stream(
         n_blocks=n_blocks,
         rr_start=rr_start,
         sample_offset=0,
+        n_groups=n_groups,
     )
 
     def run(ids_arr, ii_arr, jj_arr, bud_arr, scene_m, bounds_m, cam_r):
@@ -360,12 +431,17 @@ def render_pallas_stream(
                 jax.ShapeDtypeStruct((tiles, 1, ray_tile), dtype)
                 for _ in range(3)
             ),
-            scratch_shapes=[
-                pltpu.VMEM((block, STREAM_COLS), dtype),
-                pltpu.VMEM((block, STREAM_COLS), dtype),
-                pltpu.SemaphoreType.DMA,
-                pltpu.SemaphoreType.DMA,
-            ],
+            scratch_shapes=(
+                [
+                    pltpu.VMEM((block, STREAM_COLS), dtype),
+                    pltpu.VMEM((block, STREAM_COLS), dtype),
+                    pltpu.SemaphoreType.DMA,
+                    pltpu.SemaphoreType.DMA,
+                    pltpu.VMEM((_RAY_ROWS * n_groups, g_size), dtype),
+                ]
+                + [pltpu.VMEM((1, g_size), dtype)] * n_groups
+                + [pltpu.VMEM((STREAM_COLS, g_size), dtype)] * n_groups
+            ),
             cost_estimate=pl.CostEstimate(
                 flops=int(samples_per_pixel * max_depth * padded
                           * stream.scene_mat.shape[0] * 20),

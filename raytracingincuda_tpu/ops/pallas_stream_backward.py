@@ -58,6 +58,7 @@ from .pallas_stream import (
     STREAM_COL_SID,
     STREAM_COLS,
     StreamScene,
+    _RAY_ROWS,
     _hit_world_stream,
 )
 from .tracer import _sky_color, primary_rays_from_ij
@@ -160,10 +161,14 @@ def _stream_grad_kernel(
     ids_ref, ii_ref, jj_ref, gr_ref, gg_ref, gb_ref, scene_hbm,
     bounds_ref, cam_ref,
     dscene_ref, dcam_ref,
-    buf0, buf1, sem0, sem1, st_ref,
-    *, samples: int, max_depth: int, seed: int, dtype, block: int,
-    n_blocks: int,
+    buf0, buf1, sem0, sem1, *scratch,
+    samples: int, max_depth: int, seed: int, dtype, block: int,
+    n_blocks: int, n_groups: int,
 ):
+    ray_scr = scratch[0]
+    t_refs = list(scratch[1:1 + n_groups])
+    p_refs = list(scratch[1 + n_groups:1 + 2 * n_groups])
+    st_ref = scratch[1 + 2 * n_groups]
     key = rtrng.key_from_seed(seed)
     pixel_ids = ids_ref[0, :, :]
     fi = ii_ref[0, :, :]
@@ -198,7 +203,8 @@ def _stream_grad_kernel(
             (hit, t, wc, wr, walb, wfuzz, wior, wmat, sid) = (
                 _hit_world_stream(
                     scene_hbm, bounds_ref, (buf0, buf1), (sem0, sem1),
-                    o, d, n_blocks, block, dtype,
+                    o, d, n_blocks, block, dtype, t_refs, p_refs,
+                    ray_scr,
                 )
             )
             hit_f = hit.astype(dtype)
@@ -309,6 +315,7 @@ def render_pallas_stream_grads(
     seed: int = rtrng.DEFAULT_SEED,
     dtype=jnp.float32,
     ray_tile: int = 256,
+    lane_group: int = 0,
     mesh=None,
     interpret: bool = False,
 ):
@@ -343,6 +350,10 @@ def render_pallas_stream_grads(
     n_blocks = stream.n_blocks
     n_total = n_blocks * block
     nb_pad = stream.bounds.shape[0]
+    n_groups = (
+        ray_tile // lane_group if 0 < lane_group < ray_tile else 1
+    )
+    g_size = ray_tile // n_groups
 
     kernel = functools.partial(
         _stream_grad_kernel,
@@ -352,6 +363,7 @@ def render_pallas_stream_grads(
         dtype=dtype,
         block=block,
         n_blocks=n_blocks,
+        n_groups=n_groups,
     )
 
     def run(ids_arr, ii_arr, jj_arr, g_r, g_g, g_b, scene_m, bounds_m,
@@ -381,13 +393,18 @@ def render_pallas_stream_grads(
                 jax.ShapeDtypeStruct((n_total, NUM_COLS), dtype),
                 jax.ShapeDtypeStruct((1, _CAM_COLS), dtype),
             ),
-            scratch_shapes=[
-                pltpu.VMEM((block, STREAM_COLS), dtype),
-                pltpu.VMEM((block, STREAM_COLS), dtype),
-                pltpu.SemaphoreType.DMA,
-                pltpu.SemaphoreType.DMA,
-                pltpu.VMEM((max_depth * _ST_ROWS, ray_tile), dtype),
-            ],
+            scratch_shapes=(
+                [
+                    pltpu.VMEM((block, STREAM_COLS), dtype),
+                    pltpu.VMEM((block, STREAM_COLS), dtype),
+                    pltpu.SemaphoreType.DMA,
+                    pltpu.SemaphoreType.DMA,
+                ]
+                + [pltpu.VMEM((_RAY_ROWS * n_groups, g_size), dtype)]
+                + [pltpu.VMEM((1, g_size), dtype)] * n_groups
+                + [pltpu.VMEM((STREAM_COLS, g_size), dtype)] * n_groups
+                + [pltpu.VMEM((max_depth * _ST_ROWS, ray_tile), dtype)]
+            ),
             cost_estimate=pl.CostEstimate(
                 flops=int(2 * samples_per_pixel * max_depth * padded
                           * n_total * 20),

@@ -78,6 +78,38 @@ def make_renderer(cfg: RenderConfig, n_devices: int = 0):
         # (one-Mosaic-kernel-per-program constraint); each phase jits
         # itself inside render_adaptive via pallas_call
         return adaptive_renderer
+    if impl == "stream":
+        # HBM-streamed large scenes (ops/pallas_stream.py): works for any
+        # sphere count (the vmem kernel tops out ~5k), interpret mode on
+        # CPU. Host-side scene prep (Morton sort + block bounds) is cached
+        # by scene identity — an asset is sorted once, not per frame.
+        from .ops.pallas_stream import (
+            prepare_stream_scene, render_pallas_stream,
+        )
+
+        if cfg.legacy_sky:
+            raise ValueError("impl=stream has no legacy_sky variant")
+        interpret = jax.default_backend() == "cpu"
+        pallas_mesh = meshlib.make_mesh(n_devices) if n_devices > 1 else None
+        stream_cache: dict = {}
+
+        def stream_renderer(scene, cam_cfg):
+            key = tuple(
+                id(x) for x in jax.tree_util.tree_leaves(scene)
+            )
+            stream = stream_cache.get(key)
+            if stream is None:
+                stream_cache.clear()
+                stream = prepare_stream_scene(scene, block=cfg.stream_block)
+                stream_cache[key] = stream
+            return render_pallas_stream(
+                stream, cam_cfg, cfg.width, cfg.height, cfg.samples,
+                cfg.bounces, seed=cfg.seed, rr_start=cfg.rr_start,
+                lane_group=cfg.stream_lane_group, mesh=pallas_mesh,
+                interpret=interpret,
+            )
+
+        return stream_renderer
     if impl == "pallas" and cfg.dtype != "float32":
         # The kernel is f32; double/bfloat16 are precision-comparison
         # configs (the reference's double variants) served by the oracle.

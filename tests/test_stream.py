@@ -47,6 +47,23 @@ def test_stream_big_scene_sorted_and_unsorted(default_camera):
     np.testing.assert_allclose(img_unsorted, img_o, atol=5e-5)
 
 
+@pytest.mark.slow
+def test_lane_group_bit_identical(default_camera):
+    """Per-lane-group culling only changes WHICH non-improving block
+    batches are skipped — the image must be bit-identical to whole-wave
+    gating (and still match the oracle)."""
+    big = build_random_scene(600, pad_to_multiple=128, half_extent=10.0)
+    stream = prepare_stream_scene(big, block=64)
+    kw = dict(ray_tile=256, interpret=True)
+    img0 = np.asarray(render_pallas_stream(
+        stream, default_camera, W, H, 1, 4, lane_group=0, **kw))
+    img128 = np.asarray(render_pallas_stream(
+        stream, default_camera, W, H, 1, 4, lane_group=128, **kw))
+    assert np.array_equal(img0, img128)
+    img_o = np.asarray(tracer.render(big, default_camera, W, H, 1, 4))
+    np.testing.assert_allclose(img0, img_o, atol=5e-5)
+
+
 def test_prepare_stream_scene_layout(tiny_scene):
     stream = prepare_stream_scene(tiny_scene, block=32)
     mat = np.asarray(stream.scene_mat)
