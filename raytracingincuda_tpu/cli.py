@@ -69,11 +69,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--adaptive_rounds", type=int, default=1,
                    help="impl=adaptive: refine rounds (>1 re-estimates "
                         "error after each refine pass)")
+    p.add_argument("--mxu_dots", action="store_true",
+                   help="impl=pallas: hit-test dot products on the MXU "
+                        "(bf16x3; breaks exact oracle checksum parity)")
     p.add_argument("--stream_block", type=int, default=256,
                    help="impl=stream: spheres per HBM block")
-    p.add_argument("--stream_lane_group", type=int, default=128,
+    p.add_argument("--stream_lane_group", type=int, default=None,
                    help="impl=stream: cull granularity in lanes "
-                        "(0 = one skip decision per wave)")
+                        "(0 = one skip decision per wave; default auto "
+                        "by scene size)")
     p.add_argument("--pixels_per_lane", type=int, default=None,
                    help="regen kernel pixels per lane (default auto; "
                         "K>1 shrinks the tile-tail work imbalance)")
@@ -131,6 +135,7 @@ def main(argv=None) -> int:
         pixels_per_lane=args.pixels_per_lane,
         stream_block=args.stream_block,
         stream_lane_group=args.stream_lane_group,
+        mxu_dots=args.mxu_dots,
     )
 
     from .utils.timing import force

@@ -63,9 +63,17 @@ class RenderConfig:
     pixels_per_lane: Optional[int] = None
     # impl='stream' (scenes larger than VMEM, streamed from HBM in
     # Morton-sorted sphere blocks — ops/pallas_stream.py): block size and
-    # lane-group cull granularity (0 = one skip decision per wave).
+    # lane-group cull granularity (0 = one skip decision per wave;
+    # None = auto — 256-lane groups once the scene is big enough that
+    # the skipped compute outweighs the per-group scalar test, measured
+    # crossover ~50k spheres on v5e, benchmarks/results/cull_tpu.jsonl).
     stream_block: int = 256
-    stream_lane_group: int = 128
+    stream_lane_group: Optional[int] = None
+    # impl='pallas': compute the hit test's C.D / C.O contractions on the
+    # MXU at bf16x3 precision (~2^-22 relative error — can flip hits only
+    # at silhouette tangencies; noise, not bias). Off by default to keep
+    # exact checksum parity with the jnp oracle.
+    mxu_dots: bool = False
 
     def effective_pixels_per_lane(self) -> int:
         if self.pixels_per_lane:

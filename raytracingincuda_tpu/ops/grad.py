@@ -202,3 +202,115 @@ def make_train_step(
         return TrainState(params, opt_state, state.step + 1), loss
 
     return init_fn, step_fn
+
+
+def make_stream_train(
+    stream,
+    img_width: int,
+    img_height: int,
+    samples_per_pixel: int,
+    max_depth: int,
+    optimizer: Optional[optax.GradientTransformation] = None,
+    learning_rate: float = 1e-2,
+    trainable=None,
+    seed: int = 1227,
+    lane_group: int = 0,
+    mesh=None,
+    interpret: Optional[bool] = None,
+):
+    """Inverse rendering for STREAMING-HBM scenes (beyond-VMEM scale).
+
+    Returns (init_fn, step_fn); step_fn(state, cam_cfg, mat_type,
+    active, target) -> (state, loss), like make_train_step. Composition
+    differs by necessity: the forward render and the gradient sweep are
+    separate Mosaic kernels, and the compile service accepts one kernel
+    per program (UPSTREAM_ISSUES.md #3) — so the step runs TWO jitted
+    programs (forward+loss prep, then grads+optimizer), composed
+    eagerly.
+
+    The Morton permutation and block assignment are FROZEN from the
+    ``stream`` argument (prepare_stream_scene); each step rebuilds the
+    packed matrix and block bounds on device from the current params
+    (build_stream_arrays) — no host re-sort, no tunnel re-upload. A
+    drifted geometry only loosens block coherence (weaker culling);
+    re-prepare occasionally if spheres migrate far. Loss is MSE in
+    LINEAR radiance (gamma off), matching make_loss_fn(gamma=False).
+    """
+    from .pallas_backward import chain_to_params
+    from .pallas_stream import (
+        StreamScene, build_stream_arrays, render_pallas_stream,
+    )
+    from .pallas_stream_backward import (
+        render_pallas_stream_grads, stream_grads_to_scene_mat,
+    )
+
+    opt = optimizer or optax.adam(learning_rate)
+    if trainable is not None:
+        labels = jax.tree_util.tree_map(
+            lambda t: "train" if t else "freeze", trainable
+        )
+        opt = optax.multi_transform(
+            {"train": opt, "freeze": optax.set_to_zero()}, labels
+        )
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    block = stream.block
+    n_pad = stream.scene_mat.shape[0]
+    perm = stream.perm
+
+    def init_fn(params: SceneParams) -> TrainState:
+        return TrainState(
+            params=params,
+            opt_state=opt.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    def _stream_of(params, mat_type, active):
+        sm, bounds = build_stream_arrays(
+            Scene(params=params, mat_type=mat_type, active=active),
+            perm, block, n_pad,
+        )
+        return StreamScene(sm, bounds, block, perm)
+
+    @jax.jit
+    def fwd(params, mat_type, active, cam_cfg):
+        return render_pallas_stream(
+            _stream_of(params, mat_type, active), cam_cfg,
+            img_width, img_height, samples_per_pixel, max_depth,
+            seed=seed, gamma=False, lane_group=lane_group, mesh=mesh,
+            interpret=interpret,
+        )
+
+    @jax.jit
+    def bwd(params, mat_type, active, cam_cfg, img, target, opt_state):
+        st = _stream_of(params, mat_type, active)
+        n = img_width * img_height * 3
+        g_acc = (2.0 / n) * (img - target) / samples_per_pixel
+        d_stream, d_cr = render_pallas_stream_grads(
+            st, cam_cfg, g_acc, img_width, img_height,
+            samples_per_pixel, max_depth, seed=seed,
+            lane_group=lane_group, mesh=mesh, interpret=interpret,
+        )
+        d_sm = stream_grads_to_scene_mat(
+            d_stream, st, mat_type.shape[0]
+        )
+        d_params, _d_cam = chain_to_params(
+            d_sm, d_cr, params, cam_cfg, mat_type, active,
+            img_width, img_height,
+        )
+        loss = image_mse(img, target)
+        updates, opt_state = opt.update(d_params, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, opt_state, loss
+
+    def step_fn(state: TrainState, cam_cfg: CameraConfig,
+                mat_type, active, target):
+        img = fwd(state.params, mat_type, active, cam_cfg)
+        params, opt_state, loss = bwd(
+            state.params, mat_type, active, cam_cfg, img, target,
+            state.opt_state,
+        )
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return init_fn, step_fn

@@ -548,7 +548,7 @@ def render_pallas_grads(
         )(ids_arr, ii_arr, jj_arr, g_r, g_g, g_b, scene_m, cam_r)
 
     if mesh is not None:
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         axes = tuple(mesh.axis_names)
@@ -564,7 +564,7 @@ def render_pallas_grads(
             in_specs=(P(axes), P(axes), P(axes),
                       P(axes), P(axes), P(axes), P(), P()),
             out_specs=(P(), P(), P(), P(), P(), P()),
-            check_rep=False,
+            check_vma=False,
         )
         outs = sharded(ids2, ii2, jj2, gr, gg, gb, scene_mat, cam_row)
     else:
@@ -701,7 +701,7 @@ def mse_train_pallas(
         )(ids_arr, ii_arr, jj_arr, t_r, t_g, t_b, scene_m, cam_r)
 
     if mesh is not None:
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         axes = tuple(mesh.axis_names)
@@ -720,7 +720,7 @@ def mse_train_pallas(
                       P(axes), P(axes), P(axes), P(), P()),
             out_specs=(P(), P(axes), P(axes), P(axes),
                        P(), P(), P(), P(), P(), P()),
-            check_rep=False,
+            check_vma=False,
         )
         outs = sharded(ids2, ii2, jj2, tr, tg, tb, scene_mat, cam_row)
     else:

@@ -1132,7 +1132,7 @@ def render_pallas(
             legacy_sky=legacy_sky,
         )
 
-    scene_space = pltpu.VMEM if layout in ("vmem", "packed") else pltpu.ANY
+    scene_space = pltpu.VMEM if layout in ("vmem", "packed") else pl.ANY
     flops_est = int(samples_per_pixel * max_depth * padded * n_spheres * 20)
 
     def run(ids_arr, ii_arr, jj_arr, bud_arr, scene_m, cam_r):
@@ -1181,7 +1181,7 @@ def render_pallas(
         return out
 
     if mesh is not None:
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         axes = tuple(mesh.axis_names)
@@ -1189,7 +1189,7 @@ def render_pallas(
             run, mesh=mesh,
             in_specs=(P(axes), P(axes), P(axes), P(axes), P(), P()),
             out_specs=(P(axes), P(axes), P(axes)),
-            check_rep=False,
+            check_vma=False,
         )
 
     acc_r, acc_g, acc_b = run(ids2, ii2, jj2, bud2, scene_mat, cam_row)

@@ -61,7 +61,8 @@ from .pallas_kernel import (
 from .tracer import _linear_to_gamma
 from .vec import Vec3
 
-DEFAULT_BLOCK = 512
+DEFAULT_BLOCK = 256   # best across 10k-100k spheres on v5e
+                      # (benchmarks/results/cull_tpu.jsonl)
 
 # Stream-layout scene matrices pad the attribute axis to a full 128-lane
 # tile: HBM->VMEM DMA slices must be 128-aligned in the minor dimension
@@ -149,6 +150,46 @@ def prepare_stream_scene(
         scene_mat=jnp.asarray(out), bounds=jnp.asarray(bounds), block=block,
         perm=jnp.asarray(act_idx, jnp.int32),
     )
+
+
+def build_stream_arrays(scene: Scene, perm: jnp.ndarray, block: int,
+                        n_pad: int, dtype=jnp.float32):
+    """Device-side, JITTABLE rebuild of (scene_mat, bounds) under a
+    FROZEN stream permutation — the inverse-rendering path.
+
+    Per optimizer step the geometry moves a little; re-sorting on the
+    host would re-upload the whole matrix over the (slow) tunnel every
+    step. Instead the Morton ORDER from ``prepare_stream_scene`` is
+    reused (a stale sort only loosens block coherence -> slightly weaker
+    culling, never correctness) while the matrix values and the block
+    bounds are recomputed exactly, on device, from the current params.
+    Differentiable w.r.t. scene params (a gather + elementwise)."""
+    mat = pack_scene_matrix(scene, dtype)               # (n_slots, 16)
+    n_act = perm.shape[0]
+    out = jnp.zeros((n_pad, STREAM_COLS), dtype)
+    out = out.at[:n_act, :NUM_COLS].set(mat[perm])
+    out = out.at[:, STREAM_COL_SID].set(
+        jnp.arange(n_pad, dtype=dtype)
+    )
+    nb = n_pad // block
+    c = out[:, COL_CX:COL_CZ + 1].reshape(nb, block, 3)
+    r = out[:, COL_RADIUS].reshape(nb, block)
+    act = out[:, COL_ACTIVE].reshape(nb, block) > 0.5
+    big = jnp.asarray(1e30, dtype)
+    lo = jnp.min(jnp.where(act[..., None], c, big), axis=1)
+    hi = jnp.max(jnp.where(act[..., None], c, -big), axis=1)
+    any_act = act.any(axis=1)
+    ctr = jnp.where(any_act[:, None], (lo + hi) * 0.5, 0.0)
+    # padding rows hold zero centers, so this distance stays finite and
+    # the where() masks it out of the max
+    dist = jnp.sqrt(((c - ctr[:, None, :]) ** 2).sum(-1))
+    dmax = jnp.max(jnp.where(act, dist, 0.0), axis=1)
+    rmax = jnp.max(jnp.where(act, r, 0.0), axis=1)
+    rb = jnp.where(any_act, (dmax + rmax) * 1.0001 + 1e-4, 0.0)
+    bounds = (
+        jnp.zeros((nb, 8), dtype).at[:, 0:3].set(ctr).at[:, 3].set(rb)
+    )
+    return out, bounds
 
 
 def _block_bound_any_hit(bx, by, bz, br, o: Vec3, d: Vec3, a, t_best):
@@ -420,7 +461,7 @@ def render_pallas_stream(
             grid=(tiles,),
             in_specs=[
                 row_spec, row_spec, row_spec, row_spec,
-                pl.BlockSpec(memory_space=pltpu.ANY),       # scene in HBM
+                pl.BlockSpec(memory_space=pl.ANY),       # scene in HBM
                 pl.BlockSpec((nb_pad, 8), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 24), lambda i: (0, 0),
@@ -457,7 +498,7 @@ def render_pallas_stream(
         )(ids_arr, ii_arr, jj_arr, bud_arr, scene_m, bounds_m, cam_r)
 
     if mesh is not None:
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         axes = tuple(mesh.axis_names)
@@ -465,7 +506,7 @@ def render_pallas_stream(
             run, mesh=mesh,
             in_specs=(P(axes), P(axes), P(axes), P(axes), P(), P(), P()),
             out_specs=(P(axes), P(axes), P(axes)),
-            check_rep=False,
+            check_vma=False,
         )
 
     acc_r, acc_g, acc_b = run(

@@ -377,7 +377,7 @@ def render_pallas_stream_grads(
             in_specs=[
                 row_spec, row_spec, row_spec,
                 row_spec, row_spec, row_spec,
-                pl.BlockSpec(memory_space=pltpu.ANY),     # scene in HBM
+                pl.BlockSpec(memory_space=pl.ANY),     # scene in HBM
                 pl.BlockSpec((nb_pad, 8), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, _CAM_COLS), lambda i: (0, 0),
@@ -421,7 +421,7 @@ def render_pallas_stream_grads(
           cam_r)
 
     if mesh is not None:
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         axes = tuple(mesh.axis_names)
@@ -435,7 +435,7 @@ def render_pallas_stream_grads(
             in_specs=(P(axes), P(axes), P(axes),
                       P(axes), P(axes), P(axes), P(), P(), P()),
             out_specs=(P(), P()),
-            check_rep=False,
+            check_vma=False,
         )
         return sharded(ids2, ii2, jj2, gr, gg, gb, stream.scene_mat,
                        stream.bounds, cam_row)

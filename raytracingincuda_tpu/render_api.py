@@ -102,10 +102,17 @@ def make_renderer(cfg: RenderConfig, n_devices: int = 0):
                 stream_cache.clear()
                 stream = prepare_stream_scene(scene, block=cfg.stream_block)
                 stream_cache[key] = stream
+            lane_group = cfg.stream_lane_group
+            if lane_group is None:
+                # auto: per-group culling pays only once the per-block
+                # compute dwarfs the scalar test (cull_tpu.jsonl: 256-lane
+                # groups -5% at 100k spheres, +13% at 10k)
+                n_act = int(stream.perm.shape[0])
+                lane_group = 256 if n_act >= 50_000 else 0
             return render_pallas_stream(
                 stream, cam_cfg, cfg.width, cfg.height, cfg.samples,
                 cfg.bounces, seed=cfg.seed, rr_start=cfg.rr_start,
-                lane_group=cfg.stream_lane_group, mesh=pallas_mesh,
+                lane_group=lane_group, mesh=pallas_mesh,
                 interpret=interpret,
             )
 
@@ -143,6 +150,7 @@ def make_renderer(cfg: RenderConfig, n_devices: int = 0):
                 layout=cfg.layout,
                 rr_start=cfg.rr_start,
                 pixels_per_lane=kpl,
+                mxu_dots=cfg.mxu_dots,
                 **common,
             )
         )

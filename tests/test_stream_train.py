@@ -1,0 +1,98 @@
+"""Streaming-scene inverse rendering (ops/grad.make_stream_train) and
+the device-side stream-array rebuild (build_stream_arrays).
+
+The train step freezes the Morton permutation and rebuilds the packed
+matrix + block bounds on device each step; the rebuild must reproduce
+prepare_stream_scene's host output exactly (same packing) and the
+two-program step must reduce MSE on a small perturbation-recovery
+problem."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from raytracingincuda_tpu.models.camera import CameraConfig
+from raytracingincuda_tpu.models.scene import (
+    LAMBERTIAN, METAL, Scene, SceneParams,
+)
+from raytracingincuda_tpu.ops.grad import make_stream_train
+from raytracingincuda_tpu.ops.pallas_stream import (
+    build_stream_arrays, prepare_stream_scene, render_pallas_stream,
+)
+from raytracingincuda_tpu.ops.vec import Vec3
+from helpers import scene_from_spheres
+
+W, H = 24, 16
+SPP, DEPTH = 2, 3
+
+
+@pytest.fixture(scope="module")
+def small_scene():
+    return scene_from_spheres(
+        [
+            dict(center=(0, -1000, 0), radius=1000.0, mat=LAMBERTIAN,
+                 albedo=(0.5, 0.5, 0.5)),
+            dict(center=(0, 1, 0), radius=1.0, mat=LAMBERTIAN,
+                 albedo=(0.8, 0.2, 0.1)),
+            dict(center=(2, 1, 0), radius=1.0, mat=METAL,
+                 albedo=(0.7, 0.6, 0.5), fuzz=0.1),
+        ],
+        pad_to=8,
+    )
+
+
+def test_build_stream_arrays_matches_host(small_scene):
+    stream = prepare_stream_scene(small_scene, block=32)
+    sm, bounds = build_stream_arrays(
+        small_scene, stream.perm, stream.block,
+        stream.scene_mat.shape[0],
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sm), np.asarray(stream.scene_mat)
+    )
+    # bounds: same shape, conservative containment (float-op order may
+    # differ by ulps from the numpy host path)
+    np.testing.assert_allclose(
+        np.asarray(bounds), np.asarray(stream.bounds), rtol=1e-5,
+        atol=1e-5,
+    )
+
+
+@pytest.mark.slow
+def test_stream_train_recovers_albedo(small_scene):
+    cam = CameraConfig.reference_default()
+    stream = prepare_stream_scene(small_scene, block=32)
+    target = render_pallas_stream(
+        stream, cam, W, H, SPP, DEPTH, gamma=False, ray_tile=128,
+        interpret=True,
+    )
+
+    # perturb the big sphere's albedo; train albedo only
+    p = small_scene.params
+    alb = Vec3(
+        p.albedo.x.at[1].set(0.3),
+        p.albedo.y.at[1].set(0.7),
+        p.albedo.z.at[1].set(0.6),
+    )
+    params0 = SceneParams(center=p.center, radius=p.radius, albedo=alb,
+                          fuzz=p.fuzz, ior=p.ior)
+    trainable = SceneParams(
+        center=Vec3(False, False, False), radius=False,
+        albedo=Vec3(True, True, True), fuzz=False, ior=False,
+    )
+
+    init_fn, step_fn = make_stream_train(
+        stream, W, H, SPP, DEPTH, learning_rate=0.1,
+        trainable=trainable, interpret=True,
+    )
+    state = init_fn(params0)
+    losses = []
+    for _ in range(8):
+        state, loss = step_fn(state, cam, small_scene.mat_type,
+                              small_scene.active, target)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.35, losses
+    assert np.isfinite(losses).all()
+    # the perturbed albedo moved toward the truth
+    got = float(state.params.albedo.x[1])
+    assert abs(got - 0.8) < abs(0.3 - 0.8)
