@@ -232,12 +232,16 @@ def main():
                      args.height)
     # (block, group, order): order 'scan' = Morton index order (the
     # kernel today), 'camdist' = blocks sorted by centroid distance to
-    # the camera origin (front-to-back for primaries; free at runtime)
+    # the camera origin (front-to-back for primaries; free at runtime).
+    # order values prefixed 'sort*' keep scan block order but SORT THE
+    # RAYS within the wave before grouping — the in-kernel ray-binning
+    # candidate (MXU one-hot permutation): 'sortoct' = direction octant,
+    # 'sortcell' = direction octant + coarse origin cell.
     configs = [
-        (512, 512, "scan"), (512, 512, "camdist"),
-        (512, 128, "scan"), (256, 512, "camdist"),
-        (128, 512, "camdist"), (128, 128, "scan"),
-        (128, 128, "camdist"),
+        (256, 512, "scan"), (256, 256, "scan"),
+        (256, 256, "sortoct"), (256, 128, "sortoct"),
+        (256, 256, "sortcell"), (256, 128, "sortcell"),
+        (128, 128, "sortcell"),
     ]
     streams = {b: prepare_stream_scene(scene, block=b)
                for b in sorted({b for b, _, _ in configs})}
@@ -267,17 +271,33 @@ def main():
                               args.depth, streams, rtrng.DEFAULT_SEED)
         for (o, d, active, mb) in waves:
             t_cache = {}
+            ray_orders = {"scan": None}
+            # direction-octant key (3 bits); + coarse origin cell (2 bits
+            # per axis on a 4x1x4 ground-plane grid) for 'sortcell'
+            oct_key = ((d[:, 0] > 0).astype(int) * 4
+                       + (d[:, 1] > 0).astype(int) * 2
+                       + (d[:, 2] > 0).astype(int))
+            cell = (np.clip((o[:, 0] + 50) / 25, 0, 3).astype(int) * 4
+                    + np.clip((o[:, 2] + 50) / 25, 0, 3).astype(int))
+            ray_orders["sortoct"] = np.argsort(oct_key, kind="stable")
+            ray_orders["sortcell"] = np.argsort(cell * 8 + oct_key,
+                                                kind="stable")
             for b, g, om in configs:
                 keyname = f"b{b}_g{g}_{om}"
-                if b not in t_cache:
-                    t_cache[b] = t_all_numpy(mats[b], o, d)
-                p, tot, wl = walk_stats(t_cache[b], bnds[b], o, d,
-                                        active, b, g,
-                                        border=orders[b][om])
+                ro = ray_orders.get(om)
+                os_, ds_, act_ = o, d, active
+                if ro is not None:
+                    os_, ds_, act_ = o[ro], d[ro], active[ro]
+                ckey = (b, om if ro is not None else "-")
+                if ckey not in t_cache:
+                    t_cache[ckey] = t_all_numpy(mats[b], os_, ds_)
+                p, tot, wl = walk_stats(t_cache[ckey], bnds[b], os_,
+                                        ds_, act_, b, g,
+                                        border=orders[b].get(om))
                 agg[keyname][0] += p
                 agg[keyname][1] += tot
                 agg[keyname][2] += wl
-                if (b, g, om) == (512, 512, "scan"):
+                if (b, g, om) == (256, 512, "scan"):
                     bkey = int(round(mb))
                     e = per_bounce.setdefault(bkey, [0, 0])
                     e[0] += p
@@ -290,7 +310,7 @@ def main():
         log({"case": k, "processed_frac": round(p / tot, 4),
              "winner_frac": round(wl / tot, 4),
              "note": "frac of block-groups computed (vs winner lower bound)"})
-    log({"case": "per_mean_bounce_b512_g512",
+    log({"case": "per_mean_bounce_b256_g512",
          "frac": {k: round(v[0] / v[1], 4)
                   for k, v in sorted(per_bounce.items())}})
     log({"event": "done"})
