@@ -215,18 +215,23 @@ def make_stream_train(
     trainable=None,
     seed: int = 1227,
     lane_group: int = 0,
+    fused: bool = True,
     mesh=None,
     interpret: Optional[bool] = None,
 ):
     """Inverse rendering for STREAMING-HBM scenes (beyond-VMEM scale).
 
     Returns (init_fn, step_fn); step_fn(state, cam_cfg, mat_type,
-    active, target) -> (state, loss), like make_train_step. Composition
-    differs by necessity: the forward render and the gradient sweep are
-    separate Mosaic kernels, and the compile service accepts one kernel
-    per program (UPSTREAM_ISSUES.md #3) — so the step runs TWO jitted
-    programs (forward+loss prep, then grads+optimizer), composed
-    eagerly.
+    active, target) -> (state, loss), like make_train_step.
+
+    ``fused=True`` (default): the whole value_and_grad + optimizer
+    update is ONE jitted program around the fused streaming MSE kernel
+    (mse_train_stream: render pass + reverse sweep in one Mosaic
+    program) — one device dispatch per step. ``fused=False``: forward
+    render and gradient sweep as separate Mosaic kernels (the compile
+    service accepts one kernel per program, UPSTREAM_ISSUES.md #3), so
+    the step runs TWO jitted programs composed eagerly — kept for
+    A/B-ing and for callers that want the rendered image per step.
 
     The Morton permutation and block assignment are FROZEN from the
     ``stream`` argument (prepare_stream_scene); each step rebuilds the
@@ -241,7 +246,8 @@ def make_stream_train(
         StreamScene, build_stream_arrays, render_pallas_stream,
     )
     from .pallas_stream_backward import (
-        render_pallas_stream_grads, stream_grads_to_scene_mat,
+        mse_train_stream, render_pallas_stream_grads,
+        stream_grads_to_scene_mat,
     )
 
     opt = optimizer or optax.adam(learning_rate)
@@ -272,6 +278,40 @@ def make_stream_train(
             perm, block, n_pad,
         )
         return StreamScene(sm, bounds, block, perm)
+
+    def _apply(d_params, params, opt_state):
+        updates, opt_state = opt.update(d_params, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    if fused:
+        @jax.jit
+        def fused_kernel_step(params, mat_type, active, cam_cfg, target,
+                              opt_state):
+            st = _stream_of(params, mat_type, active)
+            loss, d_stream, d_cr = mse_train_stream(
+                st, cam_cfg, target, img_width, img_height,
+                samples_per_pixel, max_depth, seed=seed,
+                lane_group=lane_group, mesh=mesh, interpret=interpret,
+            )
+            d_sm = stream_grads_to_scene_mat(
+                d_stream, st, mat_type.shape[0]
+            )
+            d_params, _d_cam = chain_to_params(
+                d_sm, d_cr, params, cam_cfg, mat_type, active,
+                img_width, img_height,
+            )
+            new_params, opt_state = _apply(d_params, params, opt_state)
+            return new_params, opt_state, loss
+
+        def fused_step(state: TrainState, cam_cfg: CameraConfig,
+                       mat_type, active, target):
+            params, opt_state, loss = fused_kernel_step(
+                state.params, mat_type, active, cam_cfg, target,
+                state.opt_state,
+            )
+            return TrainState(params, opt_state, state.step + 1), loss
+
+        return init_fn, fused_step
 
     @jax.jit
     def fwd(params, mat_type, active, cam_cfg):

@@ -54,6 +54,7 @@ from .pallas_kernel import (
     NUM_COLS,
     _hit_select,
     _regen_body,
+    _regen_body_multi,
     _round_up,
     pack_camera,
     pack_scene_matrix,
@@ -373,6 +374,7 @@ def _stream_tile_kernel(
     out_r_ref, out_g_ref, out_b_ref, buf0, buf1, sem0, sem1, *scratch,
     samples: int, max_depth: int, seed: int, dtype, block: int,
     n_blocks: int, rr_start, sample_offset: int, n_groups: int,
+    k_pixels: int,
 ):
     ray_scr = scratch[0]
     t_refs = list(scratch[1:1 + n_groups])
@@ -384,13 +386,23 @@ def _stream_tile_kernel(
             n_blocks, block, dtype, t_refs, p_refs, ray_scr,
         )[:8]
 
-    _regen_body(
-        ids_ref, ii_ref, jj_ref, budget_ref, None, cam_ref,
-        out_r_ref, out_g_ref, out_b_ref,
-        samples=samples, max_depth=max_depth, seed=seed, dtype=dtype,
-        legacy_sky=False, mxu_dots=False, emit_depth=False,
-        rr_start=rr_start, sample_offset=sample_offset, hit_fn=hit_fn,
-    )
+    if k_pixels > 1:
+        _regen_body_multi(
+            ids_ref, ii_ref, jj_ref, budget_ref, None, cam_ref,
+            out_r_ref, out_g_ref, out_b_ref,
+            samples=samples, max_depth=max_depth, seed=seed, dtype=dtype,
+            mxu_dots=False, rr_start=rr_start,
+            sample_offset=sample_offset, k_pixels=k_pixels,
+            hit_fn=hit_fn,
+        )
+    else:
+        _regen_body(
+            ids_ref, ii_ref, jj_ref, budget_ref, None, cam_ref,
+            out_r_ref, out_g_ref, out_b_ref,
+            samples=samples, max_depth=max_depth, seed=seed, dtype=dtype,
+            legacy_sky=False, mxu_dots=False, emit_depth=False,
+            rr_start=rr_start, sample_offset=sample_offset, hit_fn=hit_fn,
+        )
 
 
 def render_pallas_stream(
@@ -407,6 +419,7 @@ def render_pallas_stream(
     ray_tile: int = 512,
     rr_start=None,
     lane_group: int = 0,
+    pixels_per_lane: int = 1,
     mesh=None,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -414,20 +427,24 @@ def render_pallas_stream(
     double-buffered HBM block loop. Same estimator and RNG streams as
     render_pallas (the bounce/scatter math is literally _regen_body)."""
     cam = initialize(cam_cfg, img_width, img_height)
+    kpl = pixels_per_lane
     num_pixels = img_width * img_height
     n_shards = (
         int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
     )
-    padded = _round_up(num_pixels, ray_tile * n_shards)
-    n_tiles = padded // ray_tile
+    padded = _round_up(num_pixels, kpl * ray_tile * n_shards)
+    n_tiles = padded // (kpl * ray_tile)
+    if kpl > 1 and padded >= (1 << 24):
+        # multi-pixel lanes carry the current pixel id as f32
+        raise ValueError("pixels_per_lane > 1 supports images < 16M pixels")
 
     ids = jnp.arange(padded, dtype=jnp.uint32)
     ii = (ids % jnp.uint32(img_width)).astype(dtype)
     jj = (ids // jnp.uint32(img_width)).astype(dtype)
-    ids2 = ids.reshape(n_tiles, 1, ray_tile)
-    ii2 = ii.reshape(n_tiles, 1, ray_tile)
-    jj2 = jj.reshape(n_tiles, 1, ray_tile)
-    bud2 = jnp.full((n_tiles, 1, ray_tile),
+    ids2 = ids.reshape(n_tiles, kpl, ray_tile)
+    ii2 = ii.reshape(n_tiles, kpl, ray_tile)
+    jj2 = jj.reshape(n_tiles, kpl, ray_tile)
+    bud2 = jnp.full((n_tiles, kpl, ray_tile),
                     float(samples_per_pixel), dtype)
 
     cam_row = pack_camera(cam, dtype)
@@ -450,11 +467,12 @@ def render_pallas_stream(
         rr_start=rr_start,
         sample_offset=0,
         n_groups=n_groups,
+        k_pixels=kpl,
     )
 
     def run(ids_arr, ii_arr, jj_arr, bud_arr, scene_m, bounds_m, cam_r):
         tiles = ids_arr.shape[0]
-        row_spec = pl.BlockSpec((1, 1, ray_tile), lambda i: (i, 0, 0),
+        row_spec = pl.BlockSpec((1, kpl, ray_tile), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)
         return pl.pallas_call(
             kernel,
@@ -469,7 +487,7 @@ def render_pallas_stream(
             ],
             out_specs=(row_spec, row_spec, row_spec),
             out_shape=tuple(
-                jax.ShapeDtypeStruct((tiles, 1, ray_tile), dtype)
+                jax.ShapeDtypeStruct((tiles, kpl, ray_tile), dtype)
                 for _ in range(3)
             ),
             scratch_shapes=(

@@ -160,11 +160,20 @@ def _winner_bounce(wc: Vec3, wr, walb: Vec3, wfuzz, wior, wmat_f, hit,
 def _stream_grad_kernel(
     ids_ref, ii_ref, jj_ref, gr_ref, gg_ref, gb_ref, scene_hbm,
     bounds_ref, cam_ref,
-    dscene_ref, dcam_ref,
+    loss_ref, dscene_ref, dcam_ref,
     buf0, buf1, sem0, sem1, *scratch,
     samples: int, max_depth: int, seed: int, dtype, block: int,
-    n_blocks: int, n_groups: int,
+    n_blocks: int, n_groups: int, mse: bool = False,
+    num_pixels: int = 0,
 ):
+    """``mse=False``: gr/gg/gb rows are the upstream cotangent g_acc;
+    loss output stays 0. ``mse=True`` (the FUSED train step): gr/gg/gb
+    rows carry the TARGET image instead; a render pass (same walk, same
+    RNG streams) accumulates the radiance, derives the MSE cotangent
+    in-kernel, and banks the tile's partial loss — one Mosaic program
+    for the whole value_and_grad (the two-program composition pays a
+    tunnel dispatch per phase; see make_mse_train's 14x for the VMEM
+    analog)."""
     ray_scr = scratch[0]
     t_refs = list(scratch[1:1 + n_groups])
     p_refs = list(scratch[1 + n_groups:1 + 2 * n_groups])
@@ -174,7 +183,6 @@ def _stream_grad_kernel(
     fi = ii_ref[0, :, :]
     fj = jj_ref[0, :, :]
     shape = pixel_ids.shape
-    g = Vec3(gr_ref[0, :, :], gg_ref[0, :, :], gb_ref[0, :, :])
     cam_vals = tuple(cam_ref[0, k] for k in range(_N_CAM))
     use_defocus = cam_ref[0, 18] > 0.5
     n_total = n_blocks * block
@@ -184,6 +192,62 @@ def _stream_grad_kernel(
         dscene_ref[:, :] = jnp.zeros((n_total, NUM_COLS), dtype)
         for k in range(_CAM_COLS):
             dcam_ref[0, k] = 0.0
+        loss_ref[0, 0] = 0.0
+
+    def hit_stream(o, d):
+        return _hit_world_stream(
+            scene_hbm, bounds_ref, (buf0, buf1), (sem0, sem1),
+            o, d, n_blocks, block, dtype, t_refs, p_refs, ray_scr,
+        )
+
+    if mse:
+        # ---- render pass: accumulate radiance, derive the cotangent --
+        target = Vec3(gr_ref[0, :, :], gg_ref[0, :, :], gb_ref[0, :, :])
+        cam_primal = _camera_from_scalars(cam_vals, use_defocus)
+
+        def render_sample(s_i, acc):
+            s_u = s_i.astype(jnp.uint32)
+            o0, d0 = primary_rays_from_ij(
+                cam_primal, fi, fj, pixel_ids, s_u, key, dtype
+            )
+
+            def body(b, st):
+                o, d, atten, alive_f, ax, ay, az = st
+                b_u = b.astype(jnp.uint32)
+                (hit, t, wc, wr, walb, wfuzz, wior, wmat, sid) = (
+                    hit_stream(o, d)
+                )
+                (o2, d2, at2, al2), contrib = _winner_bounce(
+                    wc, wr, walb, wfuzz, wior, wmat, hit,
+                    o, d, atten, alive_f, pixel_ids, s_u, b_u, key,
+                    dtype,
+                )
+                return (o2, d2, at2, al2,
+                        ax + contrib.x, ay + contrib.y, az + contrib.z)
+
+            init = (o0, d0,
+                    Vec3.full(shape, 1.0, 1.0, 1.0, dtype=dtype),
+                    jnp.ones(shape, dtype), acc[0], acc[1], acc[2])
+            fin = lax.fori_loop(0, max_depth, body, init)
+            return fin[4], fin[5], fin[6]
+
+        zero = jnp.zeros(shape, dtype)
+        acc = lax.fori_loop(0, samples, render_sample,
+                            (zero, zero, zero))
+        inv_spp = 1.0 / samples
+        img = Vec3(acc[0] * inv_spp, acc[1] * inv_spp, acc[2] * inv_spp)
+        valid = (pixel_ids < jnp.uint32(num_pixels)).astype(dtype)
+        dx = (img.x - target.x) * valid
+        dy = (img.y - target.y) * valid
+        dz = (img.z - target.z) * valid
+        inv_n = 1.0 / (num_pixels * 3)
+        scale = 2.0 * inv_n * inv_spp       # dL/dimg chained to acc
+        g = Vec3(dx * scale, dy * scale, dz * scale)
+        loss_ref[0, 0] = loss_ref[0, 0] + jnp.sum(
+            (dx * dx + dy * dy + dz * dz) * inv_n
+        )
+    else:
+        g = Vec3(gr_ref[0, :, :], gg_ref[0, :, :], gb_ref[0, :, :])
 
     def one_sample(s_i, d_cam_acc):
         s_u = s_i.astype(jnp.uint32)
@@ -303,15 +367,16 @@ def _stream_grad_kernel(
         dcam_ref[0, k] = dcam_ref[0, k] + d_cam[k]
 
 
-def render_pallas_stream_grads(
+def _stream_grad_program(
     stream: StreamScene,
     cam_cfg: CameraConfig,
-    g_acc: jnp.ndarray,
+    rows3: jnp.ndarray,
     img_width: int,
     img_height: int,
     samples_per_pixel: int,
     max_depth: int,
     *,
+    mse: bool,
     seed: int = rtrng.DEFAULT_SEED,
     dtype=jnp.float32,
     ray_tile: int = 256,
@@ -319,11 +384,10 @@ def render_pallas_stream_grads(
     mesh=None,
     interpret: bool = False,
 ):
-    """Cotangents for an upstream ``g_acc`` (H, W, 3) in the ACCUMULATED
-    radiance domain: (d_stream_matrix (N, 16) in STREAM row order,
-    d_camera_row (1, 24)). Map the former back to Scene order with
-    stream_grads_to_scene_mat. Non-RR estimator only (like the VMEM
-    backward)."""
+    """Shared driver for both grad entry points. ``rows3`` (H, W, 3) is
+    the upstream cotangent g_acc (mse=False) or the target image
+    (mse=True). Returns (loss (1,1), d_stream_matrix (N, 16) in STREAM
+    row order, d_camera_row (1, 24))."""
     cam = initialize(cam_cfg, img_width, img_height)
     num_pixels = img_width * img_height
     n_shards = (
@@ -339,7 +403,7 @@ def render_pallas_stream_grads(
     ii2 = ii.reshape(n_tiles, 1, ray_tile)
     jj2 = jj.reshape(n_tiles, 1, ray_tile)
 
-    g_flat = g_acc.reshape(num_pixels, 3).astype(dtype)
+    g_flat = rows3.reshape(num_pixels, 3).astype(dtype)
     g_pad = jnp.zeros((padded, 3), dtype).at[:num_pixels].set(g_flat)
     gr = g_pad[:, 0].reshape(n_tiles, 1, ray_tile)
     gg = g_pad[:, 1].reshape(n_tiles, 1, ray_tile)
@@ -364,6 +428,8 @@ def render_pallas_stream_grads(
         block=block,
         n_blocks=n_blocks,
         n_groups=n_groups,
+        mse=mse,
+        num_pixels=num_pixels,
     )
 
     def run(ids_arr, ii_arr, jj_arr, g_r, g_g, g_b, scene_m, bounds_m,
@@ -384,12 +450,15 @@ def render_pallas_stream_grads(
                              memory_space=pltpu.SMEM),
             ],
             out_specs=(
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
                 pl.BlockSpec((n_total, NUM_COLS), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, _CAM_COLS), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
             ),
             out_shape=(
+                jax.ShapeDtypeStruct((1, 1), dtype),
                 jax.ShapeDtypeStruct((n_total, NUM_COLS), dtype),
                 jax.ShapeDtypeStruct((1, _CAM_COLS), dtype),
             ),
@@ -434,13 +503,59 @@ def render_pallas_stream_grads(
             run_psum, mesh=mesh,
             in_specs=(P(axes), P(axes), P(axes),
                       P(axes), P(axes), P(axes), P(), P(), P()),
-            out_specs=(P(), P()),
+            out_specs=(P(), P(), P()),
             check_vma=False,
         )
         return sharded(ids2, ii2, jj2, gr, gg, gb, stream.scene_mat,
                        stream.bounds, cam_row)
     return run(ids2, ii2, jj2, gr, gg, gb, stream.scene_mat,
                stream.bounds, cam_row)
+
+
+def render_pallas_stream_grads(
+    stream: StreamScene,
+    cam_cfg: CameraConfig,
+    g_acc: jnp.ndarray,
+    img_width: int,
+    img_height: int,
+    samples_per_pixel: int,
+    max_depth: int,
+    **kw,
+):
+    """Cotangents for an upstream ``g_acc`` (H, W, 3) in the ACCUMULATED
+    radiance domain: (d_stream_matrix (N, 16) in STREAM row order,
+    d_camera_row (1, 24)). Map the former back to Scene order with
+    stream_grads_to_scene_mat. Non-RR estimator only (like the VMEM
+    backward)."""
+    _, d_stream, d_cam = _stream_grad_program(
+        stream, cam_cfg, g_acc, img_width, img_height,
+        samples_per_pixel, max_depth, mse=False, **kw,
+    )
+    return d_stream, d_cam
+
+
+def mse_train_stream(
+    stream: StreamScene,
+    cam_cfg: CameraConfig,
+    target: jnp.ndarray,
+    img_width: int,
+    img_height: int,
+    samples_per_pixel: int,
+    max_depth: int,
+    **kw,
+):
+    """FUSED streaming MSE value-and-grad: ONE Mosaic program renders
+    (linear radiance, gamma off), computes the MSE loss vs ``target``
+    (H, W, 3), derives the cotangent in-kernel, and runs the
+    winner-replay reverse sweep. Returns (loss scalar, d_stream_matrix
+    (N, 16) STREAM order, d_camera_row (1, 24)). Saves a per-phase
+    tunnel dispatch vs composing the forward and grad programs (the
+    VMEM analog, make_mse_train, measured 14x on v5e)."""
+    loss, d_stream, d_cam = _stream_grad_program(
+        stream, cam_cfg, target, img_width, img_height,
+        samples_per_pixel, max_depth, mse=True, **kw,
+    )
+    return loss[0, 0], d_stream, d_cam
 
 
 def stream_grads_to_scene_mat(d_stream: jnp.ndarray, stream: StreamScene,

@@ -112,8 +112,9 @@ def make_renderer(cfg: RenderConfig, n_devices: int = 0):
             return render_pallas_stream(
                 stream, cam_cfg, cfg.width, cfg.height, cfg.samples,
                 cfg.bounces, seed=cfg.seed, rr_start=cfg.rr_start,
-                lane_group=lane_group, mesh=pallas_mesh,
-                interpret=interpret,
+                lane_group=lane_group,
+                pixels_per_lane=cfg.effective_pixels_per_lane(),
+                mesh=pallas_mesh, interpret=interpret,
             )
 
         return stream_renderer

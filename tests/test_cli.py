@@ -79,6 +79,37 @@ def test_scene_file_render(tmp_path):
     assert arr.max() > 100
 
 
+@pytest.mark.slow
+def test_impl_stream_render(tmp_path):
+    """--impl stream: the HBM-streamed path through the public CLI
+    surface (interpret mode on CPU), image close to the oracle's."""
+    r = run_cli("--scene_id", "2", "--width", "40", "--height", "24",
+                "--samples", "2", "--bounces", "4", "--impl", "stream",
+                cwd=tmp_path)
+    assert r.returncode == 0, r.stderr
+    out = tmp_path / RenderConfig(
+        scene_id=2, width=40, height=24, samples=2, bounces=4
+    ).output_filename()
+    assert out.exists()
+    arr, _ = read_ppm(str(out))
+
+    ro = run_cli("--scene_id", "2", "--width", "40", "--height", "24",
+                 "--samples", "2", "--bounces", "4", "--impl", "oracle",
+                 cwd=tmp_path)
+    assert ro.returncode == 0, ro.stderr
+    arr_o, _ = read_ppm(str(out))
+    # Two different PROGRAMS (separate CLI processes): the camera row's
+    # cross-program fusion channel (UPSTREAM_ISSUES.md #7) can flip a
+    # knife-edge hit on ~0.1% of pixels, changing a whole sample there —
+    # never assert bit-equality across programs. In-program bit parity
+    # vs the oracle is pinned by test_stream.py; here assert statistical
+    # agreement.
+    d = np.abs(arr.astype(int) - arr_o.astype(int))
+    assert (d > 1).mean() < 0.01 and d.mean() < 1.0, (
+        d.max(), (d > 1).mean(), d.mean()
+    )
+
+
 def test_config_validation():
     with pytest.raises(ValueError):
         RenderConfig(scene_id=1, width=0)

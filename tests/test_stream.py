@@ -48,6 +48,21 @@ def test_stream_big_scene_sorted_and_unsorted(default_camera):
 
 
 @pytest.mark.slow
+def test_multi_pixel_lanes_match(default_camera):
+    """pixels_per_lane K > 1 (lane works K pixels sequentially) must
+    reproduce the K=1 stream image exactly — same per-pixel RNG streams,
+    assignment is bookkeeping (mirrors the VMEM kernel's contract)."""
+    big = build_random_scene(300, pad_to_multiple=128, half_extent=10.0)
+    stream = prepare_stream_scene(big, block=64)
+    kw = dict(ray_tile=64, interpret=True)
+    img1 = np.asarray(render_pallas_stream(
+        stream, default_camera, W, H, 2, 4, pixels_per_lane=1, **kw))
+    img4 = np.asarray(render_pallas_stream(
+        stream, default_camera, W, H, 2, 4, pixels_per_lane=4, **kw))
+    assert np.array_equal(img1, img4)
+
+
+@pytest.mark.slow
 def test_lane_group_bit_identical(default_camera):
     """Per-lane-group culling only changes WHICH non-improving block
     batches are skipped — the image must be bit-identical to whole-wave

@@ -59,7 +59,45 @@ def test_build_stream_arrays_matches_host(small_scene):
 
 
 @pytest.mark.slow
-def test_stream_train_recovers_albedo(small_scene):
+def test_fused_matches_two_program(small_scene):
+    """mse_train_stream's one-kernel loss + grads must match the eager
+    composition (render -> MSE cotangent -> render_pallas_stream_grads)
+    bit-for-bit up to float association of the loss reduce."""
+    from raytracingincuda_tpu.ops.pallas_stream_backward import (
+        mse_train_stream, render_pallas_stream_grads,
+    )
+
+    cam = CameraConfig.reference_default()
+    stream = prepare_stream_scene(small_scene, block=32)
+    target = render_pallas_stream(
+        stream, cam, W, H, SPP, DEPTH, gamma=False, ray_tile=128,
+        interpret=True,
+    ) * 0.9  # nonzero residual
+
+    loss_f, ds_f, dc_f = mse_train_stream(
+        stream, cam, target, W, H, SPP, DEPTH, ray_tile=128,
+        interpret=True,
+    )
+
+    img = render_pallas_stream(stream, cam, W, H, SPP, DEPTH,
+                               gamma=False, ray_tile=128, interpret=True)
+    n = W * H * 3
+    g_acc = (2.0 / n) * (img - target) / SPP
+    ds_e, dc_e = render_pallas_stream_grads(
+        stream, cam, g_acc, W, H, SPP, DEPTH, ray_tile=128,
+        interpret=True,
+    )
+    loss_e = float(jnp.mean((img - target) ** 2))
+    assert abs(float(loss_f) - loss_e) < 1e-7 * max(1.0, loss_e)
+    np.testing.assert_allclose(np.asarray(ds_f), np.asarray(ds_e),
+                               rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(dc_f), np.asarray(dc_e),
+                               rtol=1e-5, atol=1e-8)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("fused", [False, True])
+def test_stream_train_recovers_albedo(small_scene, fused):
     cam = CameraConfig.reference_default()
     stream = prepare_stream_scene(small_scene, block=32)
     target = render_pallas_stream(
@@ -83,7 +121,7 @@ def test_stream_train_recovers_albedo(small_scene):
 
     init_fn, step_fn = make_stream_train(
         stream, W, H, SPP, DEPTH, learning_rate=0.1,
-        trainable=trainable, interpret=True,
+        trainable=trainable, interpret=True, fused=fused,
     )
     state = init_fn(params0)
     losses = []
