@@ -215,7 +215,7 @@ def make_stream_train(
     trainable=None,
     seed: int = 1227,
     lane_group: int = 0,
-    fused: bool = True,
+    fused: bool = False,
     mesh=None,
     interpret: Optional[bool] = None,
 ):
@@ -224,14 +224,16 @@ def make_stream_train(
     Returns (init_fn, step_fn); step_fn(state, cam_cfg, mat_type,
     active, target) -> (state, loss), like make_train_step.
 
-    ``fused=True`` (default): the whole value_and_grad + optimizer
-    update is ONE jitted program around the fused streaming MSE kernel
-    (mse_train_stream: render pass + reverse sweep in one Mosaic
-    program) — one device dispatch per step. ``fused=False``: forward
-    render and gradient sweep as separate Mosaic kernels (the compile
-    service accepts one kernel per program, UPSTREAM_ISSUES.md #3), so
-    the step runs TWO jitted programs composed eagerly — kept for
-    A/B-ing and for callers that want the rendered image per step.
+    ``fused=False`` (default): forward render and gradient sweep as
+    separate Mosaic kernels (one kernel per program under the compile
+    service, UPSTREAM_ISSUES.md #3), composed eagerly — measured FASTER
+    (2452 vs 2682 ms/step at 10k spheres 640x384x4spp/d6,
+    stream_fused.jsonl): the regen forward terminates dead lanes early
+    while the fused kernel's render pass walks the full spp x depth,
+    and tunnel dispatch between two async jit calls is negligible.
+    ``fused=True``: the whole value_and_grad + optimizer update is ONE
+    jitted program around mse_train_stream — for embedding the step in
+    a larger jit; identical losses and gradients.
 
     The Morton permutation and block assignment are FROZEN from the
     ``stream`` argument (prepare_stream_scene); each step rebuilds the

@@ -109,11 +109,14 @@ def make_renderer(cfg: RenderConfig, n_devices: int = 0):
                 # groups -5% at 100k spheres, +13% at 10k)
                 n_act = int(stream.perm.shape[0])
                 lane_group = 256 if n_act >= 50_000 else 0
+            # stream waves are O(N) block walks, so the K tail-shrink is
+            # worth more than on the VMEM kernel: K=8 wins already at
+            # 10 spp (stream_kpl.jsonl: 10k 3.2->1.9s, 100k 17.3->9.5s)
+            kpl = 8 if cfg.samples >= 8 else cfg.effective_pixels_per_lane()
             return render_pallas_stream(
                 stream, cam_cfg, cfg.width, cfg.height, cfg.samples,
                 cfg.bounces, seed=cfg.seed, rr_start=cfg.rr_start,
-                lane_group=lane_group,
-                pixels_per_lane=cfg.effective_pixels_per_lane(),
+                lane_group=lane_group, pixels_per_lane=kpl,
                 mesh=pallas_mesh, interpret=interpret,
             )
 
