@@ -39,7 +39,7 @@ def main():
     for n, lg in ((10_000, 0), (100_000, 256)):
         scene = build_random_scene(n, seed=3)
         stream = prepare_stream_scene(scene, block=256)
-        for k in (1, 4, 8):
+        for k in (64,):
             f = jax.jit(lambda s=stream, k=k: render_pallas_stream(
                 s, cam, W, H, SPP, DEPTH, lane_group=lg,
                 pixels_per_lane=k, gamma=False))

@@ -26,13 +26,19 @@ def main() -> int:
     ap.add_argument("--bounces", type=int, default=6)
     ap.add_argument("--lr", type=float, default=2e-2)
     ap.add_argument("--platform", default=None)
-    ap.add_argument("--impl", choices=["oracle", "pallas", "fused"],
+    ap.add_argument("--impl",
+                    choices=["oracle", "pallas", "fused", "stream"],
                     default="oracle",
                     help="pallas: Pallas forward + Pallas backward kernel "
                          "(TPU; the train loop stays unjitted at top level "
                          "— one Mosaic kernel per program). fused: ONE "
                          "kernel computes loss AND grads, so the whole "
-                         "step jits end-to-end (fastest on TPU)")
+                         "step jits end-to-end (fastest on TPU). stream: "
+                         "the HBM-streamed kernels — works for scenes far "
+                         "beyond VMEM (try --n_spheres 10000)")
+    ap.add_argument("--n_spheres", type=int, default=0,
+                    help="impl=stream: train on a random scene of this "
+                         "size instead of scene 2")
     ap.add_argument("--out", default="recovered.ppm")
     args = ap.parse_args()
 
@@ -52,12 +58,29 @@ def main() -> int:
     from raytracingincuda_tpu.utils.ppm import write_ppm
 
     W, H = args.width, args.height
-    true_scene = build_scene(2, pad_to_multiple=64)
+    if args.impl == "stream" and args.n_spheres:
+        from raytracingincuda_tpu.models.scene import build_random_scene
+
+        true_scene = build_random_scene(args.n_spheres, seed=3)
+    else:
+        true_scene = build_scene(2, pad_to_multiple=64)
     cam = CameraConfig.reference_default()
 
     print("rendering target...", file=sys.stderr)
-    target = render(true_scene, cam, W, H, args.samples, args.bounces,
-                    gamma=False)
+    if args.impl == "stream":
+        from raytracingincuda_tpu.ops.pallas_stream import (
+            prepare_stream_scene, render_pallas_stream,
+        )
+
+        stream = prepare_stream_scene(true_scene)
+        interp = jax.default_backend() == "cpu"
+        target = render_pallas_stream(
+            stream, cam, W, H, args.samples, args.bounces, gamma=False,
+            interpret=interp,
+        )
+    else:
+        target = render(true_scene, cam, W, H, args.samples,
+                        args.bounces, gamma=False)
 
     # start from flat gray albedos
     gray = jnp.full_like(true_scene.params.albedo.x, 0.5)
@@ -69,16 +92,22 @@ def main() -> int:
         center=Vec3(False, False, False), radius=False,
         albedo=Vec3(True, True, True), fuzz=False, ior=False,
     )
-    init_fn, step_fn = gradlib.make_train_step(
-        W, H, args.samples, args.bounces,
-        learning_rate=args.lr, trainable=trainable, impl=args.impl,
-    )
+    if args.impl == "stream":
+        init_fn, step_fn = gradlib.make_stream_train(
+            stream, W, H, args.samples, args.bounces,
+            learning_rate=args.lr, trainable=trainable,
+        )
+    else:
+        init_fn, step_fn = gradlib.make_train_step(
+            W, H, args.samples, args.bounces,
+            learning_rate=args.lr, trainable=trainable, impl=args.impl,
+        )
     if args.impl in ("oracle", "fused"):
         step_fn = jax.jit(step_fn)
-    # impl=pallas: fwd and bwd are separately jitted programs inside the
-    # custom VJP; jitting the whole step would put two Mosaic kernels in
-    # one program (rejected by the TPU compile service). impl=fused is
-    # a single kernel, so the whole step (optimizer included) jits.
+    # impl=pallas/stream: fwd and bwd are separately jitted programs; a
+    # top-level jit would put two Mosaic kernels in one program (rejected
+    # by the TPU compile service). impl=fused is a single kernel, so the
+    # whole step (optimizer included) jits.
     state = init_fn(init_params)
 
     for i in range(args.steps):

@@ -117,27 +117,63 @@ def budgets_from_error(
 def _make_phases(
     img_width, img_height, max_depth, base_spp, max_spp, tol, seed, gamma,
     ray_tile, mesh, interpret, rr_start, legacy_sky, rounds=1,
+    stream_block=0, stream_lane_group=0,
 ):
     """Jitted phase programs for one adaptive config. Each phase holds at
     most ONE Mosaic kernel (TPU compile-service constraint); host glue
-    (error map, budgets, bucket order, normalization) jits separately."""
+    (error map, budgets, bucket order, normalization) jits separately.
+
+    ``stream_block`` > 0 selects the STREAMING-HBM kernel: each phase then
+    takes a StreamScene instead of a Scene (the block size is part of the
+    cached config; the matrix/bounds arrays are call-time inputs)."""
     half = base_spp // 2
     # multi-pixel lanes flatten the refine pass's extreme per-lane budget
     # variance (pixels_per_lane=8 measured best at high spp; K must keep
     # lanes*K <= padded pixels, trivially true here)
     kpl = 8 if not legacy_sky else 1
-    common = dict(
-        img_width=img_width, img_height=img_height, max_depth=max_depth,
-        seed=seed, gamma=False, ray_tile=ray_tile, mesh=mesh,
-        interpret=interpret, accumulate_only=True, rr_start=rr_start,
-        legacy_sky=legacy_sky, pixels_per_lane=kpl,
-    )
-    probe_a = jax.jit(functools.partial(
-        render_pallas, samples_per_pixel=half, sample_offset=0, **common,
-    ))
-    probe_b = jax.jit(functools.partial(
-        render_pallas, samples_per_pixel=half, sample_offset=half, **common,
-    ))
+
+    if stream_block > 0:
+        from .pallas_stream import StreamScene, render_pallas_stream
+
+        common_stream = dict(
+            img_width=img_width, img_height=img_height,
+            max_depth=max_depth, seed=seed, gamma=False,
+            ray_tile=ray_tile, mesh=mesh, interpret=interpret,
+            accumulate_only=True, rr_start=rr_start,
+            pixels_per_lane=kpl, lane_group=stream_lane_group,
+        )
+
+        def make_phase(spp, soff):
+            @jax.jit
+            def run(sm, bd, cam_cfg, sample_budgets=None,
+                    pixel_order=None):
+                st = StreamScene(sm, bd, stream_block)
+                return render_pallas_stream(
+                    st, cam_cfg, samples_per_pixel=spp,
+                    sample_offset=soff, sample_budgets=sample_budgets,
+                    pixel_order=pixel_order, **common_stream,
+                )
+
+            return lambda st, cam, **kw: run(
+                st.scene_mat, st.bounds, cam, **kw
+            )
+    else:
+        common = dict(
+            img_width=img_width, img_height=img_height,
+            max_depth=max_depth, seed=seed, gamma=False,
+            ray_tile=ray_tile, mesh=mesh, interpret=interpret,
+            accumulate_only=True, rr_start=rr_start,
+            legacy_sky=legacy_sky, pixels_per_lane=kpl,
+        )
+
+        def make_phase(spp, soff):
+            return jax.jit(functools.partial(
+                render_pallas, samples_per_pixel=spp,
+                sample_offset=soff, **common,
+            ))
+
+    probe_a = make_phase(half, 0)
+    probe_b = make_phase(half, half)
 
     num_pixels = img_width * img_height
     n_shards = 1
@@ -188,22 +224,15 @@ def _make_phases(
     # (pixel p's next contiguous id would be base+extra_p — dynamic) while
     # keeping every sample an independent draw and the mean unbiased.
     if rounds == 1:
-        refines = (jax.jit(functools.partial(
-            render_pallas, samples_per_pixel=max(max_extra_cap, 1),
-            sample_offset=base_spp, **common,
-        )),)
+        refines = (make_phase(max(max_extra_cap, 1), base_spp),)
     else:
         w_cap = max(max_extra_cap, 2)
         refines = tuple(
             (
-                jax.jit(functools.partial(
-                    render_pallas, samples_per_pixel=max(w_cap // 2, 1),
-                    sample_offset=base_spp + (2 * r) * w_cap, **common,
-                )),
-                jax.jit(functools.partial(
-                    render_pallas, samples_per_pixel=max(w_cap // 2, 1),
-                    sample_offset=base_spp + (2 * r + 1) * w_cap, **common,
-                )),
+                make_phase(max(w_cap // 2, 1),
+                           base_spp + (2 * r) * w_cap),
+                make_phase(max(w_cap // 2, 1),
+                           base_spp + (2 * r + 1) * w_cap),
             )
             for r in range(rounds)
         )
@@ -237,6 +266,8 @@ def render_adaptive(
     rr_start: Optional[int] = None,
     legacy_sky: bool = False,
     rounds: int = 1,
+    stream=None,
+    stream_lane_group: int = 0,
 ) -> AdaptiveResult:
     """Adaptive render: probe at base_spp, refine noisy pixels to max_spp.
 
@@ -253,9 +284,15 @@ def render_adaptive(
         raise ValueError("base_spp must be even (two half-buffers)")
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
+    if stream is not None:
+        if legacy_sky:
+            raise ValueError("streamed adaptive has no legacy_sky")
+        scene = stream        # phases take the StreamScene
     probe_a, probe_b, plan, refines, finish = _make_phases(
         img_width, img_height, max_depth, base_spp, max_spp, tol, seed,
         gamma, ray_tile, mesh, interpret, rr_start, legacy_sky, rounds,
+        stream_block=(stream.block if stream is not None else 0),
+        stream_lane_group=stream_lane_group,
     )
 
     a_cum = probe_a(scene, cam_cfg)

@@ -420,12 +420,21 @@ def render_pallas_stream(
     rr_start=None,
     lane_group: int = 0,
     pixels_per_lane: int = 1,
+    sample_offset: int = 0,
+    sample_budgets=None,
+    pixel_order=None,
+    accumulate_only: bool = False,
     mesh=None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Render a prepared StreamScene with the regeneration kernel and the
     double-buffered HBM block loop. Same estimator and RNG streams as
-    render_pallas (the bounce/scatter math is literally _regen_body)."""
+    render_pallas (the bounce/scatter math is literally _regen_body).
+
+    ``sample_offset`` / ``sample_budgets`` / ``pixel_order`` /
+    ``accumulate_only`` follow render_pallas's contract exactly (they
+    feed the same _regen_body budget machinery), which lets the adaptive
+    sampler (ops/adaptive.py) drive streamed scenes."""
     cam = initialize(cam_cfg, img_width, img_height)
     kpl = pixels_per_lane
     num_pixels = img_width * img_height
@@ -438,14 +447,36 @@ def render_pallas_stream(
         # multi-pixel lanes carry the current pixel id as f32
         raise ValueError("pixels_per_lane > 1 supports images < 16M pixels")
 
-    ids = jnp.arange(padded, dtype=jnp.uint32)
+    if pixel_order is not None:
+        assert pixel_order.shape == (padded,), (
+            f"pixel_order must have shape ({padded},), "
+            f"got {pixel_order.shape}"
+        )
+        ids = jnp.asarray(pixel_order, jnp.uint32)
+        use_sort = True
+    else:
+        ids = jnp.arange(padded, dtype=jnp.uint32)
+        use_sort = False
     ii = (ids % jnp.uint32(img_width)).astype(dtype)
     jj = (ids // jnp.uint32(img_width)).astype(dtype)
     ids2 = ids.reshape(n_tiles, kpl, ray_tile)
     ii2 = ii.reshape(n_tiles, kpl, ray_tile)
     jj2 = jj.reshape(n_tiles, kpl, ray_tile)
-    bud2 = jnp.full((n_tiles, kpl, ray_tile),
-                    float(samples_per_pixel), dtype)
+    if sample_budgets is not None:
+        nb = jnp.asarray(sample_budgets).astype(dtype).reshape(-1)
+        if nb.shape != (num_pixels,):
+            raise ValueError(
+                f"sample_budgets must have shape ({num_pixels},)"
+            )
+        nb_padded = jnp.zeros((padded,), dtype).at[:num_pixels].set(nb)
+        budget_row = (
+            float(sample_offset) + nb_padded[ids.astype(jnp.int32)]
+        )
+    else:
+        budget_row = jnp.full(
+            (padded,), float(sample_offset + samples_per_pixel), dtype
+        )
+    bud2 = budget_row.reshape(n_tiles, kpl, ray_tile)
 
     cam_row = pack_camera(cam, dtype)
     block = stream.block
@@ -465,7 +496,7 @@ def render_pallas_stream(
         block=block,
         n_blocks=n_blocks,
         rr_start=rr_start,
-        sample_offset=0,
+        sample_offset=sample_offset,
         n_groups=n_groups,
         k_pixels=kpl,
     )
@@ -535,6 +566,13 @@ def render_pallas_stream(
          acc_b.reshape(padded)],
         axis=-1,
     )
+    if use_sort:
+        # un-permute: lane i rendered pixel ids[i]
+        acc = jnp.zeros_like(acc).at[ids.astype(jnp.int32)].set(acc)
+    if accumulate_only:
+        # raw radiance sum over this pass's sample range (adaptive /
+        # incremental callers normalize by their own per-pixel counts)
+        return acc[:num_pixels].reshape(img_height, img_width, 3)
     img = acc[:num_pixels] * jnp.asarray(1.0 / samples_per_pixel, dtype)
     if gamma:
         img = _linear_to_gamma(img)

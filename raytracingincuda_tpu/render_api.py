@@ -63,14 +63,33 @@ def make_renderer(cfg: RenderConfig, n_devices: int = 0):
 
         interpret = jax.default_backend() == "cpu"
         pallas_mesh = meshlib.make_mesh(n_devices) if n_devices > 1 else None
+        adaptive_stream_cache: dict = {}
 
         def adaptive_renderer(scene, cam_cfg):
+            # scenes beyond the VMEM kernel's capacity (~5k spheres)
+            # route through the streaming-HBM kernel automatically —
+            # adaptive budgets work identically on both (same budget-row
+            # machinery in _regen_body)
+            stream = None
+            if scene.num_slots > 4096:
+                from .ops.pallas_stream import prepare_stream_scene
+
+                key = tuple(
+                    id(x) for x in jax.tree_util.tree_leaves(scene)
+                )
+                stream = adaptive_stream_cache.get(key)
+                if stream is None:
+                    adaptive_stream_cache.clear()
+                    stream = prepare_stream_scene(
+                        scene, block=cfg.stream_block
+                    )
+                    adaptive_stream_cache[key] = stream
             return render_adaptive(
                 scene, cam_cfg, cfg.width, cfg.height, cfg.bounces,
                 base_spp=cfg.samples, max_spp=cfg.effective_max_samples,
                 tol=cfg.adaptive_tol, seed=cfg.seed,
                 legacy_sky=cfg.legacy_sky, rr_start=cfg.rr_start,
-                rounds=cfg.adaptive_rounds,
+                rounds=cfg.adaptive_rounds, stream=stream,
                 mesh=pallas_mesh, interpret=interpret,
             ).image
 
@@ -110,9 +129,10 @@ def make_renderer(cfg: RenderConfig, n_devices: int = 0):
                 n_act = int(stream.perm.shape[0])
                 lane_group = 256 if n_act >= 50_000 else 0
             # stream waves are O(N) block walks, so the K tail-shrink is
-            # worth more than on the VMEM kernel: K=8 wins already at
-            # 10 spp (stream_kpl.jsonl: 10k 3.2->1.9s, 100k 17.3->9.5s)
-            kpl = 8 if cfg.samples >= 8 else cfg.effective_pixels_per_lane()
+            # worth far more than on the VMEM kernel; K=32 is the knee
+            # (stream_kpl.jsonl: 10k 3.2->1.71s, 100k 17.3->8.17s;
+            # K=64 regresses)
+            kpl = 32 if cfg.samples >= 8 else cfg.effective_pixels_per_lane()
             return render_pallas_stream(
                 stream, cam_cfg, cfg.width, cfg.height, cfg.samples,
                 cfg.bounces, seed=cfg.seed, rr_start=cfg.rr_start,

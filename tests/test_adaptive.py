@@ -111,6 +111,67 @@ def test_adaptive_end_to_end(tiny_scene, default_camera):
 
 
 @pytest.mark.slow
+def test_stream_multipass_accumulation_exact(default_camera):
+    """Counter-RNG multi-pass exactness on the STREAM kernel: samples
+    [0,4) + [4,12) accumulated in two passes equal the single 12-spp
+    pass (same eager program family — cross-program comparisons are
+    invalid, UPSTREAM_ISSUES.md #7)."""
+    from raytracingincuda_tpu.models.scene import build_random_scene
+    from raytracingincuda_tpu.ops.pallas_stream import (
+        prepare_stream_scene, render_pallas_stream,
+    )
+
+    scene = build_random_scene(200, half_extent=10.0)
+    stream = prepare_stream_scene(scene, block=64)
+    kw = dict(ray_tile=128, interpret=True, pixels_per_lane=8,
+              gamma=False)
+    uni = np.asarray(render_pallas_stream(
+        stream, default_camera, W, H, 12, D, **kw))
+    a = np.asarray(render_pallas_stream(
+        stream, default_camera, W, H, 4, D, accumulate_only=True, **kw))
+    c = np.asarray(render_pallas_stream(
+        stream, default_camera, W, H, 8, D, sample_offset=4,
+        accumulate_only=True, **kw))
+    np.testing.assert_allclose((a + c) / 12.0, uni, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_adaptive_on_stream_scene(default_camera):
+    """Adaptive sampling drives the STREAMING-HBM kernel end-to-end;
+    zero-extra pixels must equal gamma((A+B)/base) of the SAME phase
+    programs (the vmem test's consistency-by-construction check)."""
+    import jax.numpy as jnp
+
+    from raytracingincuda_tpu.models.scene import build_random_scene
+    from raytracingincuda_tpu.ops.adaptive import _make_phases
+    from raytracingincuda_tpu.ops.pallas_stream import (
+        prepare_stream_scene,
+    )
+
+    scene = build_random_scene(200, half_extent=10.0)
+    stream = prepare_stream_scene(scene, block=64)
+    res = render_adaptive(
+        scene, default_camera, W, H, D, base_spp=4, max_spp=16,
+        tol=0.1, ray_tile=128, interpret=True, stream=stream,
+    )
+    img = np.asarray(res.image)
+    spp = np.asarray(res.spp_map)
+    assert np.isfinite(img).all()
+    assert spp.min() >= 4 and spp.max() <= 16
+    assert spp.max() > spp.min()
+
+    pa, pb, _plan, _r, _f = _make_phases(
+        W, H, D, 4, 16, 0.1, 1227, True, 128, None, True, None, False,
+        1, stream_block=64, stream_lane_group=0,
+    )
+    a = pa(stream, default_camera)
+    b = pb(stream, default_camera)
+    base = np.sqrt(np.maximum(np.asarray(a + b) / 4.0, 0.0))
+    mask = spp == 4
+    np.testing.assert_allclose(img[mask], base[mask], atol=1e-6)
+
+
+@pytest.mark.slow
 def test_adaptive_multi_round(tiny_scene, default_camera):
     """rounds=2: re-estimates error after the first refine and refines
     again from a disjoint sample-id window; counts stay within
