@@ -207,10 +207,19 @@ def _read_tile_refs(ids_ref, ii_ref, jj_ref, scene_ref, cam_ref):
 
 def _tile_grad_sweep(scene_mat, cx, cy, cz, rc, active_col, cam_vals,
                      use_defocus, pixel_ids, fi, fj, g, key, st_ref,
-                     *, samples: int, max_depth: int, dtype):
+                     *, samples: int, max_depth: int, dtype,
+                     remat: bool = False):
     """Per-tile gradient accumulation for an upstream image cotangent ``g``
     (Vec3 of (1, R) rows, accumulated-radiance domain): per-sample forward
-    sweep parking residuals in ``st_ref``, then the reverse vjp sweep."""
+    sweep parking residuals in ``st_ref``, then the reverse vjp sweep.
+
+    ``remat=True`` wraps the bounce body in ``jax.checkpoint`` before the
+    vjp: the transpose then recomputes the (N, R) hit-test intermediates
+    near their use instead of keeping ~20 of them live across the
+    forward/transpose boundary. Interpret-mode only for now: real Mosaic
+    cannot lower remat2 inside a kernel (docs/UPSTREAM_ISSUES.md #9,
+    benchmarks/results/bwd_remat.jsonl), so on hardware ray_tile stays
+    VMEM-bounded at 256."""
     shape = pixel_ids.shape
     n, cols = scene_mat.shape
     ncol_zeros = jnp.zeros((n, 1), dtype)
@@ -263,6 +272,8 @@ def _tile_grad_sweep(scene_mat, cx, cy, cz, rc, active_col, cam_vals,
                     o_, d_, at_, al_, pixel_ids, s_u, b_u, key, dtype
                 )
 
+            if remat:
+                f = jax.checkpoint(f)
             _, vjp_f = jax.vjp(f, scene_mat, cx, cy, cz, rc,
                                o, d, atten, alive_f)
             d_sm, d_cx_b, d_cy_b, d_cz_b, d_r_b, d_o, d_d, d_at, d_al = (
@@ -329,7 +340,7 @@ def _write_grad_outputs(dscene_ref, dcx_ref, dcy_ref, dcz_ref, dr_ref,
 def _grad_tile_kernel(
     ids_ref, ii_ref, jj_ref, gr_ref, gg_ref, gb_ref, scene_ref, cam_ref,
     dscene_ref, dcx_ref, dcy_ref, dcz_ref, dr_ref, dcam_ref, st_ref,
-    *, samples: int, max_depth: int, seed: int, dtype,
+    *, samples: int, max_depth: int, seed: int, dtype, remat: bool,
 ):
     key = rtrng.key_from_seed(seed)
     (pixel_ids, fi, fj, scene_mat, cx, cy, cz, rc, active_col,
@@ -340,7 +351,7 @@ def _grad_tile_kernel(
     d_scene, d_cx, d_cy, d_cz, d_r, d_cam = _tile_grad_sweep(
         scene_mat, cx, cy, cz, rc, active_col, cam_vals, use_defocus,
         pixel_ids, fi, fj, g, key, st_ref,
-        samples=samples, max_depth=max_depth, dtype=dtype,
+        samples=samples, max_depth=max_depth, dtype=dtype, remat=remat,
     )
     _write_grad_outputs(dscene_ref, dcx_ref, dcy_ref, dcz_ref, dr_ref,
                         dcam_ref, d_scene, d_cx, d_cy, d_cz, d_r, d_cam,
@@ -352,7 +363,7 @@ def _fused_tile_kernel(
     loss_ref, imr_ref, img_ref, imb_ref,
     dscene_ref, dcx_ref, dcy_ref, dcz_ref, dr_ref, dcam_ref, st_ref,
     *, samples: int, max_depth: int, seed: int, dtype, gamma: bool,
-    num_pixels: int,
+    num_pixels: int, remat: bool,
 ):
     """Fused MSE train step: ONE kernel computes the rendered tile, the
     MSE-vs-target loss contribution, AND the scene/camera cotangents.
@@ -427,7 +438,7 @@ def _fused_tile_kernel(
     d_scene, d_cx, d_cy, d_cz, d_r, d_cam = _tile_grad_sweep(
         scene_mat, cx, cy, cz, rc, active_col, cam_vals, use_defocus,
         pixel_ids, fi, fj, g, key, st_ref,
-        samples=samples, max_depth=max_depth, dtype=dtype,
+        samples=samples, max_depth=max_depth, dtype=dtype, remat=remat,
     )
     _write_grad_outputs(dscene_ref, dcx_ref, dcy_ref, dcz_ref, dr_ref,
                         dcam_ref, d_scene, d_cx, d_cy, d_cz, d_r, d_cam,
@@ -452,6 +463,7 @@ def render_pallas_grads(
     seed: int = rtrng.DEFAULT_SEED,
     dtype=jnp.float32,
     ray_tile: int = 256,
+    remat: bool = False,
     mesh=None,
     interpret: bool = False,
 ):
@@ -496,6 +508,7 @@ def render_pallas_grads(
         max_depth=max_depth,
         seed=seed,
         dtype=dtype,
+        remat=remat,
     )
 
     def run(ids_arr, ii_arr, jj_arr, g_r, g_g, g_b, scene_m, cam_r):
@@ -593,6 +606,7 @@ def mse_train_pallas(
     dtype=jnp.float32,
     gamma: bool = True,
     ray_tile: int = 256,
+    remat: bool = False,
     mesh=None,
     interpret: bool = False,
 ):
@@ -642,6 +656,7 @@ def mse_train_pallas(
         dtype=dtype,
         gamma=gamma,
         num_pixels=num_pixels,
+        remat=remat,
     )
 
     def run(ids_arr, ii_arr, jj_arr, t_r, t_g, t_b, scene_m, cam_r):
@@ -750,6 +765,7 @@ def make_mse_train(
     seed: int = rtrng.DEFAULT_SEED,
     gamma: bool = True,
     ray_tile: int = 256,
+    remat: bool = False,
     mesh=None,
     interpret: bool = False,
 ):
@@ -765,7 +781,8 @@ def make_mse_train(
         loss, img, d_sm, d_cr = mse_train_pallas(
             scene, cam_cfg, target, img_width, img_height,
             samples_per_pixel, max_depth, seed=seed, gamma=gamma,
-            ray_tile=ray_tile, mesh=mesh, interpret=interpret,
+            ray_tile=ray_tile, remat=remat, mesh=mesh,
+            interpret=interpret,
         )
         d_params, d_cam = chain_to_params(
             d_sm, d_cr, params, cam_cfg, mat_type, active,
