@@ -24,6 +24,9 @@ def main() -> int:
     ap.add_argument("--height", type=int, default=384)
     ap.add_argument("--bounces", type=int, default=10)
     ap.add_argument("--truth_spp", type=int, default=64)
+    ap.add_argument("--adaptive_only", action="store_true",
+                    help="skip the uniform-spp reference cases")
+    ap.add_argument("--tag", default="")
     args = ap.parse_args()
 
     import jax
@@ -45,7 +48,8 @@ def main() -> int:
         out.write(json.dumps(kw) + "\n")
         print(kw, flush=True)
 
-    emit(event="start", devices=str(jax.devices()), n=args.n)
+    emit(event="start", devices=str(jax.devices()), n=args.n,
+         tag=args.tag)
     W, H, D = args.width, args.height, args.bounces
     cam = CameraConfig.reference_default()
     scene = build_random_scene(args.n, seed=3)
@@ -77,7 +81,7 @@ def main() -> int:
         return dict(err=round(float(m), 5), p99=round(float(p99), 5),
                     p999=round(float(p999), 5))
 
-    for spp in (8, 16, 24):
+    for spp in () if args.adaptive_only else (8, 16, 24):
         f = uniform(spp)
         force(f())
         t0 = time.perf_counter()

@@ -129,8 +129,13 @@ def _make_phases(
     half = base_spp // 2
     # multi-pixel lanes flatten the refine pass's extreme per-lane budget
     # variance (pixels_per_lane=8 measured best at high spp; K must keep
-    # lanes*K <= padded pixels, trivially true here)
+    # lanes*K <= padded pixels, trivially true here). Streamed scenes pay
+    # O(N) block walks per wave, so the max-over-lanes tail is ~100x more
+    # expensive there — K=32 is the measured stream knee (stream_kpl.jsonl)
+    # and carries over to the adaptive phases (adaptive_stream.jsonl).
     kpl = 8 if not legacy_sky else 1
+    if stream_block > 0:
+        kpl = 32
 
     if stream_block > 0:
         from .pallas_stream import StreamScene, render_pallas_stream
