@@ -8,35 +8,44 @@ the camera scalars. No HBM roundtrips between bounces — the same property
 that makes the forward kernel fast applies to the backward sweep.
 
 Design notes:
-  * The bounce body is the SAME jnp math as the forward kernel
-    (_hit_select / _gather_hit / materials.scatter), and its transpose is
-    obtained with ``jax.vjp`` *inside* the kernel trace — Mosaic lowers
-    the transposed ops like any other kernel code. No hand-derived adjoint
-    to drift out of sync with the forward math.
+  * WINNER REPLAY (the same trick as the streaming backward,
+    ops/pallas_stream_backward.py, where it was first built): under the
+    detached-sampler convention the min-over-spheres hit select has
+    gradients only through the WINNING sphere (the subgradient of min),
+    so the reverse sweep never touches the (N, R) hit scan at all. The
+    forward sweep finds each bounce's winner with the shared
+    ``_hit_select`` and parks its parameters + slot id in the VMEM
+    residual scratch; the reverse sweep replays a winner-restricted
+    bounce (``_winner_bounce`` — the winner's quadratic recomputed from
+    its stored center/radius, bitwise-equal primal) and transposes THAT
+    with in-kernel ``jax.vjp`` — O(R) work per bounce instead of the
+    O(N·R) transpose of the full scan. (The first version of this kernel
+    vjp'd the full _bounce_tile scan: 6.4x the oracle VJP but ~12x the
+    forward cost, and its (N, R) vjp intermediates capped ray_tile at
+    256 under the 16 MB VMEM limit — see git history and
+    benchmarks/results/bwd_remat.jsonl for the dead ends.)
   * Detached-sampler convention (ops/grad.py): RNG draws are integer
     Threefry streams (zero tangent by construction) and every discrete
     decision (hit winner one-hot, material select, Schlick coin, liveness)
     enters through comparisons/casts whose tangents JAX already treats as
     symbolically zero — the vjp graph contains exactly the continuous
     chain.
-  * Gradient scatter into spheres is the transpose of the forward gather:
-    forward fetches hit params with scene^T @ one_hot on the MXU, so the
-    backward scatters with one_hot @ d_params^T — again an MXU matmul, not
-    a serialized scatter (the TPU answer to atomicAdd-style gradient
-    accumulation).
+  * Gradient scatter into spheres: the winner cotangent rows (16, R) are
+    scattered into the (N, 16) accumulator by one_hot(slot id) @ d_rows^T
+    on the MXU — not a serialized scatter (the TPU answer to
+    atomicAdd-style gradient accumulation). The slot id rides the packed
+    scene matrix as a spare column (COL_SID, exact in f32 to 2^24) so the
+    winner gather fetches it for free.
   * Mosaic cannot lower the transpose of LANE-dim slicing (pad/concat at
     unaligned lane offsets -> "offset mismatch on non-concat dimension").
     Every lane-sliced quantity therefore enters the vjp'd function as its
-    OWN argument: the geometry columns cx/cy/cz/r are loaded from the
-    scene ref and passed as four (N, 1) primals (their cotangents come
-    back as independent (N, 1) leaves and leave the kernel as separate
-    outputs, assembled on the host); the camera enters as 18 SMEM scalars
-    whose cotangents are full-lane reductions (supported) written to an
-    SMEM output row.
-  * Per-bounce residuals are (o, d, atten, alive) = 10 rows of (1, R) f32,
-    stored in a (max_depth*16, R) VMEM scratch — 25 bounces x 512 lanes =
-    800 KB, far under VMEM; everything else is recomputed in the reverse
-    sweep.
+    OWN (1, R) primal (sublane slices of the residual scratch are fine);
+    the camera enters as 18 SMEM scalars whose cotangents are full-lane
+    reductions (supported) written to an SMEM output row.
+  * Per-bounce residuals are (o, d, atten, alive, hit, winner params,
+    slot id) = 22 rows of (1, R) f32 in a (max_depth*32, R) VMEM
+    scratch — 25 bounces x 512 lanes = 1.6 MB; everything else is
+    recomputed in the reverse sweep.
   * Scene/camera cotangents accumulate across grid steps into single
     output blocks (index_map -> (0, 0)), zero-initialized at program 0 —
     TPU grids execute sequentially so the read-modify-write is sound.
@@ -62,14 +71,20 @@ from ..models.camera import Camera, CameraConfig, initialize
 from ..models.scene import Scene
 from . import rng as rtrng
 from . import vec
+from .intersect import T_MIN
 from .pallas_kernel import (
     COL_ACTIVE,
+    COL_ALB_B,
+    COL_ALB_G,
+    COL_ALB_R,
     COL_CX,
     COL_CY,
     COL_CZ,
+    COL_FUZZ,
+    COL_IOR,
+    COL_MAT,
     COL_RADIUS,
     NUM_COLS,
-    _gather_hit,
     _hit_select,
     _round_up,
     pack_camera,
@@ -78,15 +93,28 @@ from .pallas_kernel import (
 from .tracer import _sky_color, primary_rays_from_ij
 from .vec import Vec3
 
-# per-bounce residual rows in the VMEM state scratch (padded to a full
-# 16-sublane block per bounce)
-_R_O = 0      # 0,1,2: origin
-_R_D = 3      # 3,4,5: direction
-_R_A = 6      # 6,7,8: attenuation
+# per-bounce residual rows in the VMEM state scratch (padded to 32
+# sublanes per bounce); shared with the streaming backward
+_R_O = 0        # 0-2 origin
+_R_D = 3        # 3-5 direction
+_R_A = 6        # 6-8 attenuation
 _R_ALIVE = 9
-_ST_ROWS = 16
+_R_HIT = 10
+_R_WC = 11      # 11-13 winner center
+_R_WR = 14      # winner radius
+_R_WALB = 15    # 15-17 winner albedo
+_R_WFUZZ = 18
+_R_WIOR = 19
+_R_WMAT = 20
+_R_SID = 21
+_ST_ROWS = 32
 _CAM_COLS = 24
 _N_CAM = 18   # differentiable camera scalars (pack_camera rows 0..17)
+
+# spare packed-matrix column carrying each slot's own index (f32, exact
+# to 2^24 — far beyond the VMEM kernel's ~5k-sphere ceiling). Same index
+# the stream layout uses for its slot id (pallas_stream.STREAM_COL_SID).
+COL_SID = 11
 
 
 def _camera_from_scalars(vals, use_defocus):
@@ -104,33 +132,62 @@ def _camera_from_scalars(vals, use_defocus):
     )
 
 
-def _bounce_tile(scene_mat, cx, cy, cz, rc, active_col,
-                 o: Vec3, d: Vec3, atten: Vec3, alive_f: jnp.ndarray,
-                 pixel_ids, s_u, b_u, key, dtype):
-    """One bounce of the (non-RR) estimator for a (1, R) lane row batch.
-
-    Returns ((o', d', atten', alive_f'), contrib) where contrib is the
-    radiance banked THIS bounce (miss lanes: atten * sky). Identical
-    semantics to the forward kernels' bounce bodies (camera.h:78-128).
-    ``scene_mat`` (N, 16) feeds only the gather matmul; the geometry
-    columns are separate primals (see module docstring on Mosaic and
-    lane-slice transposes).
-    """
-    shape = alive_f.shape
-    alive = alive_f > 0.5
-
+def _hit_winner(scene_mat, cx, cy, cz, rc, active_col, o: Vec3, d: Vec3):
+    """Full (detached) hit scan for a (1, R) lane row batch: winner
+    parameters + slot id via the shared _hit_select and the MXU gather.
+    Nothing here is differentiated — the reverse sweep replays the
+    winner only (_winner_bounce)."""
     a = jnp.maximum(vec.length_sq(d), 1e-12)                  # (1, R)
     d_dot_o = vec.dot(d, o)
     o2 = vec.length_sq(o)
     c_dot_d = cx * d.x + cy * d.y + cz * d.z                  # (N, R)
     c_dot_o = cx * o.x + cy * o.y + cz * o.z
-    hit, t, one_hot = _hit_select(
+    hit, _t, one_hot = _hit_select(
         cx, cy, cz, rc, active_col, a, d_dot_o, o2, c_dot_d, c_dot_o
     )
-    center_h, radius_h, albedo_h, fuzz_h, ior_h, mat_f = _gather_hit(
-        scene_mat, one_hot
-    )
-    mat_h = mat_f.astype(jnp.int32)
+    params = lax.dot_general(
+        scene_mat, one_hot,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )                                                          # (16, R)
+    row = lambda k: params[k:k + 1, :]
+    wc = Vec3(row(COL_CX), row(COL_CY), row(COL_CZ))
+    walb = Vec3(row(COL_ALB_R), row(COL_ALB_G), row(COL_ALB_B))
+    return (hit, wc, row(COL_RADIUS), walb, row(COL_FUZZ),
+            row(COL_IOR), row(COL_MAT), row(COL_SID))
+
+
+def _winner_bounce(wc: Vec3, wr, walb: Vec3, wfuzz, wior, wmat_f, hit,
+                   o: Vec3, d: Vec3, atten: Vec3, alive_f,
+                   pixel_ids, s_u, b_u, key, dtype):
+    """One bounce of the (non-RR) estimator restricted to the stored
+    winner sphere, for a (1, R) lane row batch.
+
+    Differentiable in (wc, wr, walb, wfuzz, wior, o, d, atten): the
+    winner's root is recomputed from its quadratic with the same
+    numerator-domain association as _hit_select, so the primal is
+    bitwise the full scan's closest hit (the MXU one-hot gather copies
+    the winner's parameters exactly); the scatter math is the shared
+    materials.scatter (identical inputs => identical branch decisions).
+    The ``hit`` flag is the stored (detached) forward decision.
+    Returns ((o', d', atten', alive_f'), contrib) where contrib is the
+    radiance banked THIS bounce (miss lanes: atten * sky) — identical
+    semantics to the forward kernels' bounce bodies (camera.h:78-128).
+    """
+    shape = alive_f.shape
+    alive = alive_f > 0.5
+
+    a = jnp.maximum(vec.length_sq(d), 1e-12)
+    h = vec.dot(wc, d) - vec.dot(d, o)
+    c2r2 = vec.length_sq(wc) - wr * wr
+    c = (c2r2 + vec.length_sq(o)) - 2.0 * vec.dot(wc, o)
+    disc = h * h - a * c
+    sqrtd = jnp.sqrt(jnp.where(disc > 0.0, disc, 1.0))
+    tmin_a = T_MIN * a
+    near_num = h - sqrtd
+    root_num = jnp.where(near_num > tmin_a, near_num, h + sqrtd)
+    t = root_num * (1.0 / a)
 
     # NaN hygiene for the REVERSE pass: miss lanes gather the all-zero
     # one-hot (radius 0, ior 0), whose downstream math overflows to inf in
@@ -141,12 +198,12 @@ def _bounce_tile(scene_mat, cx, cy, cz, rc, active_col,
     # cotangents are identically zero, so live-lane gradients are
     # unchanged (same argument as the oracle's garbage-but-finite gather,
     # intersect.gather_hit_params).
-    radius_h = jnp.where(hit, radius_h, 1.0)
-    ior_h = jnp.where(hit, ior_h, 1.0)
-
+    wr_safe = jnp.where(hit, wr, 1.0)
+    ior_safe = jnp.where(hit, wior, 1.0)
     t_safe = jnp.where(hit, t, 1.0)
+
     p = o + d * t_safe
-    outward = (p - center_h) / jnp.maximum(radius_h, 1e-12)
+    outward = (p - wc) / jnp.maximum(wr_safe, 1e-12)
     front_face = vec.dot(d, outward) < 0.0
     normal = vec.where(front_face, outward, -outward)
 
@@ -157,8 +214,8 @@ def _bounce_tile(scene_mat, cx, cy, cz, rc, active_col,
         key, pixel_ids, s_u, b_u, rtrng.DRAW_COIN, dtype
     )
     sc = materials.scatter(
-        d, normal, front_face, mat_h, albedo_h, fuzz_h, ior_h,
-        unit_rand, coin_u,
+        d, normal, front_face, wmat_f.astype(jnp.int32), walb, wfuzz,
+        ior_safe, unit_rand, coin_u,
     )
 
     sky = _sky_color(d, dtype)
@@ -168,24 +225,27 @@ def _bounce_tile(scene_mat, cx, cy, cz, rc, active_col,
 
     scattered_alive = alive & hit & sc.scattered
     atten2 = vec.where(scattered_alive, atten * sc.attenuation, atten)
-    o2_ = vec.where(scattered_alive, p, o)
+    o2 = vec.where(scattered_alive, p, o)
     d2 = vec.where(scattered_alive, sc.direction, d)
     alive2 = jnp.where(scattered_alive, 1.0, 0.0).astype(dtype)
-    return (o2_, d2, atten2, alive2), contrib
+    return (o2, d2, atten2, alive2), contrib
 
 
-def _pack_residual(o: Vec3, d: Vec3, atten: Vec3, alive_f) -> jnp.ndarray:
+def _pack_residual(o, d, atten, alive_f, hit_f, wc, wr, walb, wfuzz,
+                   wior, wmat, sid):
     rows = [o.x, o.y, o.z, d.x, d.y, d.z, atten.x, atten.y, atten.z,
-            alive_f]
+            alive_f, hit_f, wc.x, wc.y, wc.z, wr,
+            walb.x, walb.y, walb.z, wfuzz, wior, wmat, sid]
     rows += [jnp.zeros_like(alive_f)] * (_ST_ROWS - len(rows))
-    return jnp.concatenate(rows, axis=0)                     # (16, R)
+    return jnp.concatenate(rows, axis=0)                      # (32, R)
 
 
-def _unpack_residual(blk: jnp.ndarray):
-    r3 = lambda k: Vec3(blk[k:k + 1, :], blk[k + 1:k + 2, :],
-                        blk[k + 2:k + 3, :])
-    return (r3(_R_O), r3(_R_D), r3(_R_A),
-            blk[_R_ALIVE:_R_ALIVE + 1, :])
+def _unpack_residual(blk):
+    r1 = lambda k: blk[k:k + 1, :]
+    r3 = lambda k: Vec3(r1(k), r1(k + 1), r1(k + 2))
+    return (r3(_R_O), r3(_R_D), r3(_R_A), r1(_R_ALIVE), r1(_R_HIT),
+            r3(_R_WC), r1(_R_WR), r3(_R_WALB), r1(_R_WFUZZ),
+            r1(_R_WIOR), r1(_R_WMAT), r1(_R_SID))
 
 
 def _read_tile_refs(ids_ref, ii_ref, jj_ref, scene_ref, cam_ref):
@@ -207,25 +267,18 @@ def _read_tile_refs(ids_ref, ii_ref, jj_ref, scene_ref, cam_ref):
 
 def _tile_grad_sweep(scene_mat, cx, cy, cz, rc, active_col, cam_vals,
                      use_defocus, pixel_ids, fi, fj, g, key, st_ref,
-                     *, samples: int, max_depth: int, dtype,
-                     remat: bool = False):
+                     *, samples: int, max_depth: int, dtype):
     """Per-tile gradient accumulation for an upstream image cotangent ``g``
     (Vec3 of (1, R) rows, accumulated-radiance domain): per-sample forward
-    sweep parking residuals in ``st_ref``, then the reverse vjp sweep.
-
-    ``remat=True`` wraps the bounce body in ``jax.checkpoint`` before the
-    vjp: the transpose then recomputes the (N, R) hit-test intermediates
-    near their use instead of keeping ~20 of them live across the
-    forward/transpose boundary. Interpret-mode only for now: real Mosaic
-    cannot lower remat2 inside a kernel (docs/UPSTREAM_ISSUES.md #9,
-    benchmarks/results/bwd_remat.jsonl), so on hardware ray_tile stays
-    VMEM-bounded at 256."""
+    sweep (full hit scan, detached) parking each bounce's winner in
+    ``st_ref``, then the winner-replay reverse vjp sweep (module
+    docstring). Returns (d_scene (N, 16), d_cam 18-tuple)."""
     shape = pixel_ids.shape
     n, cols = scene_mat.shape
-    ncol_zeros = jnp.zeros((n, 1), dtype)
+    iota_n = lax.broadcasted_iota(jnp.int32, (n, 1), 0).astype(dtype)
 
     def one_sample(s_i, carry):
-        d_scene_acc, d_cx_acc, d_cy_acc, d_cz_acc, d_r_acc, d_cam_acc = carry
+        d_scene_acc, d_cam_acc = carry
         s_u = s_i.astype(jnp.uint32)
 
         def primary(vals):
@@ -236,16 +289,21 @@ def _tile_grad_sweep(scene_mat, cx, cy, cz, rc, active_col, cam_vals,
 
         (o0, d0), vjp_primary = jax.vjp(primary, cam_vals)
 
-        # ---- forward sweep: run the bounce chain, parking each bounce's
-        # input state in the VMEM scratch ------------------------------
+        # ---- forward sweep: full hit scan per bounce, park the winner --
         def fwd_body(b, st):
             o, d, atten, alive_f = st
+            b_u = b.astype(jnp.uint32)
+            hit, wc, wr, walb, wfuzz, wior, wmat, sid = _hit_winner(
+                scene_mat, cx, cy, cz, rc, active_col, o, d
+            )
             st_ref[pl.ds(pl.multiple_of(b * _ST_ROWS, _ST_ROWS),
-                         _ST_ROWS), :] = _pack_residual(o, d, atten, alive_f)
-            (o2, d2, at2, al2), _ = _bounce_tile(
-                scene_mat, cx, cy, cz, rc, active_col,
-                o, d, atten, alive_f, pixel_ids, s_u,
-                b.astype(jnp.uint32), key, dtype,
+                         _ST_ROWS), :] = _pack_residual(
+                o, d, atten, alive_f, hit.astype(dtype),
+                wc, wr, walb, wfuzz, wior, wmat, sid,
+            )
+            (o2, d2, at2, al2), _ = _winner_bounce(
+                wc, wr, walb, wfuzz, wior, wmat, hit,
+                o, d, atten, alive_f, pixel_ids, s_u, b_u, key, dtype,
             )
             return (o2, d2, at2, al2)
 
@@ -256,41 +314,57 @@ def _tile_grad_sweep(scene_mat, cx, cy, cz, rc, active_col, cam_vals,
         )
         lax.fori_loop(0, max_depth, fwd_body, init)
 
-        # ---- reverse sweep: vjp of each bounce at its stored state ----
+        # ---- reverse sweep: winner-replay vjp + MXU one-hot scatter ----
         def rev_body(i, carry):
-            (d_scene, d_cx, d_cy, d_cz, d_r,
-             ct_o, ct_d, ct_at, ct_al) = carry
+            d_scene, ct_o, ct_d, ct_at, ct_al = carry
             b = max_depth - 1 - i
             blk = st_ref[pl.ds(pl.multiple_of(b * _ST_ROWS, _ST_ROWS),
                                _ST_ROWS), :]
-            o, d, atten, alive_f = _unpack_residual(blk)
+            (o, d, atten, alive_f, hit_f, wc, wr, walb, wfuzz, wior,
+             wmat, sid) = _unpack_residual(blk)
+            hit = hit_f > 0.5
             b_u = b.astype(jnp.uint32)
 
-            def f(sm, cx_, cy_, cz_, rc_, o_, d_, at_, al_):
-                return _bounce_tile(
-                    sm, cx_, cy_, cz_, rc_, active_col,
-                    o_, d_, at_, al_, pixel_ids, s_u, b_u, key, dtype
+            def f(wc_, wr_, walb_, wfuzz_, wior_, o_, d_, at_, al_):
+                return _winner_bounce(
+                    wc_, wr_, walb_, wfuzz_, wior_, wmat, hit,
+                    o_, d_, at_, al_, pixel_ids, s_u, b_u, key, dtype,
                 )
 
-            if remat:
-                f = jax.checkpoint(f)
-            _, vjp_f = jax.vjp(f, scene_mat, cx, cy, cz, rc,
+            _, vjp_f = jax.vjp(f, wc, wr, walb, wfuzz, wior,
                                o, d, atten, alive_f)
-            d_sm, d_cx_b, d_cy_b, d_cz_b, d_r_b, d_o, d_d, d_at, d_al = (
-                vjp_f(((ct_o, ct_d, ct_at, ct_al), g))
+            (d_wc, d_wr, d_walb, d_wfuzz, d_wior,
+             d_o, d_d, d_at, d_al) = vjp_f(
+                ((ct_o, ct_d, ct_at, ct_al), g)
             )
-            return (d_scene + d_sm, d_cx + d_cx_b, d_cy + d_cy_b,
-                    d_cz + d_cz_b, d_r + d_r_b, d_o, d_d, d_at, d_al)
+
+            # winner cotangents -> (16, R) rows in scene-matrix column
+            # order (pack_scene_matrix cols 0-8; mat/active/sid cols get 0)
+            zero = jnp.zeros(shape, dtype)
+            d_rows = jnp.concatenate(
+                [d_wc.x, d_wc.y, d_wc.z, d_wr,
+                 d_walb.x, d_walb.y, d_walb.z, d_wfuzz, d_wior]
+                + [zero] * (cols - 9),
+                axis=0,
+            )                                             # (16, R)
+            valid = hit & (alive_f > 0.5)
+            sid_v = jnp.where(valid, sid, -1.0)           # never scatters
+            one_hot = (sid_v == iota_n).astype(dtype)     # (N, R)
+            d_blk = lax.dot_general(
+                one_hot, d_rows,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                             # (N, 16)
+            return (d_scene + d_blk, d_o, d_d, d_at, d_al)
 
         ct0 = (
             jnp.zeros((n, cols), dtype),
-            ncol_zeros, ncol_zeros, ncol_zeros, ncol_zeros,
             Vec3.zeros(shape, dtype=dtype),   # ct origin
             Vec3.zeros(shape, dtype=dtype),   # ct direction
             Vec3.zeros(shape, dtype=dtype),   # ct attenuation
             jnp.zeros(shape, dtype),          # ct alive
         )
-        (d_scene, d_cx, d_cy, d_cz, d_r, ct_o, ct_d, _, _) = lax.fori_loop(
+        d_scene, ct_o, ct_d, _, _ = lax.fori_loop(
             0, max_depth, rev_body, ct0
         )
 
@@ -299,48 +373,35 @@ def _tile_grad_sweep(scene_mat, cx, cy, cz, rc, active_col, cam_vals,
         d_cam_new = tuple(
             d_cam_acc[k] + d_cam_vals[k] for k in range(_N_CAM)
         )
-        return (d_scene_acc + d_scene, d_cx_acc + d_cx, d_cy_acc + d_cy,
-                d_cz_acc + d_cz, d_r_acc + d_r, d_cam_new)
+        return (d_scene_acc + d_scene, d_cam_new)
 
     zero_cam = tuple(jnp.zeros((), dtype) for _ in range(_N_CAM))
     return lax.fori_loop(
         0, samples, one_sample,
-        (jnp.zeros((n, cols), dtype),
-         ncol_zeros, ncol_zeros, ncol_zeros, ncol_zeros, zero_cam),
+        (jnp.zeros((n, cols), dtype), zero_cam),
     )
 
 
-def _write_grad_outputs(dscene_ref, dcx_ref, dcy_ref, dcz_ref, dr_ref,
-                        dcam_ref, d_scene, d_cx, d_cy, d_cz, d_r, d_cam,
-                        dtype):
+def _write_grad_outputs(dscene_ref, dcam_ref, d_scene, d_cam, dtype):
     """Accumulate tile cotangents into the shared output blocks
     (zero-initialized at program 0; TPU grids are sequential)."""
     n, cols = d_scene.shape
-    ncol_zeros = jnp.zeros((n, 1), dtype)
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
         dscene_ref[:, :] = jnp.zeros((n, cols), dtype)
-        dcx_ref[:, :] = ncol_zeros
-        dcy_ref[:, :] = ncol_zeros
-        dcz_ref[:, :] = ncol_zeros
-        dr_ref[:, :] = ncol_zeros
         for k in range(_CAM_COLS):
             dcam_ref[0, k] = 0.0
 
     dscene_ref[:, :] = dscene_ref[:, :] + d_scene
-    dcx_ref[:, :] = dcx_ref[:, :] + d_cx
-    dcy_ref[:, :] = dcy_ref[:, :] + d_cy
-    dcz_ref[:, :] = dcz_ref[:, :] + d_cz
-    dr_ref[:, :] = dr_ref[:, :] + d_r
     for k in range(_N_CAM):
         dcam_ref[0, k] = dcam_ref[0, k] + d_cam[k]
 
 
 def _grad_tile_kernel(
     ids_ref, ii_ref, jj_ref, gr_ref, gg_ref, gb_ref, scene_ref, cam_ref,
-    dscene_ref, dcx_ref, dcy_ref, dcz_ref, dr_ref, dcam_ref, st_ref,
-    *, samples: int, max_depth: int, seed: int, dtype, remat: bool,
+    dscene_ref, dcam_ref, st_ref,
+    *, samples: int, max_depth: int, seed: int, dtype,
 ):
     key = rtrng.key_from_seed(seed)
     (pixel_ids, fi, fj, scene_mat, cx, cy, cz, rc, active_col,
@@ -348,22 +409,20 @@ def _grad_tile_kernel(
         ids_ref, ii_ref, jj_ref, scene_ref, cam_ref
     )
     g = Vec3(gr_ref[0, :, :], gg_ref[0, :, :], gb_ref[0, :, :])
-    d_scene, d_cx, d_cy, d_cz, d_r, d_cam = _tile_grad_sweep(
+    d_scene, d_cam = _tile_grad_sweep(
         scene_mat, cx, cy, cz, rc, active_col, cam_vals, use_defocus,
         pixel_ids, fi, fj, g, key, st_ref,
-        samples=samples, max_depth=max_depth, dtype=dtype, remat=remat,
+        samples=samples, max_depth=max_depth, dtype=dtype,
     )
-    _write_grad_outputs(dscene_ref, dcx_ref, dcy_ref, dcz_ref, dr_ref,
-                        dcam_ref, d_scene, d_cx, d_cy, d_cz, d_r, d_cam,
-                        dtype)
+    _write_grad_outputs(dscene_ref, dcam_ref, d_scene, d_cam, dtype)
 
 
 def _fused_tile_kernel(
     ids_ref, ii_ref, jj_ref, tr_ref, tg_ref, tb_ref, scene_ref, cam_ref,
     loss_ref, imr_ref, img_ref, imb_ref,
-    dscene_ref, dcx_ref, dcy_ref, dcz_ref, dr_ref, dcam_ref, st_ref,
+    dscene_ref, dcam_ref, st_ref,
     *, samples: int, max_depth: int, seed: int, dtype, gamma: bool,
-    num_pixels: int, remat: bool,
+    num_pixels: int,
 ):
     """Fused MSE train step: ONE kernel computes the rendered tile, the
     MSE-vs-target loss contribution, AND the scene/camera cotangents.
@@ -391,8 +450,11 @@ def _fused_tile_kernel(
 
         def body(b, st):
             o, d, atten, alive_f, acc3 = st
-            (o2, d2, at2, al2), contrib = _bounce_tile(
-                scene_mat, cx, cy, cz, rc, active_col,
+            hit, wc, wr, walb, wfuzz, wior, wmat, sid = _hit_winner(
+                scene_mat, cx, cy, cz, rc, active_col, o, d
+            )
+            (o2, d2, at2, al2), contrib = _winner_bounce(
+                wc, wr, walb, wfuzz, wior, wmat, hit,
                 o, d, atten, alive_f, pixel_ids, s_u,
                 b.astype(jnp.uint32), key, dtype,
             )
@@ -435,14 +497,12 @@ def _fused_tile_kernel(
     imb_ref[0, :, :] = img.z
 
     # ---- sweep 3: the shared residual-store + reverse vjp sweep -------
-    d_scene, d_cx, d_cy, d_cz, d_r, d_cam = _tile_grad_sweep(
+    d_scene, d_cam = _tile_grad_sweep(
         scene_mat, cx, cy, cz, rc, active_col, cam_vals, use_defocus,
         pixel_ids, fi, fj, g, key, st_ref,
-        samples=samples, max_depth=max_depth, dtype=dtype, remat=remat,
+        samples=samples, max_depth=max_depth, dtype=dtype,
     )
-    _write_grad_outputs(dscene_ref, dcx_ref, dcy_ref, dcz_ref, dr_ref,
-                        dcam_ref, d_scene, d_cx, d_cy, d_cz, d_r, d_cam,
-                        dtype)
+    _write_grad_outputs(dscene_ref, dcam_ref, d_scene, d_cam, dtype)
 
     @pl.when(pl.program_id(0) == 0)
     def _init_loss():
@@ -462,21 +522,14 @@ def render_pallas_grads(
     *,
     seed: int = rtrng.DEFAULT_SEED,
     dtype=jnp.float32,
-    ray_tile: int = 256,
-    remat: bool = False,
+    ray_tile: int = 1024,
     mesh=None,
     interpret: bool = False,
 ):
     """Cotangents (d_scene_matrix (N,16), d_camera_row (1,24)) for an
     upstream cotangent ``g_acc`` (H, W, 3) expressed in the ACCUMULATED
     radiance domain (i.e. before the 1/spp scale and gamma — callers chain
-    those on the host; see pallas_kernel.make_diff_render).
-
-    Default ray_tile is 256, NOT the forward kernel's 512: the reverse
-    sweep's vjp intermediates are ~2x the forward working set and a 512
-    tile exceeds the 16 MB VMEM scoped limit (measured 17.65M). Measured
-    v5e, 640x384x16spp/8b: rt256 = 1124 ms, rt128 = 1433 ms, vs oracle
-    recompute-VJP 6985 ms (6.2x)."""
+    those on the host; see pallas_kernel.make_diff_render)."""
     cam = initialize(cam_cfg, img_width, img_height)
     num_pixels = img_width * img_height
     n_shards = (
@@ -499,8 +552,12 @@ def render_pallas_grads(
     gb = g_pad[:, 2].reshape(n_tiles, 1, ray_tile)
 
     scene_mat = pack_scene_matrix(scene, dtype)
-    cam_row = pack_camera(cam, dtype)
     n_spheres = scene_mat.shape[0]
+    # slot ids ride a spare column so the winner gather fetches them
+    scene_mat = scene_mat.at[:, COL_SID].set(
+        jnp.arange(n_spheres, dtype=dtype)
+    )
+    cam_row = pack_camera(cam, dtype)
 
     kernel = functools.partial(
         _grad_tile_kernel,
@@ -508,7 +565,6 @@ def render_pallas_grads(
         max_depth=max_depth,
         seed=seed,
         dtype=dtype,
-        remat=remat,
     )
 
     def run(ids_arr, ii_arr, jj_arr, g_r, g_g, g_b, scene_m, cam_r):
@@ -518,7 +574,6 @@ def render_pallas_grads(
         acc_spec = lambda shape: pl.BlockSpec(
             shape, lambda i: (0, 0), memory_space=pltpu.VMEM
         )
-        ncol = (n_spheres, 1)
         return pl.pallas_call(
             kernel,
             grid=(tiles,),
@@ -531,17 +586,11 @@ def render_pallas_grads(
             ],
             out_specs=(
                 acc_spec((n_spheres, NUM_COLS)),
-                acc_spec(ncol), acc_spec(ncol), acc_spec(ncol),
-                acc_spec(ncol),
                 pl.BlockSpec((1, _CAM_COLS), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
             ),
             out_shape=(
                 jax.ShapeDtypeStruct((n_spheres, NUM_COLS), dtype),
-                jax.ShapeDtypeStruct(ncol, dtype),
-                jax.ShapeDtypeStruct(ncol, dtype),
-                jax.ShapeDtypeStruct(ncol, dtype),
-                jax.ShapeDtypeStruct(ncol, dtype),
                 jax.ShapeDtypeStruct((1, _CAM_COLS), dtype),
             ),
             scratch_shapes=[
@@ -549,7 +598,7 @@ def render_pallas_grads(
             ],
             cost_estimate=pl.CostEstimate(
                 flops=int(
-                    3 * samples_per_pixel * max_depth * padded
+                    2 * samples_per_pixel * max_depth * padded
                     * n_spheres * 20
                 ),
                 bytes_accessed=int(padded) * 4 * 16,
@@ -576,21 +625,16 @@ def render_pallas_grads(
             run_psum, mesh=mesh,
             in_specs=(P(axes), P(axes), P(axes),
                       P(axes), P(axes), P(axes), P(), P()),
-            out_specs=(P(), P(), P(), P(), P(), P()),
+            out_specs=(P(), P()),
             check_vma=False,
         )
         outs = sharded(ids2, ii2, jj2, gr, gg, gb, scene_mat, cam_row)
     else:
         outs = run(ids2, ii2, jj2, gr, gg, gb, scene_mat, cam_row)
 
-    d_sm, d_cx, d_cy, d_cz, d_r, d_cr = outs
-    # fold the geometry-column cotangents (separate kernel outputs — see
-    # module docstring) back into the packed-matrix cotangent
-    d_sm = d_sm.at[:, COL_CX].add(d_cx[:, 0])
-    d_sm = d_sm.at[:, COL_CY].add(d_cy[:, 0])
-    d_sm = d_sm.at[:, COL_CZ].add(d_cz[:, 0])
-    d_sm = d_sm.at[:, COL_RADIUS].add(d_r[:, 0])
-    return d_sm, d_cr
+    # d_sm's mat/active/sid columns are structurally zero (d_rows pads
+    # them); pack_scene_matrix's vjp drops spare-column cotangents anyway
+    return outs
 
 
 def mse_train_pallas(
@@ -605,8 +649,7 @@ def mse_train_pallas(
     seed: int = rtrng.DEFAULT_SEED,
     dtype=jnp.float32,
     gamma: bool = True,
-    ray_tile: int = 256,
-    remat: bool = False,
+    ray_tile: int = 1024,
     mesh=None,
     interpret: bool = False,
 ):
@@ -645,8 +688,11 @@ def mse_train_pallas(
     tb = t_pad[:, 2].reshape(n_tiles, 1, ray_tile)
 
     scene_mat = pack_scene_matrix(scene, dtype)
-    cam_row = pack_camera(cam, dtype)
     n_spheres = scene_mat.shape[0]
+    scene_mat = scene_mat.at[:, COL_SID].set(
+        jnp.arange(n_spheres, dtype=dtype)
+    )
+    cam_row = pack_camera(cam, dtype)
 
     kernel = functools.partial(
         _fused_tile_kernel,
@@ -656,7 +702,6 @@ def mse_train_pallas(
         dtype=dtype,
         gamma=gamma,
         num_pixels=num_pixels,
-        remat=remat,
     )
 
     def run(ids_arr, ii_arr, jj_arr, t_r, t_g, t_b, scene_m, cam_r):
@@ -666,7 +711,6 @@ def mse_train_pallas(
         acc_spec = lambda shape: pl.BlockSpec(
             shape, lambda i: (0, 0), memory_space=pltpu.VMEM
         )
-        ncol = (n_spheres, 1)
         row_shape = jax.ShapeDtypeStruct((tiles, 1, ray_tile), dtype)
         return pl.pallas_call(
             kernel,
@@ -683,8 +727,6 @@ def mse_train_pallas(
                              memory_space=pltpu.SMEM),
                 row_spec, row_spec, row_spec,
                 acc_spec((n_spheres, NUM_COLS)),
-                acc_spec(ncol), acc_spec(ncol), acc_spec(ncol),
-                acc_spec(ncol),
                 pl.BlockSpec((1, _CAM_COLS), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
             ),
@@ -692,10 +734,6 @@ def mse_train_pallas(
                 jax.ShapeDtypeStruct((1, 1), dtype),
                 row_shape, row_shape, row_shape,
                 jax.ShapeDtypeStruct((n_spheres, NUM_COLS), dtype),
-                jax.ShapeDtypeStruct(ncol, dtype),
-                jax.ShapeDtypeStruct(ncol, dtype),
-                jax.ShapeDtypeStruct(ncol, dtype),
-                jax.ShapeDtypeStruct(ncol, dtype),
                 jax.ShapeDtypeStruct((1, _CAM_COLS), dtype),
             ),
             scratch_shapes=[
@@ -704,7 +742,7 @@ def mse_train_pallas(
             cost_estimate=pl.CostEstimate(
                 # ~1.5x the grad kernel: sweeps 1+3 both trace forward
                 flops=int(
-                    4 * samples_per_pixel * max_depth * padded
+                    3 * samples_per_pixel * max_depth * padded
                     * n_spheres * 20
                 ),
                 bytes_accessed=int(padded) * 4 * 16,
@@ -733,24 +771,19 @@ def mse_train_pallas(
             run_psum, mesh=mesh,
             in_specs=(P(axes), P(axes), P(axes),
                       P(axes), P(axes), P(axes), P(), P()),
-            out_specs=(P(), P(axes), P(axes), P(axes),
-                       P(), P(), P(), P(), P(), P()),
+            out_specs=(P(), P(axes), P(axes), P(axes), P(), P()),
             check_vma=False,
         )
         outs = sharded(ids2, ii2, jj2, tr, tg, tb, scene_mat, cam_row)
     else:
         outs = run(ids2, ii2, jj2, tr, tg, tb, scene_mat, cam_row)
 
-    loss, im_r, im_g, im_b, d_sm, d_cx, d_cy, d_cz, d_r, d_cr = outs
+    loss, im_r, im_g, im_b, d_sm, d_cr = outs
     img = jnp.stack(
         [im_r.reshape(padded)[:num_pixels],
          im_g.reshape(padded)[:num_pixels],
          im_b.reshape(padded)[:num_pixels]], axis=-1,
     ).reshape(img_height, img_width, 3)
-    d_sm = d_sm.at[:, COL_CX].add(d_cx[:, 0])
-    d_sm = d_sm.at[:, COL_CY].add(d_cy[:, 0])
-    d_sm = d_sm.at[:, COL_CZ].add(d_cz[:, 0])
-    d_sm = d_sm.at[:, COL_RADIUS].add(d_r[:, 0])
     return loss[0, 0], img, d_sm, d_cr
 
 
@@ -764,8 +797,7 @@ def make_mse_train(
     *,
     seed: int = rtrng.DEFAULT_SEED,
     gamma: bool = True,
-    ray_tile: int = 256,
-    remat: bool = False,
+    ray_tile: int = 1024,
     mesh=None,
     interpret: bool = False,
 ):
@@ -781,8 +813,7 @@ def make_mse_train(
         loss, img, d_sm, d_cr = mse_train_pallas(
             scene, cam_cfg, target, img_width, img_height,
             samples_per_pixel, max_depth, seed=seed, gamma=gamma,
-            ray_tile=ray_tile, remat=remat, mesh=mesh,
-            interpret=interpret,
+            ray_tile=ray_tile, mesh=mesh, interpret=interpret,
         )
         d_params, d_cam = chain_to_params(
             d_sm, d_cr, params, cam_cfg, mat_type, active,

@@ -1319,8 +1319,9 @@ def make_diff_render(
         d_sm, d_cr = render_pallas_grads(
             _scene(params), cam_cfg, g_acc, img_width, img_height,
             samples_per_pixel, max_depth, seed=seed,
-            # backward VMEM working set is ~2x forward's: cap the tile
-            ray_tile=min(ray_tile, 256), mesh=mesh, interpret=interpret,
+            # winner-replay reverse sweep is O(R): bigger tiles amortize
+            # better than the forward's 512 (bwd_winner.jsonl)
+            ray_tile=max(ray_tile, 1024), mesh=mesh, interpret=interpret,
         )
         return chain_to_params(
             d_sm, d_cr, params, cam_cfg, mat_type, active,

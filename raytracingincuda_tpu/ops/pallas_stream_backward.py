@@ -43,118 +43,32 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..models import materials
 from ..models.camera import CameraConfig, initialize
 from . import rng as rtrng
-from . import vec
-from .intersect import T_MIN
 from .pallas_backward import (
     _CAM_COLS,
     _N_CAM,
+    _ST_ROWS,
     _camera_from_scalars,
+    _pack_residual,
+    _unpack_residual,
+    _winner_bounce,
 )
 from .pallas_kernel import NUM_COLS, _round_up, pack_camera
 from .pallas_stream import (
-    STREAM_COL_SID,
     STREAM_COLS,
     StreamScene,
     _RAY_ROWS,
     _hit_world_stream,
 )
-from .tracer import _sky_color, primary_rays_from_ij
+from .tracer import primary_rays_from_ij
 from .vec import Vec3
 
-# residual rows per bounce (padded to 32 sublanes)
-_R_O = 0        # 0-2 origin
-_R_D = 3        # 3-5 direction
-_R_A = 6        # 6-8 attenuation
-_R_ALIVE = 9
-_R_HIT = 10
-_R_WC = 11      # 11-13 winner center
-_R_WR = 14      # winner radius
-_R_WALB = 15    # 15-17 winner albedo
-_R_WFUZZ = 18
-_R_WIOR = 19
-_R_WMAT = 20
-_R_SID = 21
-_ST_ROWS = 32
-
-
-def _pack_residual(o, d, atten, alive_f, hit_f, wc, wr, walb, wfuzz,
-                   wior, wmat, sid):
-    rows = [o.x, o.y, o.z, d.x, d.y, d.z, atten.x, atten.y, atten.z,
-            alive_f, hit_f, wc.x, wc.y, wc.z, wr,
-            walb.x, walb.y, walb.z, wfuzz, wior, wmat, sid]
-    rows += [jnp.zeros_like(alive_f)] * (_ST_ROWS - len(rows))
-    return jnp.concatenate(rows, axis=0)                      # (32, R)
-
-
-def _unpack_residual(blk):
-    r1 = lambda k: blk[k:k + 1, :]
-    r3 = lambda k: Vec3(r1(k), r1(k + 1), r1(k + 2))
-    return (r3(_R_O), r3(_R_D), r3(_R_A), r1(_R_ALIVE), r1(_R_HIT),
-            r3(_R_WC), r1(_R_WR), r3(_R_WALB), r1(_R_WFUZZ),
-            r1(_R_WIOR), r1(_R_WMAT), r1(_R_SID))
-
-
-def _winner_bounce(wc: Vec3, wr, walb: Vec3, wfuzz, wior, wmat_f, hit,
-                   o: Vec3, d: Vec3, atten: Vec3, alive_f,
-                   pixel_ids, s_u, b_u, key, dtype):
-    """One bounce restricted to the stored winner sphere.
-
-    Differentiable in (wc, wr, walb, wfuzz, wior, o, d, atten): the
-    winner's root is recomputed from its quadratic (the same numerator-
-    domain form as _hit_select, so the primal matches the forward walk
-    bitwise), and the scatter math is the shared materials.scatter. The
-    ``hit`` flag is the stored (detached) forward decision."""
-    shape = alive_f.shape
-    alive = alive_f > 0.5
-
-    a = jnp.maximum(vec.length_sq(d), 1e-12)
-    h = vec.dot(wc, d) - vec.dot(d, o)
-    c2r2 = vec.length_sq(wc) - wr * wr
-    c = (c2r2 + vec.length_sq(o)) - 2.0 * vec.dot(wc, o)
-    disc = h * h - a * c
-    sqrtd = jnp.sqrt(jnp.where(disc > 0.0, disc, 1.0))
-    tmin_a = T_MIN * a
-    near_num = h - sqrtd
-    root_num = jnp.where(near_num > tmin_a, near_num, h + sqrtd)
-    t = root_num * (1.0 / a)
-
-    # NaN hygiene on miss/dead lanes (same argument as the VMEM backward:
-    # their cotangents are identically zero, the primals just must stay
-    # finite)
-    wr_safe = jnp.where(hit, wr, 1.0)
-    ior_safe = jnp.where(hit, wior, 1.0)
-    t_safe = jnp.where(hit, t, 1.0)
-
-    p = o + d * t_safe
-    outward = (p - wc) / jnp.maximum(wr_safe, 1e-12)
-    front_face = vec.dot(d, outward) < 0.0
-    normal = vec.where(front_face, outward, -outward)
-
-    unit_rand = rtrng.random_unit_vector(
-        key, pixel_ids, s_u, b_u, rtrng.DRAW_SCATTER, dtype
-    )
-    coin_u, _ = rtrng.uniform2(
-        key, pixel_ids, s_u, b_u, rtrng.DRAW_COIN, dtype
-    )
-    sc = materials.scatter(
-        d, normal, front_face, wmat_f.astype(jnp.int32), walb, wfuzz,
-        ior_safe, unit_rand, coin_u,
-    )
-
-    sky = _sky_color(d, dtype)
-    miss_now = alive & ~hit
-    zero = Vec3.zeros(shape, dtype=dtype)
-    contrib = vec.where(miss_now, atten * sky, zero)
-
-    scattered_alive = alive & hit & sc.scattered
-    atten2 = vec.where(scattered_alive, atten * sc.attenuation, atten)
-    o2 = vec.where(scattered_alive, p, o)
-    d2 = vec.where(scattered_alive, sc.direction, d)
-    alive2 = jnp.where(scattered_alive, 1.0, 0.0).astype(dtype)
-    return (o2, d2, atten2, alive2), contrib
+# The residual layout (_R_*/_ST_ROWS), the pack/unpack helpers, and the
+# winner-restricted bounce replay (_winner_bounce) live in
+# pallas_backward (the VMEM backward adopted the same winner-replay
+# reverse sweep that was first built here); imported above as the single
+# shared implementation.
 
 
 def _stream_grad_kernel(

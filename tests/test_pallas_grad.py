@@ -112,28 +112,6 @@ def test_ray_tile_invariance(mixed_scene, default_camera):
 
 
 @pytest.mark.slow
-def test_remat_grads_bitexact(mixed_scene, default_camera):
-    """jax.checkpoint on the bounce vjp (remat=True) must not change the
-    math — only WHEN intermediates are (re)computed. Bit-exact in
-    interpret mode."""
-    from raytracingincuda_tpu.ops.pallas_backward import (
-        render_pallas_grads,
-    )
-
-    g = _weight_image()
-    base = render_pallas_grads(
-        mixed_scene, default_camera, g, W, H, SPP, DEPTH,
-        interpret=True, remat=False,
-    )
-    rem = render_pallas_grads(
-        mixed_scene, default_camera, g, W, H, SPP, DEPTH,
-        interpret=True, remat=True,
-    )
-    for a, b in zip(base, rem):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-
-
-@pytest.mark.slow
 def test_sharded_grads_match(mixed_scene, default_camera):
     """Mesh path: pixel tiles sharded over 8 virtual devices; scene/camera
     cotangents all-reduced with psum inside shard_map."""
