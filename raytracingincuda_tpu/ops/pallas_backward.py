@@ -289,9 +289,18 @@ def _tile_grad_sweep(scene_mat, cx, cy, cz, rc, active_col, cam_vals,
 
         (o0, d0), vjp_primary = jax.vjp(primary, cam_vals)
 
-        # ---- forward sweep: full hit scan per bounce, park the winner --
-        def fwd_body(b, st):
-            o, d, atten, alive_f = st
+        # ---- forward sweep: full hit scan per bounce, park the winner.
+        # Early exit once every lane is dead (most paths die in a few
+        # bounces at depth 25): bounces >= b_exit are exact no-ops —
+        # contrib is zero and the state update is the identity, so their
+        # vjp is cotangent pass-through — and the reverse sweep below
+        # walks only the parked [0, b_exit) blocks. ---------------------
+        def fwd_cond(st):
+            b, _o, _d, _atten, alive_f = st
+            return (b < max_depth) & (jnp.max(alive_f) > 0.5)
+
+        def fwd_body(st):
+            b, o, d, atten, alive_f = st
             b_u = b.astype(jnp.uint32)
             hit, wc, wr, walb, wfuzz, wior, wmat, sid = _hit_winner(
                 scene_mat, cx, cy, cz, rc, active_col, o, d
@@ -305,19 +314,19 @@ def _tile_grad_sweep(scene_mat, cx, cy, cz, rc, active_col, cam_vals,
                 wc, wr, walb, wfuzz, wior, wmat, hit,
                 o, d, atten, alive_f, pixel_ids, s_u, b_u, key, dtype,
             )
-            return (o2, d2, at2, al2)
+            return (b + 1, o2, d2, at2, al2)
 
         init = (
-            o0, d0,
+            jnp.int32(0), o0, d0,
             Vec3.full(shape, 1.0, 1.0, 1.0, dtype=dtype),
             jnp.ones(shape, dtype),
         )
-        lax.fori_loop(0, max_depth, fwd_body, init)
+        b_exit = lax.while_loop(fwd_cond, fwd_body, init)[0]
 
         # ---- reverse sweep: winner-replay vjp + MXU one-hot scatter ----
         def rev_body(i, carry):
             d_scene, ct_o, ct_d, ct_at, ct_al = carry
-            b = max_depth - 1 - i
+            b = b_exit - 1 - i
             blk = st_ref[pl.ds(pl.multiple_of(b * _ST_ROWS, _ST_ROWS),
                                _ST_ROWS), :]
             (o, d, atten, alive_f, hit_f, wc, wr, walb, wfuzz, wior,
@@ -365,7 +374,7 @@ def _tile_grad_sweep(scene_mat, cx, cy, cz, rc, active_col, cam_vals,
             jnp.zeros(shape, dtype),          # ct alive
         )
         d_scene, ct_o, ct_d, _, _ = lax.fori_loop(
-            0, max_depth, rev_body, ct0
+            0, b_exit, rev_body, ct0
         )
 
         # cotangents of the primary ray flow into the camera scalars
@@ -448,8 +457,14 @@ def _fused_tile_kernel(
         o0, d0 = primary_rays_from_ij(cam, fi, fj, pixel_ids, s_u, key,
                                       dtype)
 
-        def body(b, st):
-            o, d, atten, alive_f, acc3 = st
+        # early exit once every lane is dead (dead bounces bank exactly
+        # zero radiance) — same trip count as the grad sweep's forward
+        def cond(st):
+            b, _o, _d, _atten, alive_f, _acc3 = st
+            return (b < max_depth) & (jnp.max(alive_f) > 0.5)
+
+        def body(st):
+            b, o, d, atten, alive_f, acc3 = st
             hit, wc, wr, walb, wfuzz, wior, wmat, sid = _hit_winner(
                 scene_mat, cx, cy, cz, rc, active_col, o, d
             )
@@ -458,11 +473,12 @@ def _fused_tile_kernel(
                 o, d, atten, alive_f, pixel_ids, s_u,
                 b.astype(jnp.uint32), key, dtype,
             )
-            return (o2, d2, at2, al2, acc3 + contrib)
+            return (b + 1, o2, d2, at2, al2, acc3 + contrib)
 
-        init = (o0, d0, Vec3.full(shape, 1.0, 1.0, 1.0, dtype=dtype),
+        init = (jnp.int32(0), o0, d0,
+                Vec3.full(shape, 1.0, 1.0, 1.0, dtype=dtype),
                 jnp.ones(shape, dtype), acc)
-        return lax.fori_loop(0, max_depth, body, init)[4]
+        return lax.while_loop(cond, body, init)[5]
 
     acc = lax.fori_loop(0, samples, one_sample_fwd,
                         Vec3.zeros(shape, dtype=dtype))

@@ -125,8 +125,15 @@ def _stream_grad_kernel(
                 cam_primal, fi, fj, pixel_ids, s_u, key, dtype
             )
 
-            def body(b, st):
-                o, d, atten, alive_f, ax, ay, az = st
+            # early exit once every lane is dead (dead bounces bank
+            # exactly zero radiance — and each skipped bounce here is a
+            # full O(N) HBM block walk)
+            def cond(st):
+                b, _o, _d, _atten, alive_f, _ax, _ay, _az = st
+                return (b < max_depth) & (jnp.max(alive_f) > 0.5)
+
+            def body(st):
+                b, o, d, atten, alive_f, ax, ay, az = st
                 b_u = b.astype(jnp.uint32)
                 (hit, t, wc, wr, walb, wfuzz, wior, wmat, sid) = (
                     hit_stream(o, d)
@@ -136,14 +143,14 @@ def _stream_grad_kernel(
                     o, d, atten, alive_f, pixel_ids, s_u, b_u, key,
                     dtype,
                 )
-                return (o2, d2, at2, al2,
+                return (b + 1, o2, d2, at2, al2,
                         ax + contrib.x, ay + contrib.y, az + contrib.z)
 
-            init = (o0, d0,
+            init = (jnp.int32(0), o0, d0,
                     Vec3.full(shape, 1.0, 1.0, 1.0, dtype=dtype),
                     jnp.ones(shape, dtype), acc[0], acc[1], acc[2])
-            fin = lax.fori_loop(0, max_depth, body, init)
-            return fin[4], fin[5], fin[6]
+            fin = lax.while_loop(cond, body, init)
+            return fin[5], fin[6], fin[7]
 
         zero = jnp.zeros(shape, dtype)
         acc = lax.fori_loop(0, samples, render_sample,
@@ -174,9 +181,17 @@ def _stream_grad_kernel(
 
         (o0, d0), vjp_primary = jax.vjp(primary, cam_vals)
 
-        # ---- forward sweep: HBM block walk per bounce, park winner ----
-        def fwd_body(b, st):
-            o, d, atten, alive_f = st
+        # ---- forward sweep: HBM block walk per bounce, park winner.
+        # Early exit once every lane is dead: bounces >= b_exit are
+        # exact no-ops (zero contrib, identity state => cotangent
+        # pass-through) and each skipped one is an O(N) block walk; the
+        # reverse sweep walks only the parked [0, b_exit) blocks. ------
+        def fwd_cond(st):
+            b, _o, _d, _atten, alive_f = st
+            return (b < max_depth) & (jnp.max(alive_f) > 0.5)
+
+        def fwd_body(st):
+            b, o, d, atten, alive_f = st
             b_u = b.astype(jnp.uint32)
             (hit, t, wc, wr, walb, wfuzz, wior, wmat, sid) = (
                 _hit_world_stream(
@@ -195,16 +210,17 @@ def _stream_grad_kernel(
                 wc, wr, walb, wfuzz, wior, wmat, hit,
                 o, d, atten, alive_f, pixel_ids, s_u, b_u, key, dtype,
             )
-            return (o2, d2, at2, al2)
+            return (b + 1, o2, d2, at2, al2)
 
-        init = (o0, d0, Vec3.full(shape, 1.0, 1.0, 1.0, dtype=dtype),
+        init = (jnp.int32(0), o0, d0,
+                Vec3.full(shape, 1.0, 1.0, 1.0, dtype=dtype),
                 jnp.ones(shape, dtype))
-        lax.fori_loop(0, max_depth, fwd_body, init)
+        b_exit = lax.while_loop(fwd_cond, fwd_body, init)[0]
 
         # ---- reverse sweep: winner replay vjp + block scatter ----------
         def rev_body(i, carry):
             ct_o, ct_d, ct_at, ct_al = carry
-            b = max_depth - 1 - i
+            b = b_exit - 1 - i
             blk = st_ref[pl.ds(pl.multiple_of(b * _ST_ROWS, _ST_ROWS),
                                _ST_ROWS), :]
             (o, d, atten, alive_f, hit_f, wc, wr, walb, wfuzz, wior,
@@ -269,7 +285,7 @@ def _stream_grad_kernel(
                Vec3.zeros(shape, dtype=dtype),
                Vec3.zeros(shape, dtype=dtype),
                jnp.zeros(shape, dtype))
-        ct_o, ct_d, _, _ = lax.fori_loop(0, max_depth, rev_body, ct0)
+        ct_o, ct_d, _, _ = lax.fori_loop(0, b_exit, rev_body, ct0)
 
         (d_cam_vals,) = vjp_primary((ct_o, ct_d))
         return tuple(d_cam_acc[k] + d_cam_vals[k] for k in range(_N_CAM))
