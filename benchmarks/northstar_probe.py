@@ -57,10 +57,23 @@ def main():
              "compile_s": round(compile_s, 1),
              "mrays_s": round(W * H * spp / ms / 1e3, 1)})
 
+    # frozen difficulty order for the sorted fwd+bwd rows (prepass is a
+    # separate program; in a train loop it runs once and amortizes)
+    from raytracingincuda_tpu.ops.pallas_kernel import (
+        difficulty_order, measure_difficulty,
+    )
+    pre = jax.jit(lambda s, c: measure_difficulty(
+        s, c, W, H, probe_depth=8, probe_samples=6))
+    order = jax.jit(lambda sg: difficulty_order(sg, 8, 6))(pre(scene, cam))
+    order.block_until_ready()
+
     # fwd+bwd rows (fused train step; value+grads+SGD update, one program)
-    for spp, depth in ((16, 8), (16, 25)):
+    for spp, depth, po, tag in ((16, 8, None, ""), (16, 25, None, ""),
+                                (16, 8, "sorted", "_sorted"),
+                                (16, 25, "sorted", "_sorted")):
         vg = make_mse_train(scene.mat_type, scene.active, W, H, spp, depth,
-                            gamma=False)
+                            gamma=False,
+                            pixel_order=order if po else None)
 
         @jax.jit
         def step(params, c, tgt):
@@ -80,7 +93,7 @@ def main():
             force(loss)
             times.append((time.perf_counter() - t0) * 1e3)
         ms = min(times)
-        log({"case": f"fwdbwd_{spp}spp_d{depth}", "ms": round(ms, 1),
+        log({"case": f"fwdbwd_{spp}spp_d{depth}{tag}", "ms": round(ms, 1),
              "compile_s": round(compile_s, 1), "loss": float(loss),
              "mrays_s": round(W * H * spp / ms / 1e3, 1)})
     log({"event": "done"})

@@ -52,6 +52,7 @@ def make_loss_fn(
     remat: bool = True,
     gamma: bool = False,
     impl: str = "oracle",
+    pixel_order=None,
     mesh=None,
 ):
     """loss(params, cam_cfg, statics, target) -> scalar.
@@ -72,7 +73,8 @@ def make_loss_fn(
             f = make_diff_render(
                 mat_type, active, img_width, img_height,
                 samples_per_pixel, max_depth,
-                seed=seed, gamma=gamma, mesh=mesh,
+                seed=seed, gamma=gamma, pixel_order=pixel_order,
+                mesh=mesh,
                 oracle_chunk_pixels=chunk_pixels,
                 oracle_pixel_sharding=pixel_sharding,
             )
@@ -174,7 +176,8 @@ def make_train_step(
             loss, _img, d_sm, d_cr = mse_train_pallas(
                 scene, cam_cfg, target, img_width, img_height,
                 samples_per_pixel, max_depth, seed=seed, gamma=gamma,
-                mesh=mesh, interpret=interpret,
+                pixel_order=kw.get("pixel_order"), mesh=mesh,
+                interpret=interpret,
             )
             d_params, _d_cam = chain_to_params(
                 d_sm, d_cr, state.params, cam_cfg, mat_type, active,

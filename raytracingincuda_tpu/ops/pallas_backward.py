@@ -117,6 +117,24 @@ _N_CAM = 18   # differentiable camera scalars (pack_camera rows 0..17)
 COL_SID = 11
 
 
+def _order_ids(pixel_order, padded: int) -> jnp.ndarray:
+    """(padded,) uint32 lane->pixel map from an optional permutation.
+    A shorter permutation (padded for a different tile layout) is
+    extended with the missing trailing padding ids."""
+    if pixel_order is None:
+        return jnp.arange(padded, dtype=jnp.uint32)
+    po = jnp.asarray(pixel_order, jnp.uint32).reshape(-1)
+    if po.shape[0] > padded:
+        raise ValueError(
+            f"pixel_order has {po.shape[0]} entries > padded {padded}"
+        )
+    if po.shape[0] < padded:
+        po = jnp.concatenate(
+            [po, jnp.arange(po.shape[0], padded, dtype=jnp.uint32)]
+        )
+    return po
+
+
 def _camera_from_scalars(vals, use_defocus):
     """Camera pytree from 18 scalar values (pack_camera columns 0..17).
     The defocus flag is passed separately (non-differentiable bool)."""
@@ -539,13 +557,19 @@ def render_pallas_grads(
     seed: int = rtrng.DEFAULT_SEED,
     dtype=jnp.float32,
     ray_tile: int = 1024,
+    pixel_order=None,
     mesh=None,
     interpret: bool = False,
 ):
     """Cotangents (d_scene_matrix (N,16), d_camera_row (1,24)) for an
     upstream cotangent ``g_acc`` (H, W, 3) expressed in the ACCUMULATED
     radiance domain (i.e. before the 1/spp scale and gamma — callers chain
-    those on the host; see pallas_kernel.make_diff_render)."""
+    those on the host; see pallas_kernel.make_diff_render).
+
+    ``pixel_order``: optional permutation of pixel ids (as in
+    render_pallas) — grouping pixels by expected path depth lets whole
+    tiles hit the all-dead early exit together. Scene/camera cotangents
+    are order-invariant up to float reassociation (tile-sum order)."""
     cam = initialize(cam_cfg, img_width, img_height)
     num_pixels = img_width * img_height
     n_shards = (
@@ -554,7 +578,7 @@ def render_pallas_grads(
     padded = _round_up(num_pixels, ray_tile * n_shards)
     n_tiles = padded // ray_tile
 
-    ids = jnp.arange(padded, dtype=jnp.uint32)
+    ids = _order_ids(pixel_order, padded)
     ii = (ids % jnp.uint32(img_width)).astype(dtype)
     jj = (ids // jnp.uint32(img_width)).astype(dtype)
     ids2 = ids.reshape(n_tiles, 1, ray_tile)
@@ -563,6 +587,8 @@ def render_pallas_grads(
 
     g_flat = g_acc.reshape(num_pixels, 3).astype(dtype)
     g_pad = jnp.zeros((padded, 3), dtype).at[:num_pixels].set(g_flat)
+    if pixel_order is not None:
+        g_pad = g_pad[ids.astype(jnp.int32)]     # lane i's pixel is ids[i]
     gr = g_pad[:, 0].reshape(n_tiles, 1, ray_tile)
     gg = g_pad[:, 1].reshape(n_tiles, 1, ray_tile)
     gb = g_pad[:, 2].reshape(n_tiles, 1, ray_tile)
@@ -666,6 +692,7 @@ def mse_train_pallas(
     dtype=jnp.float32,
     gamma: bool = True,
     ray_tile: int = 1024,
+    pixel_order=None,
     mesh=None,
     interpret: bool = False,
 ):
@@ -690,7 +717,7 @@ def mse_train_pallas(
     padded = _round_up(num_pixels, ray_tile * n_shards)
     n_tiles = padded // ray_tile
 
-    ids = jnp.arange(padded, dtype=jnp.uint32)
+    ids = _order_ids(pixel_order, padded)
     ii = (ids % jnp.uint32(img_width)).astype(dtype)
     jj = (ids // jnp.uint32(img_width)).astype(dtype)
     ids2 = ids.reshape(n_tiles, 1, ray_tile)
@@ -699,6 +726,8 @@ def mse_train_pallas(
 
     t_flat = target.reshape(num_pixels, 3).astype(dtype)
     t_pad = jnp.zeros((padded, 3), dtype).at[:num_pixels].set(t_flat)
+    if pixel_order is not None:
+        t_pad = t_pad[ids.astype(jnp.int32)]
     tr = t_pad[:, 0].reshape(n_tiles, 1, ray_tile)
     tg = t_pad[:, 1].reshape(n_tiles, 1, ray_tile)
     tb = t_pad[:, 2].reshape(n_tiles, 1, ray_tile)
@@ -796,10 +825,13 @@ def mse_train_pallas(
 
     loss, im_r, im_g, im_b, d_sm, d_cr = outs
     img = jnp.stack(
-        [im_r.reshape(padded)[:num_pixels],
-         im_g.reshape(padded)[:num_pixels],
-         im_b.reshape(padded)[:num_pixels]], axis=-1,
-    ).reshape(img_height, img_width, 3)
+        [im_r.reshape(padded), im_g.reshape(padded),
+         im_b.reshape(padded)], axis=-1,
+    )
+    if pixel_order is not None:
+        # un-permute: lane i rendered pixel ids[i]
+        img = jnp.zeros_like(img).at[ids.astype(jnp.int32)].set(img)
+    img = img[:num_pixels].reshape(img_height, img_width, 3)
     return loss[0, 0], img, d_sm, d_cr
 
 
@@ -814,6 +846,7 @@ def make_mse_train(
     seed: int = rtrng.DEFAULT_SEED,
     gamma: bool = True,
     ray_tile: int = 1024,
+    pixel_order=None,
     mesh=None,
     interpret: bool = False,
 ):
@@ -822,14 +855,20 @@ def make_mse_train(
     Returns jittable ``f(params, cam_cfg, target) ->
     (loss, image, (d_params, d_cam_cfg))`` — one program containing one
     Mosaic kernel, so it composes with an optimizer update in the same
-    jit (see examples/inverse_rendering.py)."""
+    jit (see examples/inverse_rendering.py).
+
+    ``pixel_order``: optional frozen difficulty ordering (e.g. from
+    pallas_kernel.measure_difficulty at step 0) — depth-grouped tiles
+    hit the all-dead early exit together. Frozen is fine: ordering
+    affects only speed, never values (up to tile-sum reassociation)."""
 
     def f(params, cam_cfg, target):
         scene = Scene(params=params, mat_type=mat_type, active=active)
         loss, img, d_sm, d_cr = mse_train_pallas(
             scene, cam_cfg, target, img_width, img_height,
             samples_per_pixel, max_depth, seed=seed, gamma=gamma,
-            ray_tile=ray_tile, mesh=mesh, interpret=interpret,
+            ray_tile=ray_tile, pixel_order=pixel_order, mesh=mesh,
+            interpret=interpret,
         )
         d_params, d_cam = chain_to_params(
             d_sm, d_cr, params, cam_cfg, mat_type, active,

@@ -1252,6 +1252,7 @@ def make_diff_render(
     gamma: bool = False,
     legacy_sky: bool = False,
     ray_tile: int = DEFAULT_RAY_TILE,
+    pixel_order=None,
     mesh=None,
     oracle_chunk_pixels: Optional[int] = None,
     oracle_pixel_sharding=None,
@@ -1259,6 +1260,12 @@ def make_diff_render(
     backward: str = "pallas",
 ):
     """Differentiable renderer with the Pallas kernel as the forward pass.
+
+    ``pixel_order``: optional frozen difficulty permutation (see
+    measure_difficulty/difficulty_order) applied to BOTH the forward
+    render and the pallas backward — depth-grouped tiles retire/exit
+    together (order changes only speed, not values, up to tile-sum
+    reassociation). Ignored by the oracle backward.
 
     ``backward`` selects the VJP implementation:
       pallas — in-kernel reverse sweep (ops/pallas_backward.py): per-bounce
@@ -1283,6 +1290,20 @@ def make_diff_render(
     def _scene(params):
         return Scene(params=params, mat_type=mat_type, active=active)
 
+    if pixel_order is not None:
+        # extend to the forward's exact padding (K=1 lanes here); the
+        # backward re-extends to its own (larger-tile) padding itself
+        from .pallas_backward import _order_ids
+
+        n_sh = (
+            int(np.prod(list(mesh.shape.values()))) if mesh is not None
+            else 1
+        )
+        pixel_order = _order_ids(
+            pixel_order, _round_up(img_width * img_height,
+                                   ray_tile * n_sh)
+        )
+
     # forward as its own jitted program (one Mosaic kernel per program —
     # the service limit; a jit(value_and_grad(...)) over f would fuse fwd
     # and bwd kernels into one program and fail to compile on TPU. Leave
@@ -1292,8 +1313,8 @@ def make_diff_render(
         lambda params, cam_cfg: render_pallas(
             _scene(params), cam_cfg, img_width, img_height,
             samples_per_pixel, max_depth, seed=seed, gamma=gamma,
-            legacy_sky=legacy_sky, ray_tile=ray_tile, mesh=mesh,
-            interpret=interpret,
+            legacy_sky=legacy_sky, ray_tile=ray_tile,
+            pixel_order=pixel_order, mesh=mesh, interpret=interpret,
         )
     )
 
@@ -1321,7 +1342,8 @@ def make_diff_render(
             samples_per_pixel, max_depth, seed=seed,
             # winner-replay reverse sweep is O(R): bigger tiles amortize
             # better than the forward's 512 (bwd_winner.jsonl)
-            ray_tile=max(ray_tile, 1024), mesh=mesh, interpret=interpret,
+            ray_tile=max(ray_tile, 1024), pixel_order=pixel_order,
+            mesh=mesh, interpret=interpret,
         )
         return chain_to_params(
             d_sm, d_cr, params, cam_cfg, mat_type, active,

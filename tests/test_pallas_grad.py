@@ -112,6 +112,54 @@ def test_ray_tile_invariance(mixed_scene, default_camera):
 
 
 @pytest.mark.slow
+def test_pixel_order_invariance(mixed_scene, default_camera):
+    """A pixel permutation regroups lanes into tiles (for early-exit
+    locality) but must not change gradients beyond tile-sum
+    reassociation; per-pixel RNG streams make the per-lane math
+    order-independent."""
+    from raytracingincuda_tpu.ops.pallas_backward import (
+        render_pallas_grads,
+    )
+
+    g = _weight_image()
+    rng = np.random.default_rng(7)
+    perm = jnp.asarray(rng.permutation(W * H), jnp.uint32)
+    base = render_pallas_grads(
+        mixed_scene, default_camera, g, W, H, SPP, DEPTH,
+        ray_tile=128, interpret=True,
+    )
+    permuted = render_pallas_grads(
+        mixed_scene, default_camera, g, W, H, SPP, DEPTH,
+        ray_tile=128, pixel_order=perm, interpret=True,
+    )
+    _assert_tree_close(base, permuted, rtol=1e-4, atol=5e-7)
+
+
+@pytest.mark.slow
+def test_fused_pixel_order_image_exact(mixed_scene, default_camera):
+    """The fused step's IMAGE is bit-identical under any pixel order
+    (per-pixel RNG streams; lanes only carry pixel ids); loss/grads agree
+    to reassociation."""
+    from raytracingincuda_tpu.ops.pallas_backward import mse_train_pallas
+
+    rng = np.random.default_rng(3)
+    target = jnp.asarray(rng.random((H, W, 3)), jnp.float32)
+    perm = jnp.asarray(rng.permutation(W * H), jnp.uint32)
+    l0, img0, d_sm0, d_cr0 = mse_train_pallas(
+        mixed_scene, default_camera, target, W, H, SPP, DEPTH,
+        ray_tile=128, interpret=True,
+    )
+    l1, img1, d_sm1, d_cr1 = mse_train_pallas(
+        mixed_scene, default_camera, target, W, H, SPP, DEPTH,
+        ray_tile=128, pixel_order=perm, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(img0), np.asarray(img1))
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    _assert_tree_close((d_sm0, d_cr0), (d_sm1, d_cr1),
+                       rtol=1e-4, atol=5e-7)
+
+
+@pytest.mark.slow
 def test_sharded_grads_match(mixed_scene, default_camera):
     """Mesh path: pixel tiles sharded over 8 virtual devices; scene/camera
     cotangents all-reduced with psum inside shard_map."""
