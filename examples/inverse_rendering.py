@@ -98,9 +98,27 @@ def main() -> int:
             learning_rate=args.lr, trainable=trainable,
         )
     else:
+        # frozen difficulty order (TPU kernels only): depth-grouped pixel
+        # tiles hit the backward's all-dead early exit together; the
+        # prepass runs once and the order stays valid as params move
+        # (ordering affects only speed, never values)
+        order = None
+        if args.impl in ("pallas", "fused") and \
+                jax.default_backend() != "cpu":
+            from raytracingincuda_tpu.ops.pallas_kernel import (
+                difficulty_order, measure_difficulty,
+            )
+
+            seg = jax.jit(lambda s, c: measure_difficulty(
+                s, c, W, H, probe_depth=min(8, args.bounces),
+                probe_samples=min(6, args.samples)))(true_scene, cam)
+            order = difficulty_order(
+                seg, min(8, args.bounces), min(6, args.samples)
+            )
         init_fn, step_fn = gradlib.make_train_step(
             W, H, args.samples, args.bounces,
             learning_rate=args.lr, trainable=trainable, impl=args.impl,
+            pixel_order=order,
         )
     if args.impl in ("oracle", "fused"):
         step_fn = jax.jit(step_fn)
