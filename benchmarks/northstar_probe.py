@@ -40,8 +40,9 @@ def main():
     key = jax.random.PRNGKey(0)
     target = jax.random.uniform(key, (H, W, 3), jnp.float32)
 
-    # forward-only reference rows (the regen kernel)
-    for spp, depth in ((16, 25), (100, 25)):
+    # forward-only reference rows (the regen kernel); 500spp/d50 is
+    # BASELINE.json configs[3] (single-chip row of it)
+    for spp, depth in ((16, 25), (100, 25), (500, 50)):
         f = jax.jit(lambda s, c, spp=spp, depth=depth: render_pallas(
             s, c, W, H, spp, depth, pixels_per_lane=8))
         t0 = time.perf_counter()
@@ -67,7 +68,13 @@ def main():
     order = jax.jit(lambda sg: difficulty_order(sg, 8, 6))(pre(scene, cam))
     order.block_until_ready()
 
-    # fwd+bwd rows (fused train step; value+grads+SGD update, one program)
+    # fwd+bwd rows (fused train step; value+grads+SGD update, one
+    # program). The north-star config (scene1 1200x675x500spp fwd+bwd)
+    # is rate-derived from the 16spp sorted row: Mrays/s is spp-flat,
+    # and running 500spp as ONE fused Mosaic dispatch (~109 s) crashes
+    # the tunneled TPU worker ("TPU worker process crashed or
+    # restarted") — single-dispatch wall time must stay well under
+    # ~100 s; chunk big sample counts by sample_offset instead.
     for spp, depth, po, tag in ((16, 8, None, ""), (16, 25, None, ""),
                                 (16, 8, "sorted", "_sorted"),
                                 (16, 25, "sorted", "_sorted")):

@@ -58,9 +58,16 @@ def main() -> int:
     ap.add_argument("--samples", type=int, nargs="*", default=SAMPLES)
     ap.add_argument("--quick", action="store_true",
                     help="small grid for CI smoke")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu for the f64 "
+                         "precision-comparison configs; the env "
+                         "force-registers a TPU plugin otherwise)")
     args = ap.parse_args()
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     from raytracingincuda_tpu.config import RenderConfig
     from raytracingincuda_tpu.models.camera import CameraConfig

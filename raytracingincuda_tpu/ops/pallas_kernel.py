@@ -1268,9 +1268,10 @@ def make_diff_render(
     reassociation). Ignored by the oracle backward.
 
     ``backward`` selects the VJP implementation:
-      pallas — in-kernel reverse sweep (ops/pallas_backward.py): per-bounce
-               residuals in VMEM, gradient scatter via transposed one-hot
-               MXU matmuls. Default (fastest). Falls back to oracle for
+      pallas — in-kernel winner-replay reverse sweep
+               (ops/pallas_backward.py): per-bounce winner residuals in
+               VMEM, gradient scatter via one-hot-by-slot-id MXU
+               matmuls. Default (fastest). Falls back to oracle for
                legacy_sky (the backward kernel implements the frozen
                current-bounce sky semantics only).
       oracle — recompute-VJP through the jnp oracle (ops/tracer.py). Sound

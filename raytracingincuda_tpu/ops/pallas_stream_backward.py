@@ -1,12 +1,12 @@
 """Pallas backward (VJP) kernel for STREAMING-HBM scenes.
 
-The VMEM backward kernel (ops/pallas_backward.py) holds the whole scene
-matrix in VMEM and transposes the full hit scan with in-kernel jax.vjp —
-impossible when the scene is 100k spheres streamed from HBM. The key
-observation making a streaming backward tractable: under the
-detached-sampler convention the min-over-spheres hit select has gradients
-only through the WINNING sphere (the subgradient of min), so the reverse
-sweep never needs the scene at all — it needs each bounce's winner.
+The key observation making a streaming backward tractable (first built
+here, later adopted by the VMEM backward too — ops/pallas_backward.py):
+under the detached-sampler convention the min-over-spheres hit select
+has gradients only through the WINNING sphere (the subgradient of min),
+so the reverse sweep never needs the scene at all — it needs each
+bounce's winner. A full-scan transpose would be impossible anyway when
+the scene is 100k spheres streamed from HBM.
 
 Structure per ray tile:
   * forward sweep (per sample, per bounce): the SAME double-buffered HBM

