@@ -1,0 +1,102 @@
+"""North-star config, actually run: scene 1, 1200x675, 500 spp, d25,
+forward + FULL scene/camera gradients on one chip.
+
+One ~109 s fused dispatch crashes the TPU worker (UPSTREAM_ISSUES #10),
+so this runs the production composition instead: one forward render
+(500 spp, ~13 s dispatch), the MSE cotangent chained on host, then the
+backward as sample_offset-CHUNKED grad sweeps (cotangents are sums over
+samples — test_sample_chunked_grads). Reports end-to-end fwd+bwd
+Mrays/s including every dispatch.
+"""
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+from raytracingincuda_tpu.models.camera import CameraConfig
+from raytracingincuda_tpu.models.scene import Scene, build_scene
+from raytracingincuda_tpu.ops.pallas_backward import render_pallas_grads
+from raytracingincuda_tpu.ops.pallas_backward import _order_ids
+from raytracingincuda_tpu.ops.pallas_kernel import (
+    _round_up, difficulty_order, measure_difficulty, render_pallas,
+)
+from raytracingincuda_tpu.utils.timing import force
+
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/northstar_chunked.jsonl"
+W, H, SPP, DEPTH = 1200, 675, 500, 25
+CHUNK = 50
+
+
+def log(rec):
+    rec["ts"] = time.time()
+    with open(OUT, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(rec, flush=True)
+
+
+def main():
+    log({"event": "start", "devices": str(jax.devices()),
+         "cfg": f"scene1_{W}x{H}x{SPP}spp_d{DEPTH}_chunk{CHUNK}"})
+    scene = jax.device_put(build_scene(1))
+    cam = CameraConfig.reference_default()
+    key = jax.random.PRNGKey(0)
+    target = jax.random.uniform(key, (H, W, 3), jnp.float32)
+
+    pre = jax.jit(lambda s, c: measure_difficulty(
+        s, c, W, H, probe_depth=8, probe_samples=6))
+    order = jax.jit(lambda sg: difficulty_order(sg, 8, 6))(pre(scene, cam))
+    # prepass pads at K=1; the K=8 forward pads to 8*512 multiples
+    order = _order_ids(order, _round_up(W * H, 8 * 512))
+    order.block_until_ready()
+
+    fwd = jax.jit(lambda s, c: render_pallas(
+        s, c, W, H, SPP, DEPTH, gamma=False, pixels_per_lane=8,
+        pixel_order=order))
+
+    @jax.jit
+    def cotangent(img, tgt):
+        # dL/d_acc for L = mean((img - tgt)^2), img = acc / spp
+        return (img - tgt) * (2.0 / (W * H * 3)) / SPP
+
+    def bwd_chunk(off):
+        return jax.jit(lambda p, c, gg, off=off: render_pallas_grads(
+            Scene(p, scene.mat_type, scene.active), c, gg, W, H,
+            CHUNK, DEPTH, sample_offset=off, pixel_order=order))
+
+    chunks = [bwd_chunk(off) for off in range(0, SPP, CHUNK)]
+
+    # compile everything outside the timed run
+    force(fwd(scene, cam))
+    g0 = cotangent(fwd(scene, cam), target)
+    for f in chunks:
+        force(f(scene.params, cam, g0))
+    log({"event": "compiled"})
+
+    t0 = time.perf_counter()
+    img = fwd(scene, cam)
+    force(img)
+    t_fwd = time.perf_counter() - t0
+    g = cotangent(img, target)
+    d_sm = None
+    d_cr = None
+    for f in chunks:
+        a, b = f(scene.params, cam, g)
+        d_sm = a if d_sm is None else d_sm + a
+        d_cr = b if d_cr is None else d_cr + b
+    force(d_sm)
+    force(d_cr)
+    total = time.perf_counter() - t0
+    mrays = W * H * SPP / total / 1e6
+    log({"case": "fwdbwd_500spp_d25_chunked", "s": round(total, 2),
+         "fwd_s": round(t_fwd, 2), "n_chunks": len(chunks),
+         "mrays_s": round(mrays, 2),
+         "grad_finite": bool(jnp.isfinite(d_sm).all()
+                             & jnp.isfinite(d_cr).all())})
+    log({"event": "done"})
+
+
+if __name__ == "__main__":
+    main()

@@ -285,12 +285,20 @@ def _read_tile_refs(ids_ref, ii_ref, jj_ref, scene_ref, cam_ref):
 
 def _tile_grad_sweep(scene_mat, cx, cy, cz, rc, active_col, cam_vals,
                      use_defocus, pixel_ids, fi, fj, g, key, st_ref,
-                     *, samples: int, max_depth: int, dtype):
+                     *, samples: int, max_depth: int, dtype,
+                     sample_offset: int = 0):
     """Per-tile gradient accumulation for an upstream image cotangent ``g``
     (Vec3 of (1, R) rows, accumulated-radiance domain): per-sample forward
     sweep (full hit scan, detached) parking each bounce's winner in
     ``st_ref``, then the winner-replay reverse vjp sweep (module
-    docstring). Returns (d_scene (N, 16), d_cam 18-tuple)."""
+    docstring). Returns (d_scene (N, 16), d_cam 18-tuple).
+
+    ``sample_offset`` selects the global sample-id window
+    [offset, offset+samples) — d_acc is a SUM over samples, so chunked
+    sweeps over disjoint windows add up exactly to the full-range sweep
+    (the counter RNG keys streams on the global ids). This is how >100 s
+    of backward work stays under the single-dispatch ceiling
+    (docs/UPSTREAM_ISSUES.md #10)."""
     shape = pixel_ids.shape
     n, cols = scene_mat.shape
     iota_n = lax.broadcasted_iota(jnp.int32, (n, 1), 0).astype(dtype)
@@ -404,7 +412,7 @@ def _tile_grad_sweep(scene_mat, cx, cy, cz, rc, active_col, cam_vals,
 
     zero_cam = tuple(jnp.zeros((), dtype) for _ in range(_N_CAM))
     return lax.fori_loop(
-        0, samples, one_sample,
+        sample_offset, sample_offset + samples, one_sample,
         (jnp.zeros((n, cols), dtype), zero_cam),
     )
 
@@ -429,6 +437,7 @@ def _grad_tile_kernel(
     ids_ref, ii_ref, jj_ref, gr_ref, gg_ref, gb_ref, scene_ref, cam_ref,
     dscene_ref, dcam_ref, st_ref,
     *, samples: int, max_depth: int, seed: int, dtype,
+    sample_offset: int = 0,
 ):
     key = rtrng.key_from_seed(seed)
     (pixel_ids, fi, fj, scene_mat, cx, cy, cz, rc, active_col,
@@ -440,6 +449,7 @@ def _grad_tile_kernel(
         scene_mat, cx, cy, cz, rc, active_col, cam_vals, use_defocus,
         pixel_ids, fi, fj, g, key, st_ref,
         samples=samples, max_depth=max_depth, dtype=dtype,
+        sample_offset=sample_offset,
     )
     _write_grad_outputs(dscene_ref, dcam_ref, d_scene, d_cam, dtype)
 
@@ -558,6 +568,7 @@ def render_pallas_grads(
     dtype=jnp.float32,
     ray_tile: int = 1024,
     pixel_order=None,
+    sample_offset: int = 0,
     mesh=None,
     interpret: bool = False,
 ):
@@ -565,6 +576,11 @@ def render_pallas_grads(
     upstream cotangent ``g_acc`` (H, W, 3) expressed in the ACCUMULATED
     radiance domain (i.e. before the 1/spp scale and gamma — callers chain
     those on the host; see pallas_kernel.make_diff_render).
+
+    ``sample_offset``: first global sample id of this sweep's window —
+    cotangents are sums over samples, so chunked calls over disjoint
+    windows add up exactly (keeps each dispatch under the ~100 s worker
+    ceiling at very high spp).
 
     ``pixel_order``: optional permutation of pixel ids (as in
     render_pallas) — grouping pixels by expected path depth lets whole
@@ -607,6 +623,7 @@ def render_pallas_grads(
         max_depth=max_depth,
         seed=seed,
         dtype=dtype,
+        sample_offset=sample_offset,
     )
 
     def run(ids_arr, ii_arr, jj_arr, g_r, g_g, g_b, scene_m, cam_r):

@@ -136,6 +136,32 @@ def test_pixel_order_invariance(mixed_scene, default_camera):
 
 
 @pytest.mark.slow
+def test_sample_chunked_grads(mixed_scene, default_camera):
+    """Cotangents are sums over samples, so two sweeps over disjoint
+    sample-id windows add up to the full-range sweep (counter RNG keys
+    on global ids) — the >100s-dispatch chunking contract
+    (UPSTREAM_ISSUES #10). Equal up to chunk-sum reassociation."""
+    from raytracingincuda_tpu.ops.pallas_backward import (
+        render_pallas_grads,
+    )
+
+    g = _weight_image()
+    full = render_pallas_grads(
+        mixed_scene, default_camera, g, W, H, 4, DEPTH, interpret=True,
+    )
+    lo = render_pallas_grads(
+        mixed_scene, default_camera, g, W, H, 2, DEPTH,
+        sample_offset=0, interpret=True,
+    )
+    hi = render_pallas_grads(
+        mixed_scene, default_camera, g, W, H, 2, DEPTH,
+        sample_offset=2, interpret=True,
+    )
+    summed = jax.tree_util.tree_map(lambda a, b: a + b, lo, hi)
+    _assert_tree_close(full, summed, rtol=1e-4, atol=5e-7)
+
+
+@pytest.mark.slow
 def test_fused_pixel_order_image_exact(mixed_scene, default_camera):
     """The fused step's IMAGE is bit-identical under any pixel order
     (per-pixel RNG streams; lanes only carry pixel ids); loss/grads agree
