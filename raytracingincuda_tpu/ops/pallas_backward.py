@@ -85,6 +85,7 @@ from .pallas_kernel import (
     COL_MAT,
     COL_RADIUS,
     NUM_COLS,
+    _gather_params,
     _hit_select,
     _round_up,
     pack_camera,
@@ -119,16 +120,24 @@ COL_SID = 11
 
 def _order_ids(pixel_order, padded: int) -> jnp.ndarray:
     """(padded,) uint32 lane->pixel map from an optional permutation.
-    A shorter permutation (padded for a different tile layout) is
-    extended with the missing trailing padding ids."""
+
+    A permutation padded for a DIFFERENT tile layout is adapted: shorter
+    ones are extended with the missing trailing padding ids; longer ones
+    (e.g. a forward order at a non-dividing ray_tile) are compacted to
+    the entries < padded — those are exactly a permutation of
+    [0, padded) since every id >= padded is a padding id. The compaction
+    is a stable counting scatter (jit-safe: no boolean indexing)."""
     if pixel_order is None:
         return jnp.arange(padded, dtype=jnp.uint32)
     po = jnp.asarray(pixel_order, jnp.uint32).reshape(-1)
     if po.shape[0] > padded:
-        raise ValueError(
-            f"pixel_order has {po.shape[0]} entries > padded {padded}"
+        keep = po < jnp.uint32(padded)
+        rank = jnp.cumsum(keep) - 1
+        rank = jnp.where(keep, rank, po.shape[0])    # OOB -> dropped
+        po = jnp.zeros((padded,), jnp.uint32).at[rank].set(
+            po, mode="drop"
         )
-    if po.shape[0] < padded:
+    elif po.shape[0] < padded:
         po = jnp.concatenate(
             [po, jnp.arange(po.shape[0], padded, dtype=jnp.uint32)]
         )
@@ -163,12 +172,7 @@ def _hit_winner(scene_mat, cx, cy, cz, rc, active_col, o: Vec3, d: Vec3):
     hit, _t, one_hot = _hit_select(
         cx, cy, cz, rc, active_col, a, d_dot_o, o2, c_dot_d, c_dot_o
     )
-    params = lax.dot_general(
-        scene_mat, one_hot,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=lax.Precision.HIGHEST,
-    )                                                          # (16, R)
+    params = _gather_params(scene_mat, one_hot)                # (16, R)
     row = lambda k: params[k:k + 1, :]
     wc = Vec3(row(COL_CX), row(COL_CY), row(COL_CZ))
     walb = Vec3(row(COL_ALB_R), row(COL_ALB_G), row(COL_ALB_B))
@@ -385,11 +389,7 @@ def _tile_grad_sweep(scene_mat, cx, cy, cz, rc, active_col, cam_vals,
             valid = hit & (alive_f > 0.5)
             sid_v = jnp.where(valid, sid, -1.0)           # never scatters
             one_hot = (sid_v == iota_n).astype(dtype)     # (N, R)
-            d_blk = lax.dot_general(
-                one_hot, d_rows,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                             # (N, 16)
+            d_blk = _scatter_matmul(one_hot, d_rows)      # (N, 16)
             return (d_scene + d_blk, d_o, d_d, d_at, d_al)
 
         ct0 = (
@@ -555,6 +555,72 @@ def _fused_tile_kernel(
     loss_ref[0, 0] = loss_ref[0, 0] + loss_tile
 
 
+def _scatter_matmul(one_hot: jnp.ndarray, d_rows: jnp.ndarray):
+    """Gradient scatter (N, R) one-hot @ (C, R) cotangent rows -> (N, C)
+    at ~f32 precision for half of HIGHEST's cost.
+
+    A DEFAULT-precision MXU matmul would round the cotangents to bf16
+    (~2^-9 relative — interpret-mode tests cannot see it); HIGHEST
+    splits BOTH operands bf16x6. The one-hot side is 0/1 — exact in
+    bf16 — so splitting only the cotangent side into bf16 hi/lo/lo2
+    (hi+lo+lo2 carries ~24 mantissa bits) and running ONE triple-width
+    DEFAULT matmul recovers f32-exact scatters in 3 MXU passes.
+    Measured: HIGHEST cost the d8 backward +21%; this costs ~half that.
+    """
+    cols = d_rows.shape[0]
+    f32 = jnp.float32
+    hi = d_rows.astype(jnp.bfloat16).astype(f32)
+    rem = d_rows - hi
+    lo = rem.astype(jnp.bfloat16).astype(f32)
+    lo2 = rem - lo
+    stacked = jnp.concatenate([hi, lo, lo2], axis=0)       # (3C, R)
+    out = lax.dot_general(
+        one_hot, stacked,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    )                                                      # (N, 3C)
+    return out[:, :cols] + out[:, cols:2 * cols] + out[:, 2 * cols:]
+
+
+def _prepare_grad_inputs(scene, cam_cfg, rows3, img_width, img_height,
+                         ray_tile, pixel_order, mesh, dtype):
+    """Shared host-side setup for both grad entry points: tile-shaped
+    lane->pixel maps, the (per-lane-permuted) payload rows (upstream
+    cotangent or target image), and the packed scene/camera with the
+    slot-id column stamped (the winner gather fetches sids for free)."""
+    cam = initialize(cam_cfg, img_width, img_height)
+    num_pixels = img_width * img_height
+    n_shards = (
+        int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
+    )
+    padded = _round_up(num_pixels, ray_tile * n_shards)
+    n_tiles = padded // ray_tile
+
+    ids = _order_ids(pixel_order, padded)
+    ii = (ids % jnp.uint32(img_width)).astype(dtype)
+    jj = (ids // jnp.uint32(img_width)).astype(dtype)
+    ids2 = ids.reshape(n_tiles, 1, ray_tile)
+    ii2 = ii.reshape(n_tiles, 1, ray_tile)
+    jj2 = jj.reshape(n_tiles, 1, ray_tile)
+
+    flat = rows3.reshape(num_pixels, 3).astype(dtype)
+    pad = jnp.zeros((padded, 3), dtype).at[:num_pixels].set(flat)
+    if pixel_order is not None:
+        pad = pad[ids.astype(jnp.int32)]       # lane i's pixel is ids[i]
+    rows = tuple(
+        pad[:, k].reshape(n_tiles, 1, ray_tile) for k in range(3)
+    )
+
+    scene_mat = pack_scene_matrix(scene, dtype)
+    n_spheres = scene_mat.shape[0]
+    scene_mat = scene_mat.at[:, COL_SID].set(
+        jnp.arange(n_spheres, dtype=dtype)
+    )
+    cam_row = pack_camera(cam, dtype)
+    return (ids, ids2, ii2, jj2, rows, scene_mat, cam_row, n_spheres,
+            num_pixels, padded, n_tiles)
+
+
 def render_pallas_grads(
     scene: Scene,
     cam_cfg: CameraConfig,
@@ -586,36 +652,11 @@ def render_pallas_grads(
     render_pallas) — grouping pixels by expected path depth lets whole
     tiles hit the all-dead early exit together. Scene/camera cotangents
     are order-invariant up to float reassociation (tile-sum order)."""
-    cam = initialize(cam_cfg, img_width, img_height)
-    num_pixels = img_width * img_height
-    n_shards = (
-        int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
+    (ids, ids2, ii2, jj2, (gr, gg, gb), scene_mat, cam_row, n_spheres,
+     num_pixels, padded, n_tiles) = _prepare_grad_inputs(
+        scene, cam_cfg, g_acc, img_width, img_height, ray_tile,
+        pixel_order, mesh, dtype,
     )
-    padded = _round_up(num_pixels, ray_tile * n_shards)
-    n_tiles = padded // ray_tile
-
-    ids = _order_ids(pixel_order, padded)
-    ii = (ids % jnp.uint32(img_width)).astype(dtype)
-    jj = (ids // jnp.uint32(img_width)).astype(dtype)
-    ids2 = ids.reshape(n_tiles, 1, ray_tile)
-    ii2 = ii.reshape(n_tiles, 1, ray_tile)
-    jj2 = jj.reshape(n_tiles, 1, ray_tile)
-
-    g_flat = g_acc.reshape(num_pixels, 3).astype(dtype)
-    g_pad = jnp.zeros((padded, 3), dtype).at[:num_pixels].set(g_flat)
-    if pixel_order is not None:
-        g_pad = g_pad[ids.astype(jnp.int32)]     # lane i's pixel is ids[i]
-    gr = g_pad[:, 0].reshape(n_tiles, 1, ray_tile)
-    gg = g_pad[:, 1].reshape(n_tiles, 1, ray_tile)
-    gb = g_pad[:, 2].reshape(n_tiles, 1, ray_tile)
-
-    scene_mat = pack_scene_matrix(scene, dtype)
-    n_spheres = scene_mat.shape[0]
-    # slot ids ride a spare column so the winner gather fetches them
-    scene_mat = scene_mat.at[:, COL_SID].set(
-        jnp.arange(n_spheres, dtype=dtype)
-    )
-    cam_row = pack_camera(cam, dtype)
 
     kernel = functools.partial(
         _grad_tile_kernel,
@@ -726,35 +767,11 @@ def mse_train_pallas(
     despite the compile service's one-Mosaic-kernel-per-program limit.
     Callers chain the cotangents to parameter pytrees with
     ``chain_to_params``."""
-    cam = initialize(cam_cfg, img_width, img_height)
-    num_pixels = img_width * img_height
-    n_shards = (
-        int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
+    (ids, ids2, ii2, jj2, (tr, tg, tb), scene_mat, cam_row, n_spheres,
+     num_pixels, padded, n_tiles) = _prepare_grad_inputs(
+        scene, cam_cfg, target, img_width, img_height, ray_tile,
+        pixel_order, mesh, dtype,
     )
-    padded = _round_up(num_pixels, ray_tile * n_shards)
-    n_tiles = padded // ray_tile
-
-    ids = _order_ids(pixel_order, padded)
-    ii = (ids % jnp.uint32(img_width)).astype(dtype)
-    jj = (ids // jnp.uint32(img_width)).astype(dtype)
-    ids2 = ids.reshape(n_tiles, 1, ray_tile)
-    ii2 = ii.reshape(n_tiles, 1, ray_tile)
-    jj2 = jj.reshape(n_tiles, 1, ray_tile)
-
-    t_flat = target.reshape(num_pixels, 3).astype(dtype)
-    t_pad = jnp.zeros((padded, 3), dtype).at[:num_pixels].set(t_flat)
-    if pixel_order is not None:
-        t_pad = t_pad[ids.astype(jnp.int32)]
-    tr = t_pad[:, 0].reshape(n_tiles, 1, ray_tile)
-    tg = t_pad[:, 1].reshape(n_tiles, 1, ray_tile)
-    tb = t_pad[:, 2].reshape(n_tiles, 1, ray_tile)
-
-    scene_mat = pack_scene_matrix(scene, dtype)
-    n_spheres = scene_mat.shape[0]
-    scene_mat = scene_mat.at[:, COL_SID].set(
-        jnp.arange(n_spheres, dtype=dtype)
-    )
-    cam_row = pack_camera(cam, dtype)
 
     kernel = functools.partial(
         _fused_tile_kernel,

@@ -232,14 +232,22 @@ def _hit_select(cxc, cyc, czc, rc, active, a, d_dot_o, o2, c_dot_d,
     return hit, t, one_hot
 
 
-def _gather_hit(scene_ref, one_hot: jnp.ndarray):
-    """Hit-parameter fetch: scene^T (16,N) @ one-hot (N,R) on the MXU."""
-    params = lax.dot_general(
-        scene_ref[:, :], one_hot,
+def _gather_params(scene_mat, one_hot: jnp.ndarray) -> jnp.ndarray:
+    """Hit-parameter fetch: scene^T (16,N) @ one-hot (N,R) on the MXU.
+    HIGHEST precision: the one-hot has a single exact 1.0 per hit lane,
+    so the gathered values are exact copies of the winner's columns —
+    the bitwise-replay invariant the backward's winner replay relies on
+    (ops/pallas_backward._hit_winner shares this helper)."""
+    return lax.dot_general(
+        scene_mat[:, :], one_hot,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=lax.Precision.HIGHEST,
     )                                                          # (16, R)
+
+
+def _gather_hit(scene_ref, one_hot: jnp.ndarray):
+    params = _gather_params(scene_ref, one_hot)
     row = lambda k: params[k:k + 1, :]
     return (
         Vec3(row(COL_CX), row(COL_CY), row(COL_CZ)),           # center
@@ -1252,6 +1260,7 @@ def make_diff_render(
     gamma: bool = False,
     legacy_sky: bool = False,
     ray_tile: int = DEFAULT_RAY_TILE,
+    bwd_ray_tile: Optional[int] = None,
     pixel_order=None,
     mesh=None,
     oracle_chunk_pixels: Optional[int] = None,
@@ -1260,6 +1269,12 @@ def make_diff_render(
     backward: str = "pallas",
 ):
     """Differentiable renderer with the Pallas kernel as the forward pass.
+
+    ``bwd_ray_tile``: backward-kernel tile (default 1024 — the
+    winner-replay reverse sweep is O(R), so bigger tiles amortize better
+    than the forward's 512, bwd_winner.jsonl). Lower it explicitly for
+    sphere-heavy scenes where the forward sweep's (N, R) hit-scan
+    working set presses the 16 MB VMEM limit.
 
     ``pixel_order``: optional frozen difficulty permutation (see
     measure_difficulty/difficulty_order) applied to BOTH the forward
@@ -1341,9 +1356,7 @@ def make_diff_render(
         d_sm, d_cr = render_pallas_grads(
             _scene(params), cam_cfg, g_acc, img_width, img_height,
             samples_per_pixel, max_depth, seed=seed,
-            # winner-replay reverse sweep is O(R): bigger tiles amortize
-            # better than the forward's 512 (bwd_winner.jsonl)
-            ray_tile=max(ray_tile, 1024), pixel_order=pixel_order,
+            ray_tile=bwd_ray_tile or 1024, pixel_order=pixel_order,
             mesh=mesh, interpret=interpret,
         )
         return chain_to_params(

@@ -51,6 +51,7 @@ from .pallas_backward import (
     _ST_ROWS,
     _camera_from_scalars,
     _pack_residual,
+    _scatter_matmul,
     _unpack_residual,
     _winner_bounce,
 )
@@ -268,11 +269,10 @@ def _stream_grad_kernel(
                     one_hot = (
                         (sid_v - base_f) == local
                     ).astype(dtype)                        # (B, R)
-                    d_blk = lax.dot_general(
-                        one_hot, d_rows,
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )                                      # (B, 16)
+                    # one-side bf16x3 split: f32-exact scatter without
+                    # HIGHEST's both-side 6-pass cost (see
+                    # pallas_backward._scatter_matmul)
+                    d_blk = _scatter_matmul(one_hot, d_rows)  # (B, 16)
                     ds = pl.ds(pl.multiple_of(base, block), block)
                     dscene_ref[ds, :] = dscene_ref[ds, :] + d_blk
 

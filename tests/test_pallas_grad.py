@@ -48,7 +48,7 @@ def _grads(scene, cam, *, gamma=False, backward="pallas", mesh=None,
     f = make_diff_render(
         scene.mat_type, scene.active, W, H, SPP, DEPTH,
         gamma=gamma, interpret=True, backward=backward, mesh=mesh,
-        ray_tile=ray_tile,
+        ray_tile=ray_tile, bwd_ray_tile=ray_tile,
     )
 
     def loss(p, c):
