@@ -569,9 +569,14 @@ def _scatter_matmul(one_hot: jnp.ndarray, d_rows: jnp.ndarray):
     """
     cols = d_rows.shape[0]
     f32 = jnp.float32
-    hi = d_rows.astype(jnp.bfloat16).astype(f32)
+    # clamp the hi term to max-finite bf16: an f32 value above it would
+    # round to inf and poison rem with NaN (NaN hygiene); the clipped
+    # difference lands in lo exactly. Subnormal rems flush to zero on
+    # TPU — absolute error <= ~1.2e-38, fine for cotangents.
+    bmax = jnp.asarray(3.3895313892515355e38, f32)
+    hi = jnp.clip(d_rows, -bmax, bmax).astype(jnp.bfloat16).astype(f32)
     rem = d_rows - hi
-    lo = rem.astype(jnp.bfloat16).astype(f32)
+    lo = jnp.clip(rem, -bmax, bmax).astype(jnp.bfloat16).astype(f32)
     lo2 = rem - lo
     stacked = jnp.concatenate([hi, lo, lo2], axis=0)       # (3C, R)
     out = lax.dot_general(

@@ -135,6 +135,34 @@ def test_pixel_order_invariance(mixed_scene, default_camera):
     _assert_tree_close(base, permuted, rtol=1e-4, atol=5e-7)
 
 
+def test_scatter_split_exact():
+    """The one-side bf16 hi/lo/lo2 split behind _scatter_matmul must
+    reconstruct f32 cotangents to ~1 ulp over the full NORMAL f32 range
+    and stay finite at the f32 extremes (the unclamped split rounds
+    |v| > bf16_max to inf and poisons rem with NaN). On CPU the matmul
+    itself is f32 either way — this pins the split, which is what
+    protects real-TPU precision."""
+    from raytracingincuda_tpu.ops.pallas_backward import _scatter_matmul
+
+    rng = np.random.default_rng(11)
+    vals = np.concatenate([
+        rng.standard_normal(256) * 10.0 ** rng.integers(-30, 31, 256),
+        np.zeros(8),
+        [1.2e-38, -1.2e-38, 3.4e38, -3.4e38, 1e38, -1e38],
+    ]).astype(np.float32)
+    n = vals.shape[0]
+    # identity one-hot: scatter returns the (clamp-protected) recon
+    one_hot = jnp.eye(n, dtype=jnp.float32)
+    recon = np.asarray(
+        _scatter_matmul(one_hot, jnp.asarray(vals)[None, :])
+    )[:, 0]
+    assert np.isfinite(recon).all()
+    # near-min-normal values lose their (subnormal) residual to FTZ —
+    # absolute error <= ~1.2e-38; the relative bound applies above that
+    denom = np.maximum(np.abs(vals), np.float32(1e-33))
+    assert np.max(np.abs(recon - vals) / denom) < 2e-7
+
+
 @pytest.mark.slow
 def test_sample_chunked_grads(mixed_scene, default_camera):
     """Cotangents are sums over samples, so two sweeps over disjoint
