@@ -71,8 +71,13 @@ class AdaptiveResult(NamedTuple):
     error_map: jnp.ndarray    # (H, W) relative split-buffer error estimate
 
 
-def split_buffer_error(a_acc, b_acc, half: int) -> jnp.ndarray:
-    """Relative per-pixel error from two half-buffers of raw radiance sums."""
+def split_buffer_error(a_acc, b_acc, half) -> jnp.ndarray:
+    """Relative per-pixel error from two half-buffers of raw radiance
+    sums. ``half`` is the per-buffer sample count: a scalar, or an
+    (H, W) per-pixel array (multi-round schedules)."""
+    half = jnp.asarray(half, a_acc.dtype)
+    if half.ndim:
+        half = half[..., None]
     a = a_acc / half
     b = b_acc / half
     mean_lum = _luminance((a + b) * 0.5)
@@ -101,14 +106,17 @@ def _dilate_blur(err: jnp.ndarray) -> jnp.ndarray:
 
 
 def budgets_from_error(
-    err: jnp.ndarray, base_spp: int, max_spp: int, tol: float,
+    err: jnp.ndarray, base_spp, max_spp: int, tol: float,
     smooth: bool = True,
 ) -> jnp.ndarray:
-    """Extra-sample budget per pixel under 1/sqrt(n) error scaling."""
+    """Extra-sample budget per pixel under 1/sqrt(n) error scaling.
+    ``base_spp`` is the current per-pixel count: a scalar, or an (H, W)
+    array (multi-round schedules re-plan at heterogeneous counts)."""
     plan_err = _dilate_blur(err) if smooth else err
-    want = base_spp * (plan_err / tol) ** 2
+    counts = jnp.asarray(base_spp, jnp.float32)
+    want = counts * (plan_err / tol) ** 2
     extra = jnp.clip(
-        jnp.round(want - base_spp), 0, max_spp - base_spp
+        jnp.round(want - counts), 0, max_spp - counts
     ).astype(jnp.int32)
     return extra
 
@@ -191,21 +199,12 @@ def _make_phases(
 
     @jax.jit
     def plan(a_acc, b_acc, counts):
-        # generic split-buffer estimate at per-pixel counts (round 1:
-        # counts == base_spp everywhere, identical to the scalar form)
-        half_counts = jnp.maximum(counts // 2, 1).astype(a_acc.dtype)
-        a = a_acc / half_counts[..., None]
-        b = b_acc / half_counts[..., None]
-        mean_lum = _luminance((a + b) * 0.5)
-        diff_lum = jnp.abs(_luminance(a) - _luminance(b))
-        err = diff_lum / jnp.maximum(mean_lum, 0.05)
-        # budget to hit tol under 1/sqrt(n) scaling from the current count
-        plan_err = _dilate_blur(err)
-        counts_f = counts.astype(jnp.float32)
-        want = counts_f * (plan_err / tol) ** 2
-        extra = jnp.clip(
-            jnp.round(want - counts_f), 0, max_spp - counts
-        ).astype(jnp.int32)
+        # the public helpers, at per-pixel counts (round 1: counts ==
+        # base_spp everywhere, identical to the scalar form)
+        err = split_buffer_error(
+            a_acc, b_acc, jnp.maximum(counts // 2, 1)
+        )
+        extra = budgets_from_error(err, counts, max_spp, tol)
         if rounds > 1:
             # multi-round refines render as two half-budget launches so
             # the split buffers stay balanced — budgets must be even
@@ -287,6 +286,12 @@ def render_adaptive(
     config. base_spp must be even."""
     if base_spp % 2 != 0:
         raise ValueError("base_spp must be even (two half-buffers)")
+    if max_spp < base_spp:
+        # clip(x, 0, negative) returns the NEGATIVE bound: budgets would
+        # silently go negative and corrupt the per-pixel counts
+        raise ValueError(
+            f"max_spp ({max_spp}) must be >= base_spp ({base_spp})"
+        )
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
     if stream is not None:

@@ -111,6 +111,11 @@ def prepare_stream_scene(
     """Sort spheres spatially, pad to an even number of blocks, compute
     per-block conservative bounding spheres. Inactive slots get far-away
     centers so they never tighten nor break a block bound."""
+    if dtype != jnp.float32:
+        raise NotImplementedError(
+            "stream scenes are f32-only (the packed HBM matrix and the "
+            "kernel's DMA buffers are float32)"
+        )
     mat = np.asarray(pack_scene_matrix(scene, dtype))
     active = mat[:, COL_ACTIVE] > 0.5
     n_act = int(active.sum())
@@ -182,8 +187,13 @@ def build_stream_arrays(scene: Scene, perm: jnp.ndarray, block: int,
     any_act = act.any(axis=1)
     ctr = jnp.where(any_act[:, None], (lo + hi) * 0.5, 0.0)
     # padding rows hold zero centers, so this distance stays finite and
-    # the where() masks it out of the max
-    dist = jnp.sqrt(((c - ctr[:, None, :]) ** 2).sum(-1))
+    # the where() masks it out of the max. Double-where around the sqrt:
+    # a lone active sphere sits exactly at ctr (d2 == 0), where sqrt's
+    # vjp is inf and even the masked-out cotangent would turn the
+    # center gradient NaN (0 * inf) — NaN hygiene, CLAUDE.md.
+    d2 = ((c - ctr[:, None, :]) ** 2).sum(-1)
+    pos = d2 > 0.0
+    dist = jnp.where(pos, jnp.sqrt(jnp.where(pos, d2, 1.0)), 0.0)
     dmax = jnp.max(jnp.where(act, dist, 0.0), axis=1)
     rmax = jnp.max(jnp.where(act, r, 0.0), axis=1)
     rb = jnp.where(any_act, (dmax + rmax) * 1.0001 + 1e-4, 0.0)
@@ -223,7 +233,9 @@ def _hit_world_stream(scene_hbm, bounds_ref, bufs, sems, o: Vec3, d: Vec3,
                       t_refs=None, p_refs=None, ray_scr=None):
     """Closest hit over HBM-resident sphere blocks with double-buffered
     DMA and per-block bound culling. Returns (hit, t, center, radius,
-    albedo, fuzz, ior, mat_f) like the VMEM gather path.
+    albedo, fuzz, ior, mat_f, sid) — the VMEM gather path's tuple plus
+    the winner's stream-slot id (the backward scatter keys on it; the
+    forward kernel slices it off).
 
     ``t_refs``/``p_refs``: per-lane-group VMEM scratch lists (one
     (1, G) + (STREAM_COLS, G) pair per group, G = R // len) holding the
@@ -482,7 +494,18 @@ def render_pallas_stream(
     block = stream.block
     n_blocks = stream.n_blocks
     nb_pad = stream.bounds.shape[0]
+    if n_blocks % 2 != 0:
+        # the double-buffered DMA walks block PAIRS; an odd count would
+        # silently drop the last block from every hit test
+        raise ValueError(
+            f"stream scene must have an even block count, got {n_blocks} "
+            "(prepare_stream_scene pads to 2*block rows)"
+        )
 
+    if 0 < lane_group < ray_tile and ray_tile % lane_group != 0:
+        raise ValueError(
+            f"lane_group ({lane_group}) must divide ray_tile ({ray_tile})"
+        )
     n_groups = (
         ray_tile // lane_group if 0 < lane_group < ray_tile else 1
     )

@@ -344,6 +344,14 @@ def _stream_grad_program(
     n_blocks = stream.n_blocks
     n_total = n_blocks * block
     nb_pad = stream.bounds.shape[0]
+    if n_blocks % 2 != 0:
+        raise ValueError(
+            f"stream scene must have an even block count, got {n_blocks}"
+        )
+    if 0 < lane_group < ray_tile and ray_tile % lane_group != 0:
+        raise ValueError(
+            f"lane_group ({lane_group}) must divide ray_tile ({ray_tile})"
+        )
     n_groups = (
         ray_tile // lane_group if 0 < lane_group < ray_tile else 1
     )
