@@ -1061,46 +1061,12 @@ def render_pallas(
         mode = "simple"
     cam = initialize(cam_cfg, img_width, img_height)
 
-    num_pixels = img_width * img_height
     n_shards = int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
-    padded = _round_up(num_pixels, kpl * ray_tile * n_shards)
-    n_tiles = padded // (kpl * ray_tile)
-    if kpl > 1 and padded >= (1 << 24):
-        # multi-pixel lanes carry the current pixel id as f32
-        raise ValueError("pixels_per_lane > 1 supports images < 16M pixels")
-
-    if pixel_order is not None:
-        assert pixel_order.shape == (padded,), (
-            f"pixel_order must have shape ({padded},), got {pixel_order.shape}"
-        )
-        ids = jnp.asarray(pixel_order, jnp.uint32)
-        use_sort = True
-    else:
-        ids = jnp.arange(padded, dtype=jnp.uint32)
-        use_sort = False
-    ii = (ids % jnp.uint32(img_width)).astype(dtype)
-    jj = (ids // jnp.uint32(img_width)).astype(dtype)
-    # (T, K, R): lane i of tile t owns pixels ids[t, :, i] — trailing dims
-    # equal the block shape (Pallas TPU block divisibility rule).
-    ids2 = ids.reshape(n_tiles, kpl, ray_tile)
-    ii2 = ii.reshape(n_tiles, kpl, ray_tile)
-    jj2 = jj.reshape(n_tiles, kpl, ray_tile)
-
-    # per-lane sample budget row (regen): absolute exclusive end sample id
-    if sample_budgets is not None:
-        nb = jnp.asarray(sample_budgets).astype(dtype).reshape(-1)
-        if nb.shape != (num_pixels,):
-            raise ValueError(
-                f"sample_budgets must have shape ({num_pixels},)"
-            )
-        nb_pad = jnp.zeros((padded,), dtype).at[:num_pixels].set(nb)
-        # lane i owns pixel ids[i] — budgets follow the pixel ordering
-        budget_row = float(sample_offset) + nb_pad[ids.astype(jnp.int32)]
-    else:
-        budget_row = jnp.full(
-            (padded,), float(sample_offset + samples_per_pixel), dtype
-        )
-    bud2 = budget_row.reshape(n_tiles, kpl, ray_tile)
+    (ids, ids2, ii2, jj2, bud2, use_sort, num_pixels, padded,
+     n_tiles) = _lane_setup(
+        img_width, img_height, ray_tile, kpl, n_shards, pixel_order,
+        samples_per_pixel, sample_offset, sample_budgets, dtype,
+    )
 
     scene_mat = pack_scene_matrix(scene, dtype)
     cam_row = pack_camera(cam, dtype)
@@ -1205,6 +1171,78 @@ def render_pallas(
         # (per-tile wave counts on green — diagnostics; segments on red)
         seg = acc_r.reshape(padded)
         return acc_g.reshape(padded), seg
+    return _finalize_output(
+        acc_r, acc_g, acc_b, ids, use_sort, num_pixels, padded,
+        img_width, img_height, samples_per_pixel, gamma,
+        accumulate_only, dtype,
+    )
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def _lane_setup(img_width, img_height, ray_tile, kpl, n_shards,
+                pixel_order, samples_per_pixel, sample_offset,
+                sample_budgets, dtype):
+    """Shared lane->pixel plumbing for the regen-family wrappers
+    (render_pallas and pallas_stream.render_pallas_stream): padding,
+    optional pixel ordering, per-lane ABSOLUTE budget rows (exclusive
+    end sample ids), and the (T, K, R) tile reshapes — trailing dims
+    equal the block shape (Pallas TPU block divisibility rule).
+
+    Returns (ids, ids2, ii2, jj2, bud2, use_sort, num_pixels, padded,
+    n_tiles). The two wrappers MUST share this: the budget/ordering
+    contract is what the adaptive sampler relies on, and a fix landing
+    in only one path would silently diverge the other."""
+    num_pixels = img_width * img_height
+    padded = _round_up(num_pixels, kpl * ray_tile * n_shards)
+    n_tiles = padded // (kpl * ray_tile)
+    if kpl > 1 and padded >= (1 << 24):
+        # multi-pixel lanes carry the current pixel id as f32
+        raise ValueError("pixels_per_lane > 1 supports images < 16M pixels")
+
+    if pixel_order is not None:
+        assert pixel_order.shape == (padded,), (
+            f"pixel_order must have shape ({padded},), "
+            f"got {pixel_order.shape}"
+        )
+        ids = jnp.asarray(pixel_order, jnp.uint32)
+        use_sort = True
+    else:
+        ids = jnp.arange(padded, dtype=jnp.uint32)
+        use_sort = False
+    ii = (ids % jnp.uint32(img_width)).astype(dtype)
+    jj = (ids // jnp.uint32(img_width)).astype(dtype)
+    ids2 = ids.reshape(n_tiles, kpl, ray_tile)
+    ii2 = ii.reshape(n_tiles, kpl, ray_tile)
+    jj2 = jj.reshape(n_tiles, kpl, ray_tile)
+
+    if sample_budgets is not None:
+        nb = jnp.asarray(sample_budgets).astype(dtype).reshape(-1)
+        if nb.shape != (num_pixels,):
+            raise ValueError(
+                f"sample_budgets must have shape ({num_pixels},)"
+            )
+        nb_pad = jnp.zeros((padded,), dtype).at[:num_pixels].set(nb)
+        # lane i owns pixel ids[i] — budgets follow the pixel ordering
+        budget_row = float(sample_offset) + nb_pad[ids.astype(jnp.int32)]
+    else:
+        budget_row = jnp.full(
+            (padded,), float(sample_offset + samples_per_pixel), dtype
+        )
+    bud2 = budget_row.reshape(n_tiles, kpl, ray_tile)
+    return (ids, ids2, ii2, jj2, bud2, use_sort, num_pixels, padded,
+            n_tiles)
+
+
+def _finalize_output(acc_r, acc_g, acc_b, ids, use_sort, num_pixels,
+                     padded, img_width, img_height, samples_per_pixel,
+                     gamma, accumulate_only, dtype):
+    """Shared output tail: un-permute sorted lanes, then either return
+    the raw radiance sum (accumulate_only — adaptive / incremental
+    callers normalize by their own per-pixel counts) or the
+    1/spp-scaled (optionally gamma'd) image."""
     acc = jnp.stack(
         [acc_r.reshape(padded), acc_g.reshape(padded),
          acc_b.reshape(padded)],
@@ -1214,18 +1252,12 @@ def render_pallas(
         # un-permute: lane i rendered pixel ids[i]
         acc = jnp.zeros_like(acc).at[ids.astype(jnp.int32)].set(acc)
     if accumulate_only:
-        # raw radiance sum over this pass's sample range (incremental /
-        # adaptive callers normalize by their own per-pixel counts)
         return acc[:num_pixels].reshape(img_height, img_width, 3)
     scale = jnp.asarray(1.0 / samples_per_pixel, dtype)
     img = acc[:num_pixels] * scale
     if gamma:
         img = _linear_to_gamma(img)
     return img.reshape(img_height, img_width, 3)
-
-
-def _round_up(n: int, m: int) -> int:
-    return ((n + m - 1) // m) * m
 
 
 def _bucket_order(seg: jnp.ndarray, max_seg: int) -> jnp.ndarray:

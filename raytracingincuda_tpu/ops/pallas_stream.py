@@ -52,14 +52,15 @@ from .pallas_kernel import (
     COL_CZ,
     COL_RADIUS,
     NUM_COLS,
+    _finalize_output,
     _hit_select,
+    _lane_setup,
     _regen_body,
     _regen_body_multi,
     _round_up,
     pack_camera,
     pack_scene_matrix,
 )
-from .tracer import _linear_to_gamma
 from .vec import Vec3
 
 DEFAULT_BLOCK = 256   # best across 10k-100k spheres on v5e
@@ -449,46 +450,14 @@ def render_pallas_stream(
     sampler (ops/adaptive.py) drive streamed scenes."""
     cam = initialize(cam_cfg, img_width, img_height)
     kpl = pixels_per_lane
-    num_pixels = img_width * img_height
     n_shards = (
         int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
     )
-    padded = _round_up(num_pixels, kpl * ray_tile * n_shards)
-    n_tiles = padded // (kpl * ray_tile)
-    if kpl > 1 and padded >= (1 << 24):
-        # multi-pixel lanes carry the current pixel id as f32
-        raise ValueError("pixels_per_lane > 1 supports images < 16M pixels")
-
-    if pixel_order is not None:
-        assert pixel_order.shape == (padded,), (
-            f"pixel_order must have shape ({padded},), "
-            f"got {pixel_order.shape}"
-        )
-        ids = jnp.asarray(pixel_order, jnp.uint32)
-        use_sort = True
-    else:
-        ids = jnp.arange(padded, dtype=jnp.uint32)
-        use_sort = False
-    ii = (ids % jnp.uint32(img_width)).astype(dtype)
-    jj = (ids // jnp.uint32(img_width)).astype(dtype)
-    ids2 = ids.reshape(n_tiles, kpl, ray_tile)
-    ii2 = ii.reshape(n_tiles, kpl, ray_tile)
-    jj2 = jj.reshape(n_tiles, kpl, ray_tile)
-    if sample_budgets is not None:
-        nb = jnp.asarray(sample_budgets).astype(dtype).reshape(-1)
-        if nb.shape != (num_pixels,):
-            raise ValueError(
-                f"sample_budgets must have shape ({num_pixels},)"
-            )
-        nb_padded = jnp.zeros((padded,), dtype).at[:num_pixels].set(nb)
-        budget_row = (
-            float(sample_offset) + nb_padded[ids.astype(jnp.int32)]
-        )
-    else:
-        budget_row = jnp.full(
-            (padded,), float(sample_offset + samples_per_pixel), dtype
-        )
-    bud2 = budget_row.reshape(n_tiles, kpl, ray_tile)
+    (ids, ids2, ii2, jj2, bud2, use_sort, num_pixels, padded,
+     n_tiles) = _lane_setup(
+        img_width, img_height, ray_tile, kpl, n_shards, pixel_order,
+        samples_per_pixel, sample_offset, sample_budgets, dtype,
+    )
 
     cam_row = pack_camera(cam, dtype)
     block = stream.block
@@ -584,19 +553,8 @@ def render_pallas_stream(
     acc_r, acc_g, acc_b = run(
         ids2, ii2, jj2, bud2, stream.scene_mat, stream.bounds, cam_row
     )
-    acc = jnp.stack(
-        [acc_r.reshape(padded), acc_g.reshape(padded),
-         acc_b.reshape(padded)],
-        axis=-1,
+    return _finalize_output(
+        acc_r, acc_g, acc_b, ids, use_sort, num_pixels, padded,
+        img_width, img_height, samples_per_pixel, gamma,
+        accumulate_only, dtype,
     )
-    if use_sort:
-        # un-permute: lane i rendered pixel ids[i]
-        acc = jnp.zeros_like(acc).at[ids.astype(jnp.int32)].set(acc)
-    if accumulate_only:
-        # raw radiance sum over this pass's sample range (adaptive /
-        # incremental callers normalize by their own per-pixel counts)
-        return acc[:num_pixels].reshape(img_height, img_width, 3)
-    img = acc[:num_pixels] * jnp.asarray(1.0 / samples_per_pixel, dtype)
-    if gamma:
-        img = _linear_to_gamma(img)
-    return img.reshape(img_height, img_width, 3)
