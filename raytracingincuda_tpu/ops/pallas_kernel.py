@@ -1062,8 +1062,8 @@ def render_pallas(
     cam = initialize(cam_cfg, img_width, img_height)
 
     n_shards = int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
-    (ids, ids2, ii2, jj2, bud2, use_sort, num_pixels, padded,
-     n_tiles) = _lane_setup(
+    (ids, ids2, ii2, jj2, bud2, use_sort, num_pixels,
+     padded) = _lane_setup(
         img_width, img_height, ray_tile, kpl, n_shards, pixel_order,
         samples_per_pixel, sample_offset, sample_budgets, dtype,
     )
@@ -1191,8 +1191,8 @@ def _lane_setup(img_width, img_height, ray_tile, kpl, n_shards,
     end sample ids), and the (T, K, R) tile reshapes — trailing dims
     equal the block shape (Pallas TPU block divisibility rule).
 
-    Returns (ids, ids2, ii2, jj2, bud2, use_sort, num_pixels, padded,
-    n_tiles). The two wrappers MUST share this: the budget/ordering
+    Returns (ids, ids2, ii2, jj2, bud2, use_sort, num_pixels, padded).
+    The two wrappers MUST share this: the budget/ordering
     contract is what the adaptive sampler relies on, and a fix landing
     in only one path would silently diverge the other."""
     num_pixels = img_width * img_height
@@ -1203,10 +1203,11 @@ def _lane_setup(img_width, img_height, ray_tile, kpl, n_shards,
         raise ValueError("pixels_per_lane > 1 supports images < 16M pixels")
 
     if pixel_order is not None:
-        assert pixel_order.shape == (padded,), (
-            f"pixel_order must have shape ({padded},), "
-            f"got {pixel_order.shape}"
-        )
+        if pixel_order.shape != (padded,):
+            raise ValueError(
+                f"pixel_order must have shape ({padded},), "
+                f"got {pixel_order.shape}"
+            )
         ids = jnp.asarray(pixel_order, jnp.uint32)
         use_sort = True
     else:
@@ -1232,8 +1233,7 @@ def _lane_setup(img_width, img_height, ray_tile, kpl, n_shards,
             (padded,), float(sample_offset + samples_per_pixel), dtype
         )
     bud2 = budget_row.reshape(n_tiles, kpl, ray_tile)
-    return (ids, ids2, ii2, jj2, bud2, use_sort, num_pixels, padded,
-            n_tiles)
+    return ids, ids2, ii2, jj2, bud2, use_sort, num_pixels, padded
 
 
 def _finalize_output(acc_r, acc_g, acc_b, ids, use_sort, num_pixels,

@@ -453,8 +453,8 @@ def render_pallas_stream(
     n_shards = (
         int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
     )
-    (ids, ids2, ii2, jj2, bud2, use_sort, num_pixels, padded,
-     n_tiles) = _lane_setup(
+    (ids, ids2, ii2, jj2, bud2, use_sort, num_pixels,
+     padded) = _lane_setup(
         img_width, img_height, ray_tile, kpl, n_shards, pixel_order,
         samples_per_pixel, sample_offset, sample_budgets, dtype,
     )
