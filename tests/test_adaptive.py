@@ -235,3 +235,18 @@ def test_split_buffer_error_zero_for_identical():
     a = jnp.ones((4, 4, 3))
     e = np.asarray(split_buffer_error(a, a, 2))
     np.testing.assert_allclose(e, 0.0)
+
+
+def test_rejects_max_spp_below_base():
+    """clip(x, 0, negative) returns the negative bound — budgets would
+    silently corrupt per-pixel counts; must raise instead."""
+    import pytest
+
+    from raytracingincuda_tpu.models.camera import CameraConfig
+    from raytracingincuda_tpu.models.scene import build_scene
+
+    with pytest.raises(ValueError, match="max_spp"):
+        render_adaptive(
+            build_scene(2), CameraConfig.reference_default(), 16, 8, 2,
+            base_spp=8, max_spp=4, interpret=True,
+        )

@@ -100,3 +100,50 @@ def test_prepare_stream_scene_layout(tiny_scene):
         rb = np.asarray(stream.bounds)[k, 3]
         dist = np.sqrt(((act[:, 0:3] - ctr) ** 2).sum(1)) + act[:, 3]
         assert (dist <= rb + 1e-5).all()
+
+
+def test_rejects_odd_block_count(tiny_scene, default_camera):
+    """A hand-built StreamScene with an odd block count would silently
+    drop the last block from every hit test (paired DMA walk)."""
+    import pytest
+
+    from raytracingincuda_tpu.ops.pallas_stream import (
+        StreamScene, prepare_stream_scene, render_pallas_stream,
+    )
+
+    st = prepare_stream_scene(tiny_scene, block=8)
+    bad = StreamScene(
+        scene_mat=jnp.concatenate(
+            [st.scene_mat, jnp.zeros((8, st.scene_mat.shape[1]))]
+        ),
+        bounds=jnp.concatenate([st.bounds, jnp.zeros((1, 8))]),
+        block=8, perm=st.perm,
+    )
+    with pytest.raises(ValueError, match="even block count"):
+        render_pallas_stream(bad, default_camera, 16, 8, 1, 2,
+                             interpret=True)
+
+
+def test_rejects_bad_lane_group(tiny_scene, default_camera):
+    import pytest
+
+    from raytracingincuda_tpu.ops.pallas_stream import (
+        prepare_stream_scene, render_pallas_stream,
+    )
+
+    st = prepare_stream_scene(tiny_scene, block=8)
+    with pytest.raises(ValueError, match="lane_group"):
+        render_pallas_stream(st, default_camera, 16, 8, 1, 2,
+                             lane_group=96, ray_tile=256,
+                             interpret=True)
+
+
+def test_prepare_rejects_non_f32(tiny_scene):
+    import pytest
+
+    from raytracingincuda_tpu.ops.pallas_stream import (
+        prepare_stream_scene,
+    )
+
+    with pytest.raises(NotImplementedError, match="f32"):
+        prepare_stream_scene(tiny_scene, dtype=jnp.bfloat16)
