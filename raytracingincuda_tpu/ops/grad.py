@@ -54,6 +54,7 @@ def make_loss_fn(
     impl: str = "oracle",
     pixel_order=None,
     mesh=None,
+    interpret: Optional[bool] = None,
 ):
     """loss(params, cam_cfg, statics, target) -> scalar.
 
@@ -70,11 +71,13 @@ def make_loss_fn(
         if impl == "pallas":
             from .pallas_kernel import make_diff_render
 
+            interp = (jax.default_backend() == "cpu"
+                      if interpret is None else interpret)
             f = make_diff_render(
                 mat_type, active, img_width, img_height,
                 samples_per_pixel, max_depth,
                 seed=seed, gamma=gamma, pixel_order=pixel_order,
-                mesh=mesh,
+                mesh=mesh, interpret=interp,
                 oracle_chunk_pixels=chunk_pixels,
                 oracle_pixel_sharding=pixel_sharding,
             )
@@ -320,16 +323,22 @@ def make_stream_train(
 
     @jax.jit
     def fwd(params, mat_type, active, cam_cfg):
-        return render_pallas_stream(
-            _stream_of(params, mat_type, active), cam_cfg,
+        # return the rebuilt stream arrays too: the backward program
+        # takes them as inputs instead of rebuilding the O(N) packed
+        # matrix + block bounds a second time per step
+        st = _stream_of(params, mat_type, active)
+        img = render_pallas_stream(
+            st, cam_cfg,
             img_width, img_height, samples_per_pixel, max_depth,
             seed=seed, gamma=False, lane_group=lane_group, mesh=mesh,
             interpret=interpret,
         )
+        return img, st.scene_mat, st.bounds
 
     @jax.jit
-    def bwd(params, mat_type, active, cam_cfg, img, target, opt_state):
-        st = _stream_of(params, mat_type, active)
+    def bwd(params, sm, bounds, mat_type, active, cam_cfg, img, target,
+            opt_state):
+        st = StreamScene(sm, bounds, block, perm)
         n = img_width * img_height * 3
         g_acc = (2.0 / n) * (img - target) / samples_per_pixel
         d_stream, d_cr = render_pallas_stream_grads(
@@ -351,10 +360,10 @@ def make_stream_train(
 
     def step_fn(state: TrainState, cam_cfg: CameraConfig,
                 mat_type, active, target):
-        img = fwd(state.params, mat_type, active, cam_cfg)
+        img, sm, bounds = fwd(state.params, mat_type, active, cam_cfg)
         params, opt_state, loss = bwd(
-            state.params, mat_type, active, cam_cfg, img, target,
-            state.opt_state,
+            state.params, sm, bounds, mat_type, active, cam_cfg, img,
+            target, state.opt_state,
         )
         return TrainState(params, opt_state, state.step + 1), loss
 

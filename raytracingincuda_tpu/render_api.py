@@ -22,6 +22,39 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def _identity_cache():
+    """One-entry cache keyed by a scene pytree's leaf IDENTITIES,
+    holding strong references to the keyed leaves: a bare id() key can
+    collide after GC reuses a freed object's address and silently return
+    a STALE prepared scene for different geometry. ``get(scene, build)``
+    returns the cached value iff every leaf is the SAME object as last
+    time, else rebuilds."""
+    slot = {"leaves": None, "value": None}
+
+    def get(scene, build):
+        leaves = jax.tree_util.tree_leaves(scene)
+        old = slot["leaves"]
+        if (old is not None and len(old) == len(leaves)
+                and all(a is b for a, b in zip(old, leaves))):
+            return slot["value"]
+        value = build()
+        slot["leaves"] = leaves
+        slot["value"] = value
+        return value
+
+    return get
+
+
+def _auto_stream_lane_group(cfg, stream) -> int:
+    """Per-group culling pays only once the per-block compute dwarfs the
+    scalar test (cull_tpu.jsonl: 256-lane groups -5% at 100k spheres,
+    +13% at 10k)."""
+    if cfg.stream_lane_group is not None:
+        return cfg.stream_lane_group
+    n_act = int(stream.perm.shape[0])
+    return 256 if n_act >= 50_000 else 0
+
+
 def make_renderer(cfg: RenderConfig, n_devices: int = 0):
     """Return a jitted ``renderer(scene, cam_cfg) -> (H, W, 3) image``.
 
@@ -63,7 +96,7 @@ def make_renderer(cfg: RenderConfig, n_devices: int = 0):
 
         interpret = jax.default_backend() == "cpu"
         pallas_mesh = meshlib.make_mesh(n_devices) if n_devices > 1 else None
-        adaptive_stream_cache: dict = {}
+        adaptive_stream_get = _identity_cache()
 
         def adaptive_renderer(scene, cam_cfg):
             # scenes beyond the VMEM kernel's capacity (~5k spheres)
@@ -71,28 +104,44 @@ def make_renderer(cfg: RenderConfig, n_devices: int = 0):
             # adaptive budgets work identically on both (same budget-row
             # machinery in _regen_body)
             stream = None
+            lane_group = 0
             if scene.num_slots > 4096:
                 from .ops.pallas_stream import prepare_stream_scene
 
-                key = tuple(
-                    id(x) for x in jax.tree_util.tree_leaves(scene)
+                stream = adaptive_stream_get(
+                    scene,
+                    lambda: prepare_stream_scene(
+                        scene, block=cfg.stream_block,
+                        dtype=cfg.jnp_dtype,
+                    ),
                 )
-                stream = adaptive_stream_cache.get(key)
-                if stream is None:
-                    adaptive_stream_cache.clear()
-                    stream = prepare_stream_scene(
-                        scene, block=cfg.stream_block
-                    )
-                    adaptive_stream_cache[key] = stream
+                lane_group = _auto_stream_lane_group(cfg, stream)
             return render_adaptive(
                 scene, cam_cfg, cfg.width, cfg.height, cfg.bounces,
                 base_spp=cfg.samples, max_spp=cfg.effective_max_samples,
                 tol=cfg.adaptive_tol, seed=cfg.seed,
                 legacy_sky=cfg.legacy_sky, rr_start=cfg.rr_start,
                 rounds=cfg.adaptive_rounds, stream=stream,
+                stream_lane_group=lane_group,
                 mesh=pallas_mesh, interpret=interpret,
             ).image
 
+        def adaptive_prepare(scene):
+            if scene.num_slots > 4096:
+                from .ops.pallas_stream import prepare_stream_scene
+
+                adaptive_stream_get(
+                    scene,
+                    lambda: prepare_stream_scene(
+                        scene, block=cfg.stream_block,
+                        dtype=cfg.jnp_dtype,
+                    ),
+                )
+
+        # scene-prep hook: callers timing render-only (cli.py) run the
+        # host-side prep inside their setup region, like the reference's
+        # H2D phase (main.cu:301-314 sits before render timing)
+        adaptive_renderer.prepare = adaptive_prepare
         # not one jit: three kernel launches with host logic between
         # (one-Mosaic-kernel-per-program constraint); each phase jits
         # itself inside render_adaptive via pallas_call
@@ -110,29 +159,21 @@ def make_renderer(cfg: RenderConfig, n_devices: int = 0):
             raise ValueError("impl=stream has no legacy_sky variant")
         interpret = jax.default_backend() == "cpu"
         pallas_mesh = meshlib.make_mesh(n_devices) if n_devices > 1 else None
-        stream_cache: dict = {}
+        stream_get = _identity_cache()
 
         def stream_renderer(scene, cam_cfg):
-            key = tuple(
-                id(x) for x in jax.tree_util.tree_leaves(scene)
+            stream = stream_get(
+                scene,
+                lambda: prepare_stream_scene(
+                    scene, block=cfg.stream_block, dtype=cfg.jnp_dtype,
+                ),
             )
-            stream = stream_cache.get(key)
-            if stream is None:
-                stream_cache.clear()
-                stream = prepare_stream_scene(scene, block=cfg.stream_block)
-                stream_cache[key] = stream
-            lane_group = cfg.stream_lane_group
-            if lane_group is None:
-                # auto: per-group culling pays only once the per-block
-                # compute dwarfs the scalar test (cull_tpu.jsonl: 256-lane
-                # groups -5% at 100k spheres, +13% at 10k)
-                n_act = int(stream.perm.shape[0])
-                lane_group = 256 if n_act >= 50_000 else 0
+            lane_group = _auto_stream_lane_group(cfg, stream)
             # stream waves are O(N) block walks, so the K tail-shrink is
             # worth far more than on the VMEM kernel; K=32 is the knee
             # (stream_kpl.jsonl: 10k 3.2->1.71s, 100k 17.3->8.17s;
-            # K=64 regresses)
-            kpl = 32 if cfg.samples >= 8 else cfg.effective_pixels_per_lane()
+            # K=64 regresses). An explicit --pixels_per_lane wins.
+            kpl = cfg.pixels_per_lane or (32 if cfg.samples >= 8 else 1)
             return render_pallas_stream(
                 stream, cam_cfg, cfg.width, cfg.height, cfg.samples,
                 cfg.bounces, seed=cfg.seed, rr_start=cfg.rr_start,
@@ -140,6 +181,15 @@ def make_renderer(cfg: RenderConfig, n_devices: int = 0):
                 mesh=pallas_mesh, interpret=interpret,
             )
 
+        def stream_prepare(scene):
+            stream_get(
+                scene,
+                lambda: prepare_stream_scene(
+                    scene, block=cfg.stream_block, dtype=cfg.jnp_dtype,
+                ),
+            )
+
+        stream_renderer.prepare = stream_prepare
         return stream_renderer
     if impl == "pallas" and cfg.dtype != "float32":
         # The kernel is f32; double/bfloat16 are precision-comparison
@@ -157,6 +207,10 @@ def make_renderer(cfg: RenderConfig, n_devices: int = 0):
         )
 
         pallas_mesh = meshlib.make_mesh(n_devices) if n_devices > 1 else None
+        if cfg.legacy_sky and (cfg.pixels_per_lane or 1) > 1:
+            print("note: legacy_sky forces pixels_per_lane=1 (the "
+                  "multi-pixel kernel has no legacy-sky rows)",
+                  file=sys.stderr)
         kpl = 1 if cfg.legacy_sky else cfg.effective_pixels_per_lane()
         common = dict(
             img_width=cfg.width,
