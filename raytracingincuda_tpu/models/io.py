@@ -56,8 +56,11 @@ def scene_from_arrays(
     mat_type = np.asarray(mat_type, np.int32).reshape(n)
     albedo = (np.zeros((n, 3)) if albedo is None
               else np.asarray(albedo, np.float64).reshape(n, 3))
+    # the reference's metal ctor clamps fuzz at 1 (material.h:29-30);
+    # apply the same rule to imported scenes so every construction path
+    # agrees (_Builder.set does this for programmatic scenes)
     fuzz = (np.zeros(n) if fuzz is None
-            else np.asarray(fuzz, np.float64).reshape(n))
+            else np.minimum(np.asarray(fuzz, np.float64).reshape(n), 1.0))
     ior = (np.ones(n) if ior is None
            else np.asarray(ior, np.float64).reshape(n))
     active = (np.ones(n, bool) if active is None

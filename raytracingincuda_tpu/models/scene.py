@@ -205,7 +205,11 @@ def build_random_scene(
     m = n_spheres
 
     center = np.zeros((n_padded, 3), np.float64)
-    radius = np.zeros(n_padded)
+    # park padding slots per the module's inactive-slot convention
+    # (far below the world, unit radius — same as _Builder /
+    # scene_from_arrays) instead of degenerate origin spheres
+    center[:, 1] = -1e6
+    radius = np.ones(n_padded)
     albedo = np.zeros((n_padded, 3))
     fuzz = np.zeros(n_padded)
     ior = np.ones(n_padded)

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 from typing import Optional, Tuple
 
 import numpy as np
@@ -34,17 +35,28 @@ def _config_token(cfg: RenderConfig) -> str:
     return json.dumps(d, sort_keys=True)
 
 
+def _npz_path(path: str) -> str:
+    """np.savez appends '.npz' to extension-less paths but np.load does
+    not — normalize once so save and resume agree on the filename."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_checkpoint(path: str, acc: np.ndarray, samples_done: int,
                     cfg: RenderConfig) -> None:
+    path = _npz_path(path)
+    # atomic: a kill mid-save (OOM/preemption — the events checkpointing
+    # exists for) must not corrupt the only checkpoint
+    tmp = path + ".tmp.npz"
     np.savez(
-        path, acc=np.asarray(acc, np.float32),
+        tmp, acc=np.asarray(acc, np.float32),
         samples_done=np.int64(samples_done),
         config=np.frombuffer(_config_token(cfg).encode(), np.uint8),
     )
+    os.replace(tmp, path)
 
 
 def load_checkpoint(path: str, cfg: RenderConfig) -> Tuple[np.ndarray, int]:
-    z = np.load(path)
+    z = np.load(_npz_path(path))
     token = bytes(z["config"]).decode()
     if token != _config_token(cfg):
         raise ValueError(
@@ -84,6 +96,7 @@ def render_incremental(
             scene, cam_cfg, cfg.width, cfg.height, n, cfg.bounces,
             seed=cfg.seed, dtype=cfg.jnp_dtype,
             chunk_pixels=cfg.chunk_pixels, legacy_sky=cfg.legacy_sky,
+            rr_start=cfg.rr_start,
             sample_offset=done, accumulate_only=True,
         )
         acc = acc + np.asarray(part, np.float32)

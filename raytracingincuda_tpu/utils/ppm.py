@@ -72,12 +72,23 @@ def read_ppm(path: str) -> Tuple[np.ndarray, int]:
     w, h, maxval = int(w), int(h), int(maxval)
 
     if magic == b"P6":
+        if maxval > 255:
+            # 2-byte big-endian samples; slicing 1 byte/sample would
+            # silently return garbage values
+            raise NotImplementedError(
+                f"P6 with maxval {maxval} > 255 (16-bit) is not supported"
+            )
         raw = data[end + 1 : end + 1 + w * h * 3]
         if len(raw) != w * h * 3:
             raise ValueError("truncated P6 payload")
         arr = np.frombuffer(raw, np.uint8).astype(np.uint16)
     else:
-        vals = np.array(data[end:].split(), dtype=np.uint16)
+        # strip plain-PPM comment lines from the raster too (the header
+        # tokenizer already skips them)
+        lines = [
+            ln.split(b"#", 1)[0] for ln in data[end:].splitlines()
+        ]
+        vals = np.array(b" ".join(lines).split(), dtype=np.uint16)
         if vals.size != w * h * 3:
             raise ValueError(
                 f"P3 payload has {vals.size} values, expected {w * h * 3}"

@@ -72,7 +72,11 @@ def stitch_parts(paths: Sequence[str]) -> np.ndarray:
         vals = z["values"]
         off = int(z["offset"])
         n = vals.shape[0]
-        if off < 0 or off + n > h * w:
+        if off < 0:
+            # a negative offset would resolve as a wrap-around numpy
+            # slice and silently misplace pixels
+            raise ValueError(f"{p}: negative pixel offset {off}")
+        if off + n > h * w:
             # trailing padding beyond the image is legal; trim
             n_keep = max(0, min(n, h * w - off))
             vals = vals[:n_keep]
