@@ -68,6 +68,16 @@ def scene_from_arrays(
     if not np.isin(mat_type, (LAMBERTIAN, METAL, DIELECTRIC)).all():
         raise ValueError("mat_type must be 0 (lambertian), 1 (metal) or "
                          "2 (dielectric)")
+    if (radius == 0).any():
+        raise ValueError(
+            "radius must be nonzero (negative radii are allowed: they "
+            "flip the normal inward — the hollow-glass trick)"
+        )
+    if (ior <= 0).any():
+        raise ValueError(
+            "ior must be > 0 (a zero/negative index produces NaN "
+            "refraction directions)"
+        )
 
     n_padded = _round_up(max(n, 1), pad_to_multiple) if pad_to_multiple \
         else max(n, 1)

@@ -225,7 +225,7 @@ def _winner_bounce(wc: Vec3, wr, walb: Vec3, wfuzz, wior, wmat_f, hit,
     t_safe = jnp.where(hit, t, 1.0)
 
     p = o + d * t_safe
-    outward = (p - wc) / jnp.maximum(wr_safe, 1e-12)
+    outward = (p - wc) / vec.safe_radius(wr_safe)
     front_face = vec.dot(d, outward) < 0.0
     normal = vec.where(front_face, outward, -outward)
 

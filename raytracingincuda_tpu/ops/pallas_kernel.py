@@ -297,7 +297,7 @@ def _render_tile_kernel(
 
             t_safe = jnp.where(hit, t, 1.0)
             p = o + d * t_safe
-            outward = (p - center_h) / jnp.maximum(radius_h, 1e-12)
+            outward = (p - center_h) / vec.safe_radius(radius_h)
             front_face = vec.dot(d, outward) < 0.0
             normal = vec.where(front_face, outward, -outward)
 
@@ -417,7 +417,7 @@ def _bounce_rows(scene_ref, key, s, b_u, dtype, legacy_sky,
 
     t_safe = jnp.where(hit, t, 1.0)
     p = o + d * t_safe
-    outward = (p - center_h) / jnp.maximum(radius_h, 1e-12)
+    outward = (p - center_h) / vec.safe_radius(radius_h)
     front_face = vec.dot(d, outward) < 0.0
     normal = vec.where(front_face, outward, -outward)
 
@@ -687,7 +687,7 @@ def _regen_body(
 
         t_safe = jnp.where(hit, t, 1.0)
         p = o + d * t_safe
-        outward = (p - center_h) / jnp.maximum(radius_h, 1e-12)
+        outward = (p - center_h) / vec.safe_radius(radius_h)
         front_face = vec.dot(d, outward) < 0.0
         normal = vec.where(front_face, outward, -outward)
 
@@ -872,7 +872,7 @@ def _regen_body_multi(
 
         t_safe = jnp.where(hit, t, 1.0)
         p = o + d * t_safe
-        outward = (p - center_h) / jnp.maximum(radius_h, 1e-12)
+        outward = (p - center_h) / vec.safe_radius(radius_h)
         front_face = vec.dot(d, outward) < 0.0
         normal = vec.where(front_face, outward, -outward)
 
@@ -1059,6 +1059,8 @@ def render_pallas(
                               img_width * img_height >= (1 << 24)):
         # compact needs f32-exact pixel ids and has no legacy-sky rows
         mode = "simple"
+    rtrng.validate_stream_ids(sample_offset + samples_per_pixel,
+                              max_depth)
     cam = initialize(cam_cfg, img_width, img_height)
 
     n_shards = int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1

@@ -150,7 +150,8 @@ def prepare_stream_scene(
         r = a_blk[:, COL_RADIUS]
         lo, hi = c.min(0), c.max(0)
         ctr = (lo + hi) * 0.5
-        rb = np.sqrt(((c - ctr) ** 2).sum(1)).max() + r.max()
+        # |r|: a negative (hollow-glass) radius still occupies |r|
+        rb = np.sqrt(((c - ctr) ** 2).sum(1)).max() + np.abs(r).max()
         bounds[b, 0:3] = ctr
         bounds[b, 3] = rb * 1.0001 + 1e-4          # conservative slack
     return StreamScene(
@@ -196,7 +197,7 @@ def build_stream_arrays(scene: Scene, perm: jnp.ndarray, block: int,
     pos = d2 > 0.0
     dist = jnp.where(pos, jnp.sqrt(jnp.where(pos, d2, 1.0)), 0.0)
     dmax = jnp.max(jnp.where(act, dist, 0.0), axis=1)
-    rmax = jnp.max(jnp.where(act, r, 0.0), axis=1)
+    rmax = jnp.max(jnp.where(act, jnp.abs(r), 0.0), axis=1)
     rb = jnp.where(any_act, (dmax + rmax) * 1.0001 + 1e-4, 0.0)
     bounds = (
         jnp.zeros((nb, 8), dtype).at[:, 0:3].set(ctr).at[:, 3].set(rb)
@@ -448,6 +449,8 @@ def render_pallas_stream(
     ``accumulate_only`` follow render_pallas's contract exactly (they
     feed the same _regen_body budget machinery), which lets the adaptive
     sampler (ops/adaptive.py) drive streamed scenes."""
+    rtrng.validate_stream_ids(sample_offset + samples_per_pixel,
+                              max_depth)
     cam = initialize(cam_cfg, img_width, img_height)
     kpl = pixels_per_lane
     n_shards = (

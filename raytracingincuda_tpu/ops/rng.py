@@ -147,3 +147,27 @@ def random_in_unit_disk(key, ray_id, sample, dtype=jnp.float32):
     r = jnp.sqrt(u0)
     theta = (2.0 * math.pi) * u1
     return r * jnp.cos(theta), r * jnp.sin(theta)
+
+
+# counter field capacities (the packing above): exceeding them would
+# silently alias adjacent fields — e.g. bounce 256 == (sample+1, bounce 0)
+# — correlating streams with no error. Render wrappers validate at entry.
+MAX_SAMPLE_ID = 1 << 21
+MAX_BOUNCE = 1 << (_SAMPLE_SHIFT - _BOUNCE_SHIFT)
+
+
+def validate_stream_ids(max_sample_id_exclusive: int,
+                        max_depth: int) -> None:
+    """Host-side check that (sample, bounce) ids fit their counter
+    fields (sample < 2^21, bounce < 256)."""
+    if max_sample_id_exclusive > MAX_SAMPLE_ID:
+        raise ValueError(
+            f"sample ids up to {max_sample_id_exclusive} exceed the "
+            f"counter field ({MAX_SAMPLE_ID}); streams would alias "
+            "(sample_offset + samples_per_pixel must fit 21 bits)"
+        )
+    if max_depth > MAX_BOUNCE:
+        raise ValueError(
+            f"max_depth {max_depth} exceeds the bounce counter field "
+            f"({MAX_BOUNCE}); bounce streams would alias the next sample"
+        )

@@ -112,6 +112,39 @@ def _sky_color(direction: Vec3, dtype) -> Vec3:
     return vec.lerp(a, white, blue)
 
 
+def shade_hit(scene: Scene, o: Vec3, d: Vec3, pixel_ids, sample_idx,
+              bounce_u, key, dtype):
+    """Shared jnp hit-shading prologue: closest hit -> hit point ->
+    oriented normal (signed radius division, hittable.h:59-62 — negative
+    radii flip the normal, the hollow-glass trick) -> RNG draws ->
+    material scatter. Used by trace_sample AND wavefront._bounce_wave so
+    the two jnp paths cannot drift (the Pallas kernels mirror the same
+    math under the interpret-mode bit-exactness tests).
+    Returns (hit, p, sc)."""
+    hit, t, idx = hit_world(scene, o, d)
+    hp = gather_hit_params(scene, idx)
+
+    # Hit point & oriented normal (hittable.h:59-62, :21-26).
+    t_safe = jnp.where(hit, t, 1.0)
+    p = o + d * t_safe
+    outward = (p - hp.center) / vec.safe_radius(hp.radius)
+    front_face = vec.dot(d, outward) < 0.0
+    normal = vec.where(front_face, outward, -outward)
+
+    unit_rand = rtrng.random_unit_vector(
+        key, pixel_ids, sample_idx, bounce_u, rtrng.DRAW_SCATTER, dtype
+    )
+    coin_u, _ = rtrng.uniform2(
+        key, pixel_ids, sample_idx, bounce_u, rtrng.DRAW_COIN, dtype
+    )
+    sc = materials.scatter(
+        d, normal, front_face,
+        hp.mat_type, hp.albedo, hp.fuzz, hp.ior,
+        unit_rand, coin_u,
+    )
+    return hit, p, sc
+
+
 def trace_sample(
     scene: Scene,
     cam: Camera,
@@ -146,26 +179,9 @@ def trace_sample(
     )
 
     def bounce_body(s: RayState, bounce: jnp.ndarray) -> tuple:
-        hit, t, idx = hit_world(scene, s.origin, s.direction)
-        hp = gather_hit_params(scene, idx)
-
-        # Hit point & oriented normal (hittable.h:59-62, :21-26).
-        t_safe = jnp.where(hit, t, 1.0)
-        p = s.origin + s.direction * t_safe
-        outward = (p - hp.center) / jnp.maximum(hp.radius, 1e-12)
-        front_face = vec.dot(s.direction, outward) < 0.0
-        normal = vec.where(front_face, outward, -outward)
-
-        unit_rand = rtrng.random_unit_vector(
-            key, pixel_ids, sample_idx, bounce, rtrng.DRAW_SCATTER, dtype
-        )
-        coin_u, _ = rtrng.uniform2(
-            key, pixel_ids, sample_idx, bounce, rtrng.DRAW_COIN, dtype
-        )
-        sc = materials.scatter(
-            s.direction, normal, front_face,
-            hp.mat_type, hp.albedo, hp.fuzz, hp.ior,
-            unit_rand, coin_u,
+        hit, p, sc = shade_hit(
+            scene, s.origin, s.direction, pixel_ids, sample_idx,
+            bounce, key, dtype,
         )
 
         # Miss => bank sky radiance and terminate lane.
@@ -208,8 +224,13 @@ def trace_sample(
 
 
 def _linear_to_gamma(x: jnp.ndarray) -> jnp.ndarray:
-    """gamma 2 (color.h:10-13); guarded for grad safety at 0."""
-    return jnp.sqrt(jnp.maximum(x, 0.0))
+    """gamma 2 (color.h:10-13). Double-where: sqrt's derivative is
+    infinite at 0 and all-absorbed pixels accumulate exactly 0.0, so a
+    bare sqrt(max(x, 0)) leaks inf into jax.grad (NaN hygiene); the
+    subgradient at black is 0, matching make_diff_render's host chain.
+    Primal values are bit-identical to sqrt(max(x, 0))."""
+    pos = x > 0.0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
 
 
 def render(
@@ -244,6 +265,8 @@ def render(
     are bit-identical with or without sharding; pixel values agree to
     float-reassociation precision (<=1e-4, exact at PPM quantization).
     """
+    rtrng.validate_stream_ids(sample_offset + samples_per_pixel,
+                              max_depth)
     key = rtrng.key_from_seed(seed)
     cam = initialize(cam_cfg, img_width, img_height)
 

@@ -170,3 +170,13 @@ def where(mask: jnp.ndarray, a: Vec3, b: Vec3) -> Vec3:
 def lerp(t: jnp.ndarray, a: Vec3, b: Vec3) -> Vec3:
     """(1-t)*a + t*b — the sky gradient blend (camera.h:123)."""
     return a * (1.0 - t) + b * t
+
+
+def safe_radius(r: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """SIGNED radius guarded away from zero: ``(p - c) / safe_radius(r)``
+    is the reference's signed outward-normal division (hittable.h:61 —
+    a NEGATIVE radius flips the normal inward, the book's hollow-glass
+    bubble trick) while dead/miss lanes whose gathered radius is 0 stay
+    finite. Bitwise equal to ``max(r, eps)`` for every r >= eps, i.e.
+    for all real positive radii."""
+    return jnp.where(jnp.abs(r) > eps, r, eps)

@@ -33,13 +33,16 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..models import materials
 from ..models.camera import CameraConfig, initialize
 from ..models.scene import Scene
 from . import rng as rtrng
 from . import vec
-from .intersect import gather_hit_params, hit_world
-from .tracer import _linear_to_gamma, _sky_color, make_primary_rays
+from .tracer import (
+    _linear_to_gamma,
+    _sky_color,
+    make_primary_rays,
+    shade_hit,
+)
 from .vec import Vec3
 
 # Smallest prefix bucket: below this, partition overhead beats the savings.
@@ -63,25 +66,9 @@ def _bounce_wave(scene: Scene, pool: Pool, bounce, key, dtype,
     """One bounce for every pooled ray (lane-masked); same math as
     tracer.trace_sample's bounce_body."""
     alive = pool.alive > 0.5
-    hit, t, idx = hit_world(scene, pool.o, pool.d)
-    hp = gather_hit_params(scene, idx)
-
-    t_safe = jnp.where(hit, t, 1.0)
-    p = pool.o + pool.d * t_safe
-    outward = (p - hp.center) / jnp.maximum(hp.radius, 1e-12)
-    front_face = vec.dot(pool.d, outward) < 0.0
-    normal = vec.where(front_face, outward, -outward)
-
     b_u = jnp.asarray(bounce, jnp.uint32)
-    unit_rand = rtrng.random_unit_vector(
-        key, pool.pixel, pool.sample, b_u, rtrng.DRAW_SCATTER, dtype
-    )
-    coin_u, _ = rtrng.uniform2(
-        key, pool.pixel, pool.sample, b_u, rtrng.DRAW_COIN, dtype
-    )
-    sc = materials.scatter(
-        pool.d, normal, front_face, hp.mat_type,
-        hp.albedo, hp.fuzz, hp.ior, unit_rand, coin_u,
+    hit, p, sc = shade_hit(
+        scene, pool.o, pool.d, pool.pixel, pool.sample, b_u, key, dtype
     )
 
     sky_src = primary_d if legacy_sky else pool.d

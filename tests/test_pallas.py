@@ -191,3 +191,34 @@ def test_multi_pixel_lanes_match(tiny_scene, default_camera):
                           ray_tile=128, interpret=True, pixels_per_lane=k)
         )
         np.testing.assert_array_equal(img, base)
+
+
+@pytest.mark.slow
+def test_hollow_glass_negative_radius(default_camera):
+    """The book's hollow-glass bubble: a NEGATIVE inner radius flips the
+    normal inward via the signed division (hittable.h:61). Kernel and
+    oracle agree, and the bubble visibly changes the image vs solid
+    glass (the unsigned-clamp bug rendered it as garbage normals)."""
+    from raytracingincuda_tpu.models.scene import DIELECTRIC, METAL
+
+    def glass_scene(inner_radius):
+        spheres = [
+            dict(center=(0, -1000, 0), radius=1000.0, mat=LAMBERTIAN,
+                 albedo=(0.5, 0.5, 0.5)),
+            dict(center=(0, 1, 0), radius=1.0, mat=DIELECTRIC, ior=1.5),
+            dict(center=(2.2, 1, 0), radius=1.0, mat=METAL,
+                 albedo=(0.8, 0.6, 0.2), fuzz=0.0),
+        ]
+        if inner_radius is not None:
+            spheres.append(dict(center=(0, 1, 0), radius=inner_radius,
+                                mat=DIELECTRIC, ior=1.5))
+        return scene_from_spheres(spheres, pad_to=8)
+
+    hollow = glass_scene(-0.85)
+    o, p = run_both(hollow, default_camera, samples=4, bounces=8)
+    assert np.isfinite(o).all() and np.isfinite(p).all()
+    np.testing.assert_allclose(o, p, atol=5e-5)
+
+    solid = np.asarray(render(glass_scene(None), default_camera, W, H,
+                              4, 8, chunk_pixels=512))
+    assert np.abs(o - solid).max() > 0.01  # the bubble is visible

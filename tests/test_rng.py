@@ -85,3 +85,21 @@ def test_counter_packing_no_collisions():
             for draw in range(8):
                 cs.add(int(rtrng.make_counter(sample, bounce, draw)))
     assert len(cs) == 3 * 3 * 8
+
+
+def test_stream_id_validation():
+    """Counter fields are 21-bit sample / 8-bit bounce; wrappers must
+    reject configs whose ids would alias adjacent fields."""
+    import pytest
+
+    from raytracingincuda_tpu.models.camera import CameraConfig
+    from raytracingincuda_tpu.models.scene import build_scene
+    from raytracingincuda_tpu.ops import tracer
+
+    scene = build_scene(2)
+    cam = CameraConfig.reference_default()
+    with pytest.raises(ValueError, match="bounce"):
+        tracer.render(scene, cam, 8, 8, 1, 300)
+    with pytest.raises(ValueError, match="sample"):
+        tracer.render(scene, cam, 8, 8, 4, 2,
+                      sample_offset=(1 << 21) - 2)
