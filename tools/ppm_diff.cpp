@@ -13,21 +13,9 @@
 #include "ppm_io.hpp"
 
 int main(int argc, char** argv) {
-    if (argc != 4) {
-        std::cerr << "usage: " << argv[0] << " <a.ppm> <b.ppm> <out.ppm>\n";
-        return 2;
-    }
     ppm::Image a, b;
+    if (int rc = ppm::load_pair(argc, argv, a, b)) return rc;
     std::string err;
-    if (!ppm::read(argv[1], a, err) || !ppm::read(argv[2], b, err)) {
-        std::cerr << "error: " << err << "\n";
-        return 1;
-    }
-    if (a.width != b.width || a.height != b.height) {
-        std::cerr << "error: dimension mismatch: " << a.width << "x"
-                  << a.height << " vs " << b.width << "x" << b.height << "\n";
-        return 1;
-    }
 
     ppm::Image out;
     out.width = a.width;

@@ -52,18 +52,37 @@ inline bool read(const std::string& path, Image& img, std::string& err) {
         err = path + ": truncated header";
         return false;
     }
-    img.width = std::stoi(tw);
-    img.height = std::stoi(th);
-    img.maxval = std::stoi(tm);
+    // std::stoi throws on non-numeric / out-of-range tokens; keep read()'s
+    // bool/err contract (a corrupt header must not std::terminate)
+    try {
+        img.width = std::stoi(tw);
+        img.height = std::stoi(th);
+        img.maxval = std::stoi(tm);
+    } catch (const std::exception&) {
+        err = path + ": non-numeric header token";
+        return false;
+    }
     if (img.width <= 0 || img.height <= 0 || img.maxval <= 0) {
         err = path + ": bad dimensions";
+        return false;
+    }
+    if (magic == "P6" && img.maxval > 255) {
+        // 2-byte big-endian samples; 1-byte slicing would be garbage
+        // (the Python reader, utils/ppm.py, rejects this identically)
+        err = path + ": P6 maxval > 255 (16-bit) not supported";
         return false;
     }
     const size_t n = static_cast<size_t>(img.width) * img.height * 3;
     img.px.resize(n);
 
     if (magic == "P6") {
-        in.get();  // single whitespace after maxval
+        // exactly ONE whitespace byte separates maxval from the raster
+        char sep;
+        if (!in.get(sep) ||
+            !std::isspace(static_cast<unsigned char>(sep))) {
+            err = path + ": malformed P6 header/raster separator";
+            return false;
+        }
         std::vector<uint8_t> raw(n);
         in.read(reinterpret_cast<char*>(raw.data()),
                 static_cast<std::streamsize>(n));
@@ -73,14 +92,52 @@ inline bool read(const std::string& path, Image& img, std::string& err) {
         }
         for (size_t i = 0; i < n; ++i) img.px[i] = raw[i];
     } else {
+        // plain-PPM rasters may contain '#' comments too — use the
+        // comment-skipping tokenizer (matches utils/ppm.py)
+        std::string tok;
         for (size_t i = 0; i < n; ++i) {
-            if (!(in >> img.px[i])) {
+            if (!next_token(in, tok)) {
                 err = path + ": truncated P3 payload";
+                return false;
+            }
+            try {
+                img.px[i] = std::stoi(tok);
+            } catch (const std::exception&) {
+                err = path + ": non-numeric P3 sample";
                 return false;
             }
         }
     }
     return true;
+}
+
+// Shared diff-tool preamble: parse argv, read both images, check that
+// they are comparable (dimensions AND maxval — raw component diffs
+// across different scales would be meaningless). Returns 0 on success,
+// else the process exit code (2 usage, 1 error).
+inline int load_pair(int argc, char** argv, Image& a, Image& b) {
+    if (argc != 4) {
+        std::cerr << "usage: " << argv[0]
+                  << " <a.ppm> <b.ppm> <out.ppm>\n";
+        return 2;
+    }
+    std::string err;
+    if (!read(argv[1], a, err) || !read(argv[2], b, err)) {
+        std::cerr << "error: " << err << "\n";
+        return 1;
+    }
+    if (a.width != b.width || a.height != b.height) {
+        std::cerr << "error: dimension mismatch: " << a.width << "x"
+                  << a.height << " vs " << b.width << "x" << b.height
+                  << "\n";
+        return 1;
+    }
+    if (a.maxval != b.maxval) {
+        std::cerr << "error: maxval mismatch: " << a.maxval << " vs "
+                  << b.maxval << "\n";
+        return 1;
+    }
+    return 0;
 }
 
 inline bool write_p3(const std::string& path, const Image& img,
