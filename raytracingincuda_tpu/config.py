@@ -98,6 +98,23 @@ class RenderConfig:
         for f in ("width", "height", "samples", "bounces"):
             if getattr(self, f) <= 0:
                 raise ValueError(f"{f} must be positive")
+        # optional knobs: None means auto; an EXPLICIT value must be
+        # positive (0 silently flipping to auto hid user errors)
+        for f in ("chunk_pixels", "pixels_per_lane", "max_samples",
+                  "stream_lane_group"):
+            v = getattr(self, f)
+            if v is not None and v < 0:
+                raise ValueError(f"{f} must be >= 0 (None = auto)")
+        for f in ("chunk_pixels", "pixels_per_lane", "max_samples"):
+            v = getattr(self, f)
+            if v == 0:
+                raise ValueError(f"{f} must be positive (or None = auto)")
+        if self.stream_block <= 0:
+            raise ValueError("stream_block must be positive")
+        if self.threads <= 0:
+            raise ValueError("threads must be positive")
+        if not 0.0 < self.adaptive_tol:
+            raise ValueError("adaptive_tol must be positive")
         if self.impl == "adaptive":
             if self.samples % 2 != 0:
                 raise ValueError(

@@ -61,7 +61,6 @@ class Camera(NamedTuple):
 
 def initialize(cfg: CameraConfig, img_width: int, img_height: int) -> Camera:
     """Viewport math of ``camera.h:33-68`` (differentiable)."""
-    dtype = cfg.vfov.dtype
     theta = cfg.vfov * (math.pi / 180.0)
     h = jnp.tan(theta / 2.0)
     viewport_height = 2.0 * h * cfg.focus_dist
@@ -89,7 +88,6 @@ def initialize(cfg: CameraConfig, img_width: int, img_height: int) -> Camera:
     defocus_disk_u = u * defocus_radius
     defocus_disk_v = v * defocus_radius
 
-    del dtype
     return Camera(
         center=center,
         pixel00_loc=pixel00_loc,

@@ -30,8 +30,22 @@ def maybe_initialize_distributed() -> None:
     No-op on single host. Controlled by standard cluster env vars
     (JAX_COORDINATOR_ADDRESS etc.); surfacing init failure fast is the
     failure-detection policy (SURVEY.md §5).
+
+    The already-initialized guard must NOT call jax.process_count():
+    that initializes the XLA backend, after which
+    jax.distributed.initialize() refuses to run ("must be called before
+    any JAX calls") — i.e. the guard itself would break every
+    multi-host launch. Inspect the distributed client state instead.
     """
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
+    if not os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        return
+    try:
+        from jax._src import distributed as _dist
+
+        already = _dist.global_state.client is not None
+    except Exception:  # noqa: BLE001 — private API moved; let init decide
+        already = False
+    if not already:
         jax.distributed.initialize()
 
 
