@@ -1,0 +1,19 @@
+#!/usr/bin/env bash
+# Post-recovery measurement battery: re-measures every number the docs
+# cite, in one serialized TPU session (ONE process at a time; each probe
+# appends to its own JSONL as rows land). Run from the repo root.
+set -u
+cd "$(dirname "$0")/.."
+
+run() {
+  echo "=== $* ==="
+  timeout 6000 "$@"
+  echo "=== exit $? ==="
+}
+
+run python bench.py
+run python benchmarks/bwd_sorted_probe.py
+run python benchmarks/northstar_probe.py benchmarks/results/northstar_probe.jsonl
+run python benchmarks/northstar_chunked.py benchmarks/results/northstar_probe.jsonl
+run python benchmarks/stream_bwd_probe.py
+echo "all probes done"
