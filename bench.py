@@ -23,10 +23,21 @@ number is printed alongside on stderr so both are always visible.
                the reference's render_ms likewise excludes setup,
                main.cu:334-343)
   vs_baseline  reference_ms / our_ms  (>1 == faster than the reference GPU)
+
+Wedge resilience (the TPU tunnel can wedge for hours — see
+.claude/skills/verify/SKILL.md "Tunnel wedge incident"): run as an
+orchestrator that (1) polls backend health with a tiny jit in a
+subprocess under timeout, bounded retries; (2) runs the measurement in a
+subprocess under timeout; (3) on persistent failure emits ONE JSON line
+with an "error" field instead of a stack trace. A hung RPC cannot be
+interrupted in-process, hence subprocesses. Internal stages are selected
+via the BENCH_STAGE env var so this stays a single file.
 """
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -36,6 +47,33 @@ SAMPLES = 100
 BOUNCES = 25
 RUNS = 3
 BASELINE_RENDER_MS = 2879.33
+METRIC = (f"scene{SCENE_ID}_{WIDTH}x{HEIGHT}_{SAMPLES}spp_"
+          f"{BOUNCES}bounces_rr2_render_ms")
+
+def _env_int(name: str, default: int) -> int:
+    return int(os.environ.get(name, default))
+
+
+PROBE_TIMEOUT_S = _env_int("BENCH_PROBE_TIMEOUT_S", 120)  # tiny jit; a
+PROBE_ATTEMPTS = _env_int("BENCH_PROBE_ATTEMPTS", 6)      # wedge hangs RPCs
+PROBE_SLEEP_S = _env_int("BENCH_PROBE_SLEEP_S", 10)
+WORKER_TIMEOUT_S = _env_int("BENCH_WORKER_TIMEOUT_S", 1500)  # compiles: 2-700s
+WORKER_ATTEMPTS = _env_int("BENCH_WORKER_ATTEMPTS", 2)
+
+
+# --------------------------------------------------------------------------
+# worker stages (run in subprocesses so a wedged RPC can be killed)
+# --------------------------------------------------------------------------
+
+def probe_stage() -> None:
+    """Tiny jit roundtrip; prints OK on success."""
+    import jax
+    import jax.numpy as jnp
+
+    devs = jax.devices()
+    val = float(jax.jit(lambda v: (v * 2 + 1).sum())(jnp.arange(8.0)))
+    assert val == 64.0, val
+    print(f"OK {devs}")
 
 
 def measure(cfg, scene, cam, force):
@@ -53,7 +91,7 @@ def measure(cfg, scene, cam, force):
     return min(times), compile_s
 
 
-def main() -> None:
+def measure_stage() -> None:
     import jax
 
     from raytracingincuda_tpu.config import RenderConfig
@@ -82,12 +120,95 @@ def main() -> None:
           file=sys.stderr)
 
     print(json.dumps({
-        "metric": f"scene{SCENE_ID}_{WIDTH}x{HEIGHT}_{SAMPLES}spp_"
-                  f"{BOUNCES}bounces_rr2_render_ms",
+        "metric": METRIC,
         "value": round(rr_ms, 2),
         "unit": "ms",
         "vs_baseline": round(BASELINE_RENDER_MS / rr_ms, 3),
+        "parity_ms": round(parity_ms, 2),
+        "parity_vs_baseline": round(BASELINE_RENDER_MS / parity_ms, 3),
     }))
+
+
+# --------------------------------------------------------------------------
+# orchestrator
+# --------------------------------------------------------------------------
+
+def _run_stage(stage: str, timeout_s: float):
+    env = dict(os.environ, BENCH_STAGE=stage)
+    try:
+        return subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+
+
+def _fail(error: str) -> None:
+    print(json.dumps({
+        "metric": METRIC,
+        "value": None,
+        "unit": "ms",
+        "vs_baseline": None,
+        "error": error,
+    }))
+    sys.exit(0)
+
+
+def main() -> None:
+    stage = os.environ.get("BENCH_STAGE", "")
+    if stage == "probe":
+        probe_stage()
+        return
+    if stage == "measure":
+        measure_stage()
+        return
+
+    # 1. poll backend health (bounded)
+    last = ""
+    for attempt in range(PROBE_ATTEMPTS):
+        t0 = time.time()
+        res = _run_stage("probe", PROBE_TIMEOUT_S)
+        if res is None:
+            last = f"probe attempt {attempt + 1} hung >{PROBE_TIMEOUT_S}s"
+        elif res.returncode != 0:
+            last = (f"probe attempt {attempt + 1} rc={res.returncode}: "
+                    f"{(res.stderr or '').strip()[-300:]}")
+        else:
+            print(f"backend healthy ({time.time() - t0:.0f}s): "
+                  f"{res.stdout.strip()}", file=sys.stderr)
+            break
+        print(last, file=sys.stderr)
+        time.sleep(PROBE_SLEEP_S)
+    else:
+        _fail(f"TPU backend unhealthy after {PROBE_ATTEMPTS} probes; "
+              f"last: {last}")
+
+    # 2. run the measurement (retry once — a wedge can start mid-run)
+    for attempt in range(WORKER_ATTEMPTS):
+        res = _run_stage("measure", WORKER_TIMEOUT_S)
+        if res is None:
+            last = (f"measure attempt {attempt + 1} hung "
+                    f">{WORKER_TIMEOUT_S}s")
+            print(last, file=sys.stderr)
+            continue
+        sys.stderr.write(res.stderr or "")
+        if res.returncode == 0:
+            for line in reversed((res.stdout or "").strip().splitlines()):
+                try:
+                    obj = json.loads(line)
+                except ValueError:
+                    continue
+                if isinstance(obj, dict) and "metric" in obj:
+                    print(json.dumps(obj))
+                    return
+            last = "measure produced no JSON line"
+        else:
+            last = (f"measure attempt {attempt + 1} rc={res.returncode}: "
+                    f"{(res.stderr or '').strip()[-300:]}")
+        print(last, file=sys.stderr)
+    _fail(f"measurement failed after {WORKER_ATTEMPTS} attempts; "
+          f"last: {last}")
 
 
 if __name__ == "__main__":

@@ -24,7 +24,7 @@ def main() -> int:
     ap.add_argument("--out", default="/tmp/tpu_probe.jsonl")
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--only", default=None,
-                    help="comma-separated impl filter (pallas,wavefront,oracle)")
+                    help="comma-separated impl filter (pallas,oracle)")
     args = ap.parse_args()
 
     import jax
@@ -33,7 +33,6 @@ def main() -> int:
     from raytracingincuda_tpu.models.scene import build_scene
     from raytracingincuda_tpu.ops.pallas_kernel import render_pallas
     from raytracingincuda_tpu.ops.tracer import render as render_oracle
-    from raytracingincuda_tpu.ops.wavefront import render_wavefront
     from raytracingincuda_tpu.utils.timing import force
 
     cam = CameraConfig.reference_default()
@@ -46,9 +45,7 @@ def main() -> int:
 
     cases = [
         ("pallas_small_t512", render_pallas, dict(**small, ray_tile=512)),
-        ("wavefront_small", render_wavefront, dict(**small)),
         ("pallas_head_t512", render_pallas, dict(**head, ray_tile=512)),
-        ("wavefront_head", render_wavefront, dict(**head)),
         ("oracle_head", render_oracle, dict(**head, chunk_pixels=8192)),
     ]
     if args.quick:

@@ -359,8 +359,8 @@ def _render_tile_kernel(
 # Motivation (measured): the v1 tile pays the full (N_spheres x R) hit test
 # every wave until its SLOWEST ray dies (~15 effective waves at 25 max
 # bounces), while the mean ray dies after ~2-3. An XLA-level compaction pass
-# (ops/wavefront.py) loses: per-wave scatter/gather through HBM costs more
-# than it saves. The TPU-native answer lives inside the kernel, where the
+# (ops/wavefront.py, removed after measuring — see git history) loses:
+# per-wave scatter/gather through HBM costs more than it saves. The TPU-native answer lives inside the kernel, where the
 # ray pool is a (16, R) VMEM value:
 #   * after each wave, live rays are packed to the lane prefix with a
 #     one-hot permutation matmul (MXU, precision=HIGHEST -> exact for

@@ -117,9 +117,8 @@ def shade_hit(scene: Scene, o: Vec3, d: Vec3, pixel_ids, sample_idx,
     """Shared jnp hit-shading prologue: closest hit -> hit point ->
     oriented normal (signed radius division, hittable.h:59-62 — negative
     radii flip the normal, the hollow-glass trick) -> RNG draws ->
-    material scatter. Used by trace_sample AND wavefront._bounce_wave so
-    the two jnp paths cannot drift (the Pallas kernels mirror the same
-    math under the interpret-mode bit-exactness tests).
+    material scatter. Used by trace_sample; the Pallas kernels mirror the
+    same math under the interpret-mode bit-exactness tests.
     Returns (hit, p, sc)."""
     hit, t, idx = hit_world(scene, o, d)
     hp = gather_hit_params(scene, idx)
