@@ -95,6 +95,95 @@ def test_sharded_grads_match_unsharded(scene, cam):
         )
 
 
+def test_sharded_stream_matches_unsharded(cam):
+    """Streaming-HBM kernel under shard_map (pixel tiles sharded over the
+    8-device mesh) must reproduce the unsharded stream render — sharding
+    only slices the lane->pixel assignment, never the per-pixel math."""
+    from raytracingincuda_tpu.models.scene import build_random_scene
+    from raytracingincuda_tpu.ops.pallas_stream import (
+        prepare_stream_scene, render_pallas_stream,
+    )
+
+    big = build_random_scene(600, pad_to_multiple=128, half_extent=10.0)
+    stream = prepare_stream_scene(big, block=64)
+    kw = dict(ray_tile=256, interpret=True)
+    base = np.asarray(
+        render_pallas_stream(stream, cam, W, H, 1, 4, **kw)
+    )
+    m = meshlib.make_mesh()
+    sharded = np.asarray(
+        render_pallas_stream(stream, cam, W, H, 1, 4, mesh=m, **kw)
+    )
+    _assert_same_render(base, sharded)
+
+
+def test_sharded_stream_multi_pixel_lanes(cam):
+    """Stream sharding composes with pixels_per_lane > 1 (the production
+    stream config runs K=32) — same image as the unsharded K=1 render."""
+    from raytracingincuda_tpu.models.scene import build_random_scene
+    from raytracingincuda_tpu.ops.pallas_stream import (
+        prepare_stream_scene, render_pallas_stream,
+    )
+
+    big = build_random_scene(300, pad_to_multiple=128, half_extent=10.0)
+    stream = prepare_stream_scene(big, block=64)
+    base = np.asarray(
+        render_pallas_stream(stream, cam, W, H, 2, 4,
+                             ray_tile=128, interpret=True)
+    )
+    m = meshlib.make_mesh()
+    sharded = np.asarray(
+        render_pallas_stream(stream, cam, W, H, 2, 4, ray_tile=64,
+                             pixels_per_lane=4, mesh=m, interpret=True)
+    )
+    _assert_same_render(base, sharded)
+
+
+def test_sharded_adaptive_matches_unsharded(scene, cam):
+    """Adaptive sampling's phase kernels under the 8-device mesh: the
+    sharded schedule must produce the same image and the same per-pixel
+    sample counts as the unsharded one (budgets derive from kernel
+    accumulators that are bit-stable under resharding)."""
+    from raytracingincuda_tpu.ops.adaptive import render_adaptive
+
+    kw = dict(base_spp=4, max_spp=16, tol=0.1, ray_tile=64,
+              interpret=True)
+    base = render_adaptive(scene, cam, W, H, 4, **kw)
+    m = meshlib.make_mesh()
+    sharded = render_adaptive(scene, cam, W, H, 4, mesh=m, **kw)
+    np.testing.assert_array_equal(
+        np.asarray(base.spp_map), np.asarray(sharded.spp_map)
+    )
+    _assert_same_render(np.asarray(base.image), np.asarray(sharded.image))
+
+
+def test_sharded_fused_train_step(scene, cam):
+    """Fused MSE value-and-grad kernel (the production train step) under
+    the mesh: losses must match the unsharded fused step."""
+    target = jnp.zeros((H, W, 3))
+    init_fn, step_u = gradlib.make_train_step(
+        W, H, 1, 3, impl="fused", interpret=True
+    )
+    m = meshlib.make_mesh()
+    _, step_s = gradlib.make_train_step(
+        W, H, 1, 3, impl="fused", mesh=m, interpret=True
+    )
+    state_u = init_fn(scene.params)
+    state_s = init_fn(scene.params)
+    state_u, loss_u = step_u(state_u, cam, scene.mat_type, scene.active,
+                             target)
+    state_s, loss_s = step_s(state_s, cam, scene.mat_type, scene.active,
+                             target)
+    np.testing.assert_allclose(float(loss_u), float(loss_s), rtol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_u.params),
+        jax.tree_util.tree_leaves(state_s.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7
+        )
+
+
 def test_sharded_train_step_runs(scene, cam):
     m = meshlib.make_mesh()
     sh = meshlib.pixel_sharding(m)
