@@ -1,5 +1,6 @@
-"""North-star config, actually run: scene 1, 1200x675, 500 spp, d25,
-forward + FULL scene/camera gradients on one chip.
+"""North-star config, actually run: scene 1, 1200x675, 500 spp,
+forward + FULL scene/camera gradients on one chip, at depth 25 AND the
+exact BASELINE.json configs[3] depth 50.
 
 One ~109 s fused dispatch crashes the TPU worker (UPSTREAM_ISSUES #10),
 so this runs the production composition instead: one forward render
@@ -7,6 +8,13 @@ so this runs the production composition instead: one forward render
 backward as sample_offset-CHUNKED grad sweeps (cotangents are sums over
 samples — test_sample_chunked_grads). Reports end-to-end fwd+bwd
 Mrays/s including every dispatch.
+
+Usage: northstar_chunked.py [out.jsonl] [depth] [chunk] [bwd_ray_tile]
+Depth 50 notes: the backward residual scratch is (depth*32, ray_tile)
+f32 — 6.6 MB at rt1024/d50, pressing the 16 MB VMEM cap together with
+the forward sweep's (N, R) hit scan, so d50 drops to rt512 (3.3 MB)
+by default; chunks shrink to keep each dispatch well under the ~100 s
+worker ceiling.
 """
 import json
 import sys
@@ -26,8 +34,12 @@ from raytracingincuda_tpu.ops.pallas_kernel import (
 from raytracingincuda_tpu.utils.timing import force
 
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/northstar_chunked.jsonl"
-W, H, SPP, DEPTH = 1200, 675, 500, 25
-CHUNK = 50
+W, H, SPP = 1200, 675, 500
+DEPTH = int(sys.argv[2]) if len(sys.argv) > 2 else 25
+CHUNK = int(sys.argv[3]) if len(sys.argv) > 3 else (50 if DEPTH <= 25
+                                                    else 25)
+BWD_RT = int(sys.argv[4]) if len(sys.argv) > 4 else (1024 if DEPTH <= 25
+                                                     else 512)
 
 
 def log(rec):
@@ -64,7 +76,8 @@ def main():
     def bwd_chunk(off):
         return jax.jit(lambda p, c, gg, off=off: render_pallas_grads(
             Scene(p, scene.mat_type, scene.active), c, gg, W, H,
-            CHUNK, DEPTH, sample_offset=off, pixel_order=order))
+            CHUNK, DEPTH, sample_offset=off, pixel_order=order,
+            ray_tile=BWD_RT))
 
     chunks = [bwd_chunk(off) for off in range(0, SPP, CHUNK)]
 
@@ -90,7 +103,9 @@ def main():
     force(d_cr)
     total = time.perf_counter() - t0
     mrays = W * H * SPP / total / 1e6
-    log({"case": "fwdbwd_500spp_d25_chunked", "s": round(total, 2),
+    log({"case": f"fwdbwd_{SPP}spp_d{DEPTH}"
+                  + ("_chunked" if DEPTH <= 25 else f"_chunk{CHUNK}"),
+         "s": round(total, 2),
          "fwd_s": round(t_fwd, 2), "n_chunks": len(chunks),
          "mrays_s": round(mrays, 2),
          "grad_finite": bool(jnp.isfinite(d_sm).all()

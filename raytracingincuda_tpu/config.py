@@ -59,8 +59,14 @@ class RenderConfig:
     # pixels per lane in the regen kernel (None = auto by sample count).
     # K>1 averages each lane's work over K pixels, shrinking the
     # max-over-lanes tile tail (measured on v5e at the headline config:
-    # K=8 -> -23% render time at 100 spp).
+    # K=16 with ray_tile=1024 is the round-2 production point,
+    # benchmarks/results/parity_tune*.jsonl).
     pixels_per_lane: Optional[int] = None
+    # rays per kernel tile (None = auto by image size: 1024 from 640x384
+    # up — bigger tiles amortize per-wave overhead, measured -7% at the
+    # headline — 512 below, where fewer pixels per tile keeps the frame
+    # subdivided). Explicit values must be multiples of 128 (VPU lanes).
+    ray_tile: Optional[int] = None
     # impl='stream' (scenes larger than VMEM, streamed from HBM in
     # Morton-sorted sphere blocks — ops/pallas_stream.py): block size and
     # lane-group cull granularity (0 = one skip decision per wave;
@@ -81,10 +87,15 @@ class RenderConfig:
         # auto: enough samples to amortize pulls; small images keep K
         # modest so tiles still subdivide the frame
         if self.samples >= 32:
-            return 8
+            return 16
         if self.samples >= 8:
-            return 4
+            return 8
         return 1
+
+    def effective_ray_tile(self) -> int:
+        if self.ray_tile:
+            return self.ray_tile
+        return 1024 if self.width * self.height >= 640 * 384 else 512
 
     def __post_init__(self):
         if self.dtype not in DTYPE_NAMES:
@@ -111,6 +122,12 @@ class RenderConfig:
                 raise ValueError(f"{f} must be positive (or None = auto)")
         if self.stream_block <= 0:
             raise ValueError("stream_block must be positive")
+        if self.ray_tile is not None and (
+                self.ray_tile <= 0 or self.ray_tile % 128 != 0):
+            raise ValueError(
+                "ray_tile must be a positive multiple of 128 (or None = "
+                "auto)"
+            )
         if self.threads <= 0:
             raise ValueError("threads must be positive")
         if not 0.0 < self.adaptive_tol:

@@ -82,15 +82,21 @@ def hit_world(scene: Scene, origin: Vec3, direction: Vec3,
     tmin_a = t_min * a
     near_num = h - sqrtd
     root_num = jnp.where(near_num > tmin_a, near_num, h + sqrtd)
-    root = root_num * (1.0 / a)
     # disc == 0 (tangent graze, measure zero) counts as miss — the reference
     # accepts it (hittable.h:48) but its gradient is unbounded.
     valid = disc_pos & (root_num > tmin_a) & active
 
-    t_all = jnp.where(valid, root, T_MISS)                        # (N, R)
-    idx = jnp.argmin(t_all, axis=0).astype(jnp.int32)             # (R,)
-    t = jnp.take_along_axis(t_all, idx[None, :], axis=0)[0]       # (R,)
-    return HitResult(hit=t < T_MISS, t=t, idx=idx)
+    # min in the NUMERATOR domain, mirroring the kernel's _hit_select
+    # (bit-parity contract): a > 0 per lane and float mul by a positive
+    # scalar is monotone, so the argmin winner and the winning t are
+    # bitwise identical to the per-sphere-multiply form — only the
+    # winning root pays the inv_a multiply.
+    t_num_all = jnp.where(valid, root_num, T_MISS)                # (N, R)
+    idx = jnp.argmin(t_num_all, axis=0).astype(jnp.int32)         # (R,)
+    t_num = jnp.take_along_axis(t_num_all, idx[None, :], axis=0)[0]
+    hit = t_num < T_MISS
+    t = jnp.where(hit, t_num * (1.0 / a[0]), T_MISS)              # (R,)
+    return HitResult(hit=hit, t=t, idx=idx)
 
 
 class HitParams(NamedTuple):

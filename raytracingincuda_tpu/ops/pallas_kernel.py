@@ -32,12 +32,26 @@ Randomness is the same Threefry stream as the jnp oracle (ops/rng.py), so
 kernel-vs-oracle comparisons consume bit-identical random draws.
 
 Scene "layout" axis (the reference's global/const/tex variants):
-  vmem   — scene matrix preloaded to VMEM by BlockSpec (constant-memory
-           analog; default, the right call for scenes that fit VMEM).
-  packed — alias of vmem (the packed SoA matrix IS the tex-style layout).
-  hbm    — scene left in compiler-chosen memory; correctness path for
-           scenes too large for VMEM residency. (A chunked double-buffered
-           DMA streaming variant is the planned global-memory analog.)
+  vmem   — scene matrix (N, 16) sphere-major preloaded to VMEM by
+           BlockSpec (constant-memory analog; default, the right call
+           for scenes that fit VMEM).
+  hbm    — scene resident off-chip; DMA'd whole into a VMEM scratch once
+           per grid step (the global-memory variant's H2D-then-read
+           role, main.cu:301-314).
+  packed — the tex-variant analog (TexFloat…/main.cu:210-313: SoA
+           arrays fetched per probe through a separate memory path): the
+           scene lives in HBM as 128-lane SoA rows and every closest-hit
+           walks it through the double-buffered DMA block pipeline of
+           ops/pallas_stream.py — a genuinely distinct fetch path with
+           its own measured cost, like the reference's tex object reads
+           (which are likewise slower than resident global reads: 4568
+           vs 2879 ms at its headline). Served by render_pallas_stream;
+           this function rejects it (render_api routes the layout).
+           A transposed attribute-major (16, N) VMEM mapping with rays
+           on sublanes was tried first and is unimplementable at speed:
+           (R, 1) ray columns tile-pad to (8, 128) vregs — 128x the
+           storage of a lane-major row — and the blocks alone blow the
+           16 MB scoped-VMEM cap (parity_tune4.jsonl packed errors).
 
 Mosaic-specific constraints honored here (found the hard way):
   * no bool vectors through while-carries or selects-of-bool-constants
@@ -218,17 +232,22 @@ def _hit_select(cxc, cyc, czc, rc, active, a, d_dot_o, o2, c_dot_d,
     root_num = jnp.where(near_num > tmin_a, near_num, h + sqrtd)
     valid = disc_pos & (root_num > tmin_a) & (active > 0.5)
 
-    root = root_num * (1.0 / a)
-    t_all = jnp.where(valid, root, T_MISS)                    # (N, R)
-    t = jnp.min(t_all, axis=0, keepdims=True)                 # (1, R)
-    hit = t < T_MISS
+    # min in the NUMERATOR domain: only the winning root pays the inv_a
+    # multiply (a > 0 and float mul by a positive scalar is monotone, so
+    # the winner — and its t value — is bitwise the per-sphere-multiply
+    # answer; measured −1.6% at the headline, parity_tune3.jsonl). The
+    # oracle (intersect.hit_world) mirrors this association exactly.
+    t_num_all = jnp.where(valid, root_num, T_MISS)            # (N, R)
+    t_num = jnp.min(t_num_all, axis=0, keepdims=True)         # (1, R)
+    hit = t_num < T_MISS
+    t = t_num * (1.0 / a)                                     # (1, R)
     # winner select by equality against the min — one comparison pass
     # instead of a second (argmin) sublane reduction. Miss lanes match
     # every invalid slot; their gathered params are garbage-but-finite and
     # fully masked downstream by `hit`. Exact-t ties between two real
     # spheres (bit-identical roots of distinct geometry) would blend their
     # params; measure-zero and absent from the reference scenes.
-    one_hot = (hit & (t_all == t)).astype(t_all.dtype)        # (N, R)
+    one_hot = (hit & (t_num_all == t_num)).astype(t_num.dtype)  # (N, R)
     return hit, t, one_hot
 
 
@@ -1059,6 +1078,12 @@ def render_pallas(
                               img_width * img_height >= (1 << 24)):
         # compact needs f32-exact pixel ids and has no legacy-sky rows
         mode = "simple"
+    if layout == "packed":
+        raise ValueError(
+            "layout='packed' is served by the streamed-SoA kernel "
+            "(ops/pallas_stream.render_pallas_stream) — use "
+            "render_api.make_renderer, which routes it"
+        )
     rtrng.validate_stream_ids(sample_offset + samples_per_pixel,
                               max_depth)
     cam = initialize(cam_cfg, img_width, img_height)
@@ -1108,12 +1133,14 @@ def render_pallas(
             legacy_sky=legacy_sky,
         )
 
-    scene_space = pltpu.VMEM if layout in ("vmem", "packed") else pl.ANY
+    scene_space = pltpu.VMEM if layout == "vmem" else pl.ANY
     flops_est = int(samples_per_pixel * max_depth * padded * n_spheres * 20)
 
     def run(ids_arr, ii_arr, jj_arr, bud_arr, scene_m, cam_r):
         tiles = ids_arr.shape[0]
-        row_spec = pl.BlockSpec((1, kpl, ray_tile), lambda i: (i, 0, 0),
+        blk = (1, kpl, ray_tile)
+        scene_blk = (n_spheres, NUM_COLS)
+        row_spec = pl.BlockSpec(blk, lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)
         # budget row only exists in the regen kernel's signature
         regen = mode == "regen"
@@ -1123,7 +1150,7 @@ def render_pallas(
             ins.append(row_spec)
             args.append(bud_arr)
         ins += [
-            pl.BlockSpec((n_spheres, NUM_COLS), lambda i: (0, 0),
+            pl.BlockSpec(scene_blk, lambda i: (0, 0),
                          memory_space=scene_space),
             pl.BlockSpec((1, 24), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
@@ -1135,7 +1162,7 @@ def render_pallas(
             in_specs=ins,
             out_specs=(row_spec, row_spec, row_spec),
             out_shape=tuple(
-                jax.ShapeDtypeStruct((tiles, kpl, ray_tile), dtype)
+                jax.ShapeDtypeStruct((tiles,) + blk[1:], dtype)
                 for _ in range(3)
             ),
             scratch_shapes=(

@@ -85,6 +85,14 @@ def make_renderer(cfg: RenderConfig, n_devices: int = 0):
             "variants are precision-comparison configs). Re-run with "
             "--platform cpu / jax.config.update('jax_platforms', 'cpu')."
         )
+    if impl == "pallas" and cfg.layout == "packed":
+        # tex-variant analog (SURVEY.md §2.1): packed SoA fetched per
+        # probe through a separate memory path. Served by the streamed-
+        # HBM kernel (ops/pallas_stream.py: 128-lane SoA rows in HBM,
+        # double-buffered DMA block walk per closest-hit) — a genuinely
+        # distinct fetch pipeline with its own measured cost, like tex
+        # object reads vs resident global reads in the reference.
+        impl = "stream"
     if impl == "pallas" and jax.default_backend() == "cpu":
         # The Mosaic kernel needs a TPU; the oracle is the CPU serving path
         # (and the serial-baseline analog, SURVEY.md §2.1).
@@ -212,6 +220,7 @@ def make_renderer(cfg: RenderConfig, n_devices: int = 0):
                   "multi-pixel kernel has no legacy-sky rows)",
                   file=sys.stderr)
         kpl = 1 if cfg.legacy_sky else cfg.effective_pixels_per_lane()
+        rt = cfg.effective_ray_tile()
         common = dict(
             img_width=cfg.width,
             img_height=cfg.height,
@@ -228,6 +237,7 @@ def make_renderer(cfg: RenderConfig, n_devices: int = 0):
                 layout=cfg.layout,
                 rr_start=cfg.rr_start,
                 pixels_per_lane=kpl,
+                ray_tile=rt,
                 mxu_dots=cfg.mxu_dots,
                 **common,
             )
@@ -260,10 +270,9 @@ def make_renderer(cfg: RenderConfig, n_devices: int = 0):
             # the prepass pads at K=1; the main render pads to a multiple
             # of kpl * ray_tile — extend the permutation with the extra
             # padding ids when they differ
-            from .ops.pallas_kernel import DEFAULT_RAY_TILE
             n_sh = n_devices if n_devices > 1 else 1
             padded_main = _round_up(
-                cfg.width * cfg.height, kpl * DEFAULT_RAY_TILE * n_sh
+                cfg.width * cfg.height, kpl * rt * n_sh
             )
 
             # The order depends only on (scene, camera) CONTENT, but any

@@ -163,19 +163,46 @@ def test_pixel_order_roundtrip(tiny_scene, default_camera):
 
 @pytest.mark.slow
 def test_scene_layouts_identical(tiny_scene, default_camera):
-    """vmem / packed / hbm (DMA-streamed) scene layouts: same image.
-    The global/const/tex variant axis of the reference (SURVEY.md §2.1)."""
+    """vmem / hbm (whole-scene DMA) / packed (streamed-SoA fetch path)
+    scene layouts: same image. The global/const/tex variant axis of the
+    reference (SURVEY.md §2.1)."""
     base = np.asarray(
         render_pallas(tiny_scene, default_camera, W, H, 2, 6,
                       ray_tile=256, interpret=True, mode="regen")
     )
-    for layout in ("packed", "hbm"):
-        img = np.asarray(
-            render_pallas(tiny_scene, default_camera, W, H, 2, 6,
-                          ray_tile=256, interpret=True, mode="regen",
-                          layout=layout)
-        )
-        np.testing.assert_array_equal(base, img)
+    img_hbm = np.asarray(
+        render_pallas(tiny_scene, default_camera, W, H, 2, 6,
+                      ray_tile=256, interpret=True, mode="regen",
+                      layout="hbm")
+    )
+    np.testing.assert_array_equal(base, img_hbm)
+    # packed routes to the streamed-SoA kernel (render_api handles it)
+    from raytracingincuda_tpu.ops.pallas_stream import (
+        prepare_stream_scene, render_pallas_stream,
+    )
+
+    stream = prepare_stream_scene(tiny_scene, block=32)
+    img_packed = np.asarray(
+        render_pallas_stream(stream, default_camera, W, H, 2, 6,
+                             ray_tile=256, interpret=True)
+    )
+    np.testing.assert_allclose(base, img_packed, atol=5e-5)
+
+
+def test_packed_layout_rejected_and_routed(tiny_scene, default_camera):
+    """render_pallas rejects layout='packed' (it is served by the stream
+    kernel); make_renderer routes it there (the renderer grows the stream
+    path's .prepare hook)."""
+    from raytracingincuda_tpu.config import RenderConfig
+    from raytracingincuda_tpu.render_api import make_renderer
+
+    with pytest.raises(ValueError, match="packed"):
+        render_pallas(tiny_scene, default_camera, W, H, 1, 2,
+                      layout="packed", interpret=True)
+    r = make_renderer(RenderConfig(scene_id=2, width=16, height=8,
+                                   samples=1, bounces=2, impl="pallas",
+                                   layout="packed"))
+    assert hasattr(r, "prepare")
 
 @pytest.mark.slow
 def test_multi_pixel_lanes_match(tiny_scene, default_camera):
