@@ -91,3 +91,32 @@ def test_dtype_plumbs():
     s = sc.build_scene(2, dtype=jnp.bfloat16)
     assert s.params.radius.dtype == jnp.bfloat16
     assert s.mat_type.dtype == jnp.int32
+
+
+def test_serial_reference_scene_replica():
+    """models/reference_scene.py replays the serial baseline's unseeded
+    glibc rand() scene construction bit-exactly; the digest is pinned
+    from a validation against a C++ dump compiled against the
+    reference's own headers (benchmarks/external_parity.py)."""
+    import hashlib
+
+    import numpy as np
+
+    from raytracingincuda_tpu.models.reference_scene import (
+        build_serial_reference_scene, serial_scene1_arrays,
+    )
+
+    arrays = serial_scene1_arrays()
+    h = hashlib.sha256()
+    for a in arrays:
+        h.update(np.ascontiguousarray(a, np.float64).tobytes())
+    assert h.hexdigest() == (
+        "aca58f22a147bd5a5c86f8d347b33f22026bd110e6ba19a99e47d5b83016a0f8"
+    )
+    center, radius, mat, albedo, fuzz, ior = arrays
+    # 1 ground + 483 surviving small spheres + 3 big = 487 (the serial
+    # list has no uninitialized gaps, unlike the CUDA slot arrays)
+    assert center.shape[0] == 487
+    scene = build_serial_reference_scene()
+    assert int(scene.active.sum()) == 487
+    assert scene.num_slots == 512  # padded to the 128 multiple
