@@ -59,6 +59,10 @@ def main() -> int:
     ap.add_argument("--samples", type=int, nargs="*", default=SAMPLES)
     ap.add_argument("--quick", action="store_true",
                     help="small grid for CI smoke")
+    ap.add_argument("--runs", type=int, default=None,
+                    help="timed runs per config (default 5, reference "
+                         "RUNS; 2 with --quick)")
+    ap.add_argument("--scenes", type=int, nargs="*", default=SCENES)
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu for the f64 "
                          "precision-comparison configs; the env "
@@ -84,13 +88,13 @@ def main() -> int:
     from raytracingincuda_tpu.render_api import make_renderer
 
     resolutions = QUICK_RESOLUTIONS if args.quick else RESOLUTIONS
-    runs = QUICK_RUNS if args.quick else RUNS
+    runs = args.runs or (QUICK_RUNS if args.quick else RUNS)
     chips = jax.device_count()
     hosts = jax.process_count()
 
     rows = []
-    grid = list(itertools.product(SCENES, resolutions, args.samples, BOUNCES,
-                                  THREADS))
+    grid = list(itertools.product(args.scenes, resolutions, args.samples,
+                                  BOUNCES, THREADS))
     for scene_id, (w, h), spp, bounces, threads in grid:
         cfg = RenderConfig(
             scene_id=scene_id, width=w, height=h, samples=spp,
