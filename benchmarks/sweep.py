@@ -63,6 +63,8 @@ def main() -> int:
                     help="timed runs per config (default 5, reference "
                          "RUNS; 2 with --quick)")
     ap.add_argument("--scenes", type=int, nargs="*", default=SCENES)
+    ap.add_argument("--resolutions", nargs="*", default=None,
+                    help="WxH overrides, e.g. 480x288 640x384")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu for the f64 "
                          "precision-comparison configs; the env "
@@ -88,6 +90,9 @@ def main() -> int:
     from raytracingincuda_tpu.render_api import make_renderer
 
     resolutions = QUICK_RESOLUTIONS if args.quick else RESOLUTIONS
+    if args.resolutions:
+        resolutions = [tuple(int(v) for v in r.lower().split("x"))
+                       for r in args.resolutions]
     runs = args.runs or (QUICK_RUNS if args.quick else RUNS)
     chips = jax.device_count()
     hosts = jax.process_count()
@@ -112,6 +117,11 @@ def main() -> int:
             scene = jax.device_put(
                 build_scene(scene_id, dtype=cfg.jnp_dtype)
             )
+            # host-side scene prep (stream/packed Morton sort + upload)
+            # belongs in the e2e region, like the reference's H2D/texture
+            # setup which its render_ms cudaEvent bracket excludes
+            # (main.cu:301-330 runs before :334)
+            getattr(renderer, "prepare", lambda s: None)(scene)
             t_r = time.perf_counter()
             outs = [renderer(scene, cam) for _ in range(args.pipeline)]
             force(outs[-1])

@@ -287,6 +287,62 @@ def _read_tile_refs(ids_ref, ii_ref, jj_ref, scene_ref, cam_ref):
             cam_vals, use_defocus)
 
 
+def _reverse_sweep(st_ref, blk0, b_exit, g, pixel_ids, s_u, key, dtype,
+                   n, cols, iota_n):
+    """Winner-replay reverse vjp over parked residual blocks
+    [blk0, blk0 + b_exit) of ``st_ref`` (32 rows per bounce). Returns
+    (d_scene (N, 16), ct_o, ct_d) — the camera chain happens outside."""
+    shape = pixel_ids.shape
+
+    def rev_body(i, carry):
+        d_scene, ct_o, ct_d, ct_at, ct_al = carry
+        b = b_exit - 1 - i
+        blk = st_ref[pl.ds(pl.multiple_of((blk0 + b) * _ST_ROWS,
+                                          _ST_ROWS), _ST_ROWS), :]
+        (o, d, atten, alive_f, hit_f, wc, wr, walb, wfuzz, wior,
+         wmat, sid) = _unpack_residual(blk)
+        hit = hit_f > 0.5
+        b_u = b.astype(jnp.uint32)
+
+        def f(wc_, wr_, walb_, wfuzz_, wior_, o_, d_, at_, al_):
+            return _winner_bounce(
+                wc_, wr_, walb_, wfuzz_, wior_, wmat, hit,
+                o_, d_, at_, al_, pixel_ids, s_u, b_u, key, dtype,
+            )
+
+        _, vjp_f = jax.vjp(f, wc, wr, walb, wfuzz, wior,
+                           o, d, atten, alive_f)
+        (d_wc, d_wr, d_walb, d_wfuzz, d_wior,
+         d_o, d_d, d_at, d_al) = vjp_f(
+            ((ct_o, ct_d, ct_at, ct_al), g)
+        )
+
+        # winner cotangents -> (16, R) rows in scene-matrix column
+        # order (pack_scene_matrix cols 0-8; mat/active/sid cols get 0)
+        zero = jnp.zeros(shape, dtype)
+        d_rows = jnp.concatenate(
+            [d_wc.x, d_wc.y, d_wc.z, d_wr,
+             d_walb.x, d_walb.y, d_walb.z, d_wfuzz, d_wior]
+            + [zero] * (cols - 9),
+            axis=0,
+        )                                             # (16, R)
+        valid = hit & (alive_f > 0.5)
+        sid_v = jnp.where(valid, sid, -1.0)           # never scatters
+        one_hot = (sid_v == iota_n).astype(dtype)     # (N, R)
+        d_blk = _scatter_matmul(one_hot, d_rows)      # (N, 16)
+        return (d_scene + d_blk, d_o, d_d, d_at, d_al)
+
+    ct0 = (
+        jnp.zeros((n, cols), dtype),
+        Vec3.zeros(shape, dtype=dtype),   # ct origin
+        Vec3.zeros(shape, dtype=dtype),   # ct direction
+        Vec3.zeros(shape, dtype=dtype),   # ct attenuation
+        jnp.zeros(shape, dtype),          # ct alive
+    )
+    d_scene, ct_o, ct_d, _, _ = lax.fori_loop(0, b_exit, rev_body, ct0)
+    return d_scene, ct_o, ct_d
+
+
 def _tile_grad_sweep(scene_mat, cx, cy, cz, rc, active_col, cam_vals,
                      use_defocus, pixel_ids, fi, fj, g, key, st_ref,
                      *, samples: int, max_depth: int, dtype,
@@ -354,53 +410,9 @@ def _tile_grad_sweep(scene_mat, cx, cy, cz, rc, active_col, cam_vals,
         b_exit = lax.while_loop(fwd_cond, fwd_body, init)[0]
 
         # ---- reverse sweep: winner-replay vjp + MXU one-hot scatter ----
-        def rev_body(i, carry):
-            d_scene, ct_o, ct_d, ct_at, ct_al = carry
-            b = b_exit - 1 - i
-            blk = st_ref[pl.ds(pl.multiple_of(b * _ST_ROWS, _ST_ROWS),
-                               _ST_ROWS), :]
-            (o, d, atten, alive_f, hit_f, wc, wr, walb, wfuzz, wior,
-             wmat, sid) = _unpack_residual(blk)
-            hit = hit_f > 0.5
-            b_u = b.astype(jnp.uint32)
-
-            def f(wc_, wr_, walb_, wfuzz_, wior_, o_, d_, at_, al_):
-                return _winner_bounce(
-                    wc_, wr_, walb_, wfuzz_, wior_, wmat, hit,
-                    o_, d_, at_, al_, pixel_ids, s_u, b_u, key, dtype,
-                )
-
-            _, vjp_f = jax.vjp(f, wc, wr, walb, wfuzz, wior,
-                               o, d, atten, alive_f)
-            (d_wc, d_wr, d_walb, d_wfuzz, d_wior,
-             d_o, d_d, d_at, d_al) = vjp_f(
-                ((ct_o, ct_d, ct_at, ct_al), g)
-            )
-
-            # winner cotangents -> (16, R) rows in scene-matrix column
-            # order (pack_scene_matrix cols 0-8; mat/active/sid cols get 0)
-            zero = jnp.zeros(shape, dtype)
-            d_rows = jnp.concatenate(
-                [d_wc.x, d_wc.y, d_wc.z, d_wr,
-                 d_walb.x, d_walb.y, d_walb.z, d_wfuzz, d_wior]
-                + [zero] * (cols - 9),
-                axis=0,
-            )                                             # (16, R)
-            valid = hit & (alive_f > 0.5)
-            sid_v = jnp.where(valid, sid, -1.0)           # never scatters
-            one_hot = (sid_v == iota_n).astype(dtype)     # (N, R)
-            d_blk = _scatter_matmul(one_hot, d_rows)      # (N, 16)
-            return (d_scene + d_blk, d_o, d_d, d_at, d_al)
-
-        ct0 = (
-            jnp.zeros((n, cols), dtype),
-            Vec3.zeros(shape, dtype=dtype),   # ct origin
-            Vec3.zeros(shape, dtype=dtype),   # ct direction
-            Vec3.zeros(shape, dtype=dtype),   # ct attenuation
-            jnp.zeros(shape, dtype),          # ct alive
-        )
-        d_scene, ct_o, ct_d, _, _ = lax.fori_loop(
-            0, b_exit, rev_body, ct0
+        d_scene, ct_o, ct_d = _reverse_sweep(
+            st_ref, 0, b_exit, g, pixel_ids, s_u, key, dtype, n, cols,
+            iota_n,
         )
 
         # cotangents of the primary ray flow into the camera scalars
@@ -457,21 +469,33 @@ def _grad_tile_kernel(
 def _fused_tile_kernel(
     ids_ref, ii_ref, jj_ref, tr_ref, tg_ref, tb_ref, scene_ref, cam_ref,
     loss_ref, imr_ref, img_ref, imb_ref,
-    dscene_ref, dcam_ref, st_ref,
-    *, samples: int, max_depth: int, seed: int, dtype, gamma: bool,
-    num_pixels: int,
+    dscene_ref, dcam_ref, *scratch,
+    samples: int, max_depth: int, seed: int, dtype, gamma: bool,
+    num_pixels: int, park_all: bool = False,
 ):
     """Fused MSE train step: ONE kernel computes the rendered tile, the
     MSE-vs-target loss contribution, AND the scene/camera cotangents.
 
     Three sweeps: (1) forward radiance accumulation (the render), (2) the
     in-kernel loss + upstream-cotangent chain (MSE through gamma and the
-    1/spp scale), (3) the shared per-sample forward+reverse grad sweep
-    (_tile_grad_sweep) with that cotangent. Replaces the two-program
-    forward-then-backward train step — and because it is a single Mosaic
-    kernel, the whole value_and_grad (plus an optimizer update) fits in
-    ONE jitted program despite the compile service's one-kernel limit."""
+    1/spp scale), (3) the grad sweep with that cotangent. Replaces the
+    two-program forward-then-backward train step — and because it is a
+    single Mosaic kernel, the whole value_and_grad (plus an optimizer
+    update) fits in ONE jitted program despite the compile service's
+    one-kernel limit.
+
+    ``park_all`` (auto when samples*depth*32*R residual rows fit VMEM):
+    sweep 1 parks EVERY sample's per-bounce winner residuals (+ per-
+    sample exit depths in SMEM), so sweep 3 is reverse-only — removing
+    the second forward trace, ~1/3 of the fused cost. Identical
+    arithmetic either way: sweep 3's recompute replays exactly what
+    sweep 1 computed."""
     key = rtrng.key_from_seed(seed)
+    if park_all:
+        st_ref, bexit_ref = scratch
+    else:
+        (st_ref,) = scratch
+        bexit_ref = None
     (pixel_ids, fi, fj, scene_mat, cx, cy, cz, rc, active_col,
      cam_vals, use_defocus) = _read_tile_refs(
         ids_ref, ii_ref, jj_ref, scene_ref, cam_ref
@@ -479,7 +503,8 @@ def _fused_tile_kernel(
     shape = pixel_ids.shape
     cam = _camera_from_scalars(cam_vals, use_defocus)
 
-    # ---- sweep 1: forward radiance accumulation (no residuals) --------
+    # ---- sweep 1: forward radiance accumulation (residuals parked per
+    # (sample, bounce) when park_all) --------------------------------
     def one_sample_fwd(s_i, acc):
         s_u = s_i.astype(jnp.uint32)
         o0, d0 = primary_rays_from_ij(cam, fi, fj, pixel_ids, s_u, key,
@@ -496,6 +521,13 @@ def _fused_tile_kernel(
             hit, wc, wr, walb, wfuzz, wior, wmat, sid = _hit_winner(
                 scene_mat, cx, cy, cz, rc, active_col, o, d
             )
+            if park_all:
+                st_ref[pl.ds(pl.multiple_of(
+                    (s_i * max_depth + b) * _ST_ROWS, _ST_ROWS),
+                    _ST_ROWS), :] = _pack_residual(
+                    o, d, atten, alive_f, hit.astype(dtype),
+                    wc, wr, walb, wfuzz, wior, wmat, sid,
+                )
             (o2, d2, at2, al2), contrib = _winner_bounce(
                 wc, wr, walb, wfuzz, wior, wmat, hit,
                 o, d, atten, alive_f, pixel_ids, s_u,
@@ -506,7 +538,10 @@ def _fused_tile_kernel(
         init = (jnp.int32(0), o0, d0,
                 Vec3.full(shape, 1.0, 1.0, 1.0, dtype=dtype),
                 jnp.ones(shape, dtype), acc)
-        return lax.while_loop(cond, body, init)[5]
+        final = lax.while_loop(cond, body, init)
+        if park_all:
+            bexit_ref[s_i] = final[0]
+        return final[5]
 
     acc = lax.fori_loop(0, samples, one_sample_fwd,
                         Vec3.zeros(shape, dtype=dtype))
@@ -540,12 +575,44 @@ def _fused_tile_kernel(
     img_ref[0, :, :] = img.y
     imb_ref[0, :, :] = img.z
 
-    # ---- sweep 3: the shared residual-store + reverse vjp sweep -------
-    d_scene, d_cam = _tile_grad_sweep(
-        scene_mat, cx, cy, cz, rc, active_col, cam_vals, use_defocus,
-        pixel_ids, fi, fj, g, key, st_ref,
-        samples=samples, max_depth=max_depth, dtype=dtype,
-    )
+    # ---- sweep 3: reverse vjp sweep (reverse-only from the parked
+    # residuals, or the shared re-trace + reverse grad sweep) -----------
+    if park_all:
+        n, cols = scene_mat.shape
+        iota_n = lax.broadcasted_iota(jnp.int32, (n, 1), 0).astype(dtype)
+
+        def one_sample_rev(s_i, carry):
+            d_scene_acc, d_cam_acc = carry
+            s_u = s_i.astype(jnp.uint32)
+
+            def primary(vals):
+                cam2 = _camera_from_scalars(vals, use_defocus)
+                return primary_rays_from_ij(
+                    cam2, fi, fj, pixel_ids, s_u, key, dtype
+                )
+
+            _, vjp_primary = jax.vjp(primary, cam_vals)
+            d_scene, ct_o, ct_d = _reverse_sweep(
+                st_ref, s_i * max_depth, bexit_ref[s_i], g, pixel_ids,
+                s_u, key, dtype, n, cols, iota_n,
+            )
+            (d_cam_vals,) = vjp_primary((ct_o, ct_d))
+            d_cam_new = tuple(
+                d_cam_acc[k] + d_cam_vals[k] for k in range(_N_CAM)
+            )
+            return (d_scene_acc + d_scene, d_cam_new)
+
+        zero_cam = tuple(jnp.zeros((), dtype) for _ in range(_N_CAM))
+        d_scene, d_cam = lax.fori_loop(
+            0, samples, one_sample_rev,
+            (jnp.zeros((n, cols), dtype), zero_cam),
+        )
+    else:
+        d_scene, d_cam = _tile_grad_sweep(
+            scene_mat, cx, cy, cz, rc, active_col, cam_vals, use_defocus,
+            pixel_ids, fi, fj, g, key, st_ref,
+            samples=samples, max_depth=max_depth, dtype=dtype,
+        )
     _write_grad_outputs(dscene_ref, dcam_ref, d_scene, d_cam, dtype)
 
     @pl.when(pl.program_id(0) == 0)
@@ -758,6 +825,7 @@ def mse_train_pallas(
     pixel_order=None,
     mesh=None,
     interpret: bool = False,
+    park_residuals=None,
 ):
     """Fused MSE train step: ONE Mosaic kernel returning
     ``(loss, image, d_scene_matrix, d_camera_row)`` against a target
@@ -771,7 +839,20 @@ def mse_train_pallas(
     kernel — composes with an optimizer update inside a single jit
     despite the compile service's one-Mosaic-kernel-per-program limit.
     Callers chain the cotangents to parameter pytrees with
-    ``chain_to_params``."""
+    ``chain_to_params``.
+
+    ``park_residuals`` (None = auto): park ALL samples' per-bounce
+    winner residuals in sweep 1 so the grad sweep is reverse-only —
+    removes the fused kernel's second forward trace. Needs a
+    (samples * max_depth * 32, ray_tile) VMEM scratch, so it only fits
+    shallow-depth/low-spp steps (auto gate: residuals <= 6 MB and the
+    scene's (N, R) scan working set small); identical values either
+    way."""
+    if park_residuals is None:
+        park_bytes = (samples_per_pixel * max_depth * _ST_ROWS
+                      * ray_tile * 4)
+        scan_bytes = scene.num_slots * ray_tile * 4 * 8  # ~8 (N,R) temps
+        park_residuals = park_bytes + scan_bytes <= 8 * 2**20
     (ids, ids2, ii2, jj2, (tr, tg, tb), scene_mat, cam_row, n_spheres,
      num_pixels, padded, n_tiles) = _prepare_grad_inputs(
         scene, cam_cfg, target, img_width, img_height, ray_tile,
@@ -786,6 +867,7 @@ def mse_train_pallas(
         dtype=dtype,
         gamma=gamma,
         num_pixels=num_pixels,
+        park_all=park_residuals,
     )
 
     def run(ids_arr, ii_arr, jj_arr, t_r, t_g, t_b, scene_m, cam_r):
@@ -820,18 +902,28 @@ def mse_train_pallas(
                 jax.ShapeDtypeStruct((n_spheres, NUM_COLS), dtype),
                 jax.ShapeDtypeStruct((1, _CAM_COLS), dtype),
             ),
-            scratch_shapes=[
-                pltpu.VMEM((max_depth * _ST_ROWS, ray_tile), dtype),
-            ],
+            scratch_shapes=(
+                [
+                    pltpu.VMEM(
+                        (samples_per_pixel * max_depth * _ST_ROWS,
+                         ray_tile), dtype,
+                    ),
+                    pltpu.SMEM((samples_per_pixel,), jnp.int32),
+                ]
+                if park_residuals
+                else [pltpu.VMEM((max_depth * _ST_ROWS, ray_tile), dtype)]
+            ),
             cost_estimate=pl.CostEstimate(
-                # ~1.5x the grad kernel: sweeps 1+3 both trace forward
+                # parked: one forward + reverse; else sweeps 1+3 both
+                # trace forward (~1.5x the grad kernel)
                 flops=int(
-                    3 * samples_per_pixel * max_depth * padded
-                    * n_spheres * 20
+                    (2 if park_residuals else 3) * samples_per_pixel
+                    * max_depth * padded * n_spheres * 20
                 ),
                 bytes_accessed=int(padded) * 4 * 16,
                 transcendentals=int(
-                    3 * samples_per_pixel * max_depth * padded * 4
+                    (2 if park_residuals else 3) * samples_per_pixel
+                    * max_depth * padded * 4
                 ),
             ),
             interpret=interpret,
@@ -888,6 +980,7 @@ def make_mse_train(
     pixel_order=None,
     mesh=None,
     interpret: bool = False,
+    park_residuals=None,
 ):
     """User-facing fused train step builder.
 
@@ -907,7 +1000,7 @@ def make_mse_train(
             scene, cam_cfg, target, img_width, img_height,
             samples_per_pixel, max_depth, seed=seed, gamma=gamma,
             ray_tile=ray_tile, pixel_order=pixel_order, mesh=mesh,
-            interpret=interpret,
+            interpret=interpret, park_residuals=park_residuals,
         )
         d_params, d_cam = chain_to_params(
             d_sm, d_cr, params, cam_cfg, mat_type, active,

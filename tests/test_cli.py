@@ -126,3 +126,21 @@ def test_filename_axes():
     f = RenderConfig(scene_id=1, dtype="float32", layout="vmem",
                      impl="oracle").output_filename()
     assert f.startswith("const_float_scene1_")
+
+
+def test_ray_tile_knob():
+    from raytracingincuda_tpu.config import RenderConfig
+
+    base = dict(scene_id=1, samples=100, bounces=25)
+    # auto: big images get 1024, small get 512
+    assert RenderConfig(width=1280, height=768, **base
+                        ).effective_ray_tile() == 1024
+    assert RenderConfig(width=320, height=192, **base
+                        ).effective_ray_tile() == 512
+    assert RenderConfig(width=320, height=192, ray_tile=1024, **base
+                        ).effective_ray_tile() == 1024
+    with pytest.raises(ValueError, match="ray_tile"):
+        RenderConfig(width=320, height=192, ray_tile=100, **base)
+    # K auto: 16 at high spp (the round-2 production point)
+    assert RenderConfig(width=1280, height=768, **base
+                        ).effective_pixels_per_lane() == 16

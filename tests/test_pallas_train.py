@@ -146,3 +146,26 @@ def test_jittable_with_optimizer(mixed_scene, default_camera, target):
     assert np.isfinite(float(l0)) and np.isfinite(float(l1))
     # one SGD step on a smooth MSE objective must reduce the loss
     assert float(l1) < float(l0)
+
+
+@pytest.mark.slow
+def test_fused_park_residuals_identical(tiny_scene, default_camera):
+    """park_residuals (sweep 1 parks every sample's residuals; sweep 3
+    reverse-only) computes bitwise the same loss/image/cotangents as the
+    re-tracing fused kernel — parking only removes the second forward
+    trace."""
+    import jax
+    import jax.numpy as jnp
+
+    from raytracingincuda_tpu.ops.pallas_backward import mse_train_pallas
+
+    W, H = 40, 24
+    target = jax.random.uniform(jax.random.PRNGKey(3), (H, W, 3),
+                                jnp.float32)
+    kw = dict(ray_tile=128, interpret=True, gamma=False)
+    outs0 = mse_train_pallas(tiny_scene, default_camera, target, W, H,
+                             2, 4, park_residuals=False, **kw)
+    outs1 = mse_train_pallas(tiny_scene, default_camera, target, W, H,
+                             2, 4, park_residuals=True, **kw)
+    for a, b in zip(outs0, outs1):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
