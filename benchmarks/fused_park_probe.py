@@ -37,25 +37,31 @@ def main() -> int:
     target = jax.random.uniform(jax.random.PRNGKey(0), (H, W, 3),
                                 jnp.float32)
 
-    for depth, rt in [(8, 512), (8, 1024), (4, 1024), (12, 512)]:
-        for park in (False, True):
-            tag = f"fused_d{depth}_rt{rt}_{'park' if park else 'retrace'}"
-            try:
-                f = jax.jit(lambda s, c, t, d=depth, r=rt, p=park:
-                            mse_train_pallas(s, c, t, W, H, SPP, d,
-                                             ray_tile=r,
-                                             park_residuals=p))
+    cases = [
+        (4, 512, True), (4, 1024, False),
+        (12, 1024, False), (12, 512, False), (12, 256, True),
+        (8, None, None),            # auto: expect rt512 + park
+        (8, 1024, True),            # expect fail-fast ValueError
+    ]
+    for depth, rt, park in cases:
+        tag = (f"fused_d{depth}_rt{rt}_"
+               f"{ {True: 'park', False: 'retrace', None: 'auto'}[park] }")
+        try:
+            f = jax.jit(lambda s, c, t, d=depth, r=rt, p=park:
+                        mse_train_pallas(s, c, t, W, H, SPP, d,
+                                         ray_tile=r,
+                                         park_residuals=p))
+            t0 = time.perf_counter()
+            force(f(scene, cam, target)[0])
+            comp = time.perf_counter() - t0
+            times = []
+            for _ in range(3):
                 t0 = time.perf_counter()
                 force(f(scene, cam, target)[0])
-                comp = time.perf_counter() - t0
-                times = []
-                for _ in range(3):
-                    t0 = time.perf_counter()
-                    force(f(scene, cam, target)[0])
-                    times.append((time.perf_counter() - t0) * 1e3)
-                emit(case=tag, ms=min(times), compile_s=round(comp, 1))
-            except Exception as e:  # noqa: BLE001
-                emit(case=tag, error=repr(e)[:300])
+                times.append((time.perf_counter() - t0) * 1e3)
+            emit(case=tag, ms=min(times), compile_s=round(comp, 1))
+        except Exception as e:  # noqa: BLE001
+            emit(case=tag, error=repr(e)[:300])
 
     emit(event="done")
     return 0

@@ -821,7 +821,7 @@ def mse_train_pallas(
     seed: int = rtrng.DEFAULT_SEED,
     dtype=jnp.float32,
     gamma: bool = True,
-    ray_tile: int = 1024,
+    ray_tile=None,
     pixel_order=None,
     mesh=None,
     interpret: bool = False,
@@ -847,12 +847,38 @@ def mse_train_pallas(
     (samples * max_depth * 32, ray_tile) VMEM scratch, so it only fits
     shallow-depth/low-spp steps (auto gate: residuals <= 6 MB and the
     scene's (N, R) scan working set small); identical values either
-    way."""
+    way. An explicit ``park_residuals=True`` that cannot fit the 16 MB
+    scoped-VMEM limit raises instead of crashing the compile service.
+
+    ``ray_tile=None`` selects tile and parking jointly: a parked step
+    at a smaller tile beats the rt1024 re-tracing step whenever parking
+    fits (fused_park.jsonl, 16spp: d4 119 vs 142, d8 181 vs 234, d12
+    rt256 225 vs 316 ms), so auto walks rt512 -> rt256 looking for a
+    parking fit and falls back to rt1024 re-tracing."""
+    def _park_fits(rt: int, budget: int) -> bool:
+        park_bytes = samples_per_pixel * max_depth * _ST_ROWS * rt * 4
+        scan_bytes = scene.num_slots * rt * 4 * 8  # ~8 (N,R) temps
+        return park_bytes + scan_bytes <= budget
+
+    # 10 MB of the 16 MB scoped-VMEM budget for residuals + scan temps
+    # (measured fit: d8/16spp/rt512 = 9.0 MB compiles and runs)
+    _AUTO_BUDGET = 10 * 2**20
+    if ray_tile is None:
+        ray_tile = 1024
+        if park_residuals is None:
+            for rt in (1024, 512, 256):
+                if _park_fits(rt, _AUTO_BUDGET):
+                    ray_tile, park_residuals = rt, True
+                    break
     if park_residuals is None:
-        park_bytes = (samples_per_pixel * max_depth * _ST_ROWS
-                      * ray_tile * 4)
-        scan_bytes = scene.num_slots * ray_tile * 4 * 8  # ~8 (N,R) temps
-        park_residuals = park_bytes + scan_bytes <= 8 * 2**20
+        park_residuals = _park_fits(ray_tile, _AUTO_BUDGET)
+    elif park_residuals and not _park_fits(ray_tile, 14 * 2**20):
+        raise ValueError(
+            f"park_residuals=True needs a ({samples_per_pixel}*"
+            f"{max_depth}*{_ST_ROWS}, {ray_tile}) f32 VMEM scratch plus "
+            f"the (N, R) scan working set — exceeds the 16 MB scoped-VMEM "
+            f"budget; lower ray_tile/samples/depth or leave it on auto"
+        )
     (ids, ids2, ii2, jj2, (tr, tg, tb), scene_mat, cam_row, n_spheres,
      num_pixels, padded, n_tiles) = _prepare_grad_inputs(
         scene, cam_cfg, target, img_width, img_height, ray_tile,
@@ -976,7 +1002,7 @@ def make_mse_train(
     *,
     seed: int = rtrng.DEFAULT_SEED,
     gamma: bool = True,
-    ray_tile: int = 1024,
+    ray_tile=None,
     pixel_order=None,
     mesh=None,
     interpret: bool = False,

@@ -232,12 +232,20 @@ _RAY_ROWS = 16
 
 def _hit_world_stream(scene_hbm, bounds_ref, bufs, sems, o: Vec3, d: Vec3,
                       n_blocks: int, block: int, dtype,
-                      t_refs=None, p_refs=None, ray_scr=None):
+                      t_refs=None, p_refs=None, ray_scr=None,
+                      resident: bool = False):
     """Closest hit over HBM-resident sphere blocks with double-buffered
     DMA and per-block bound culling. Returns (hit, t, center, radius,
     albedo, fuzz, ior, mat_f, sid) — the VMEM gather path's tuple plus
     the winner's stream-slot id (the backward scatter keys on it; the
     forward kernel slices it off).
+
+    ``resident``: the packed matrix is already a VMEM ref (small scene —
+    the GPU texture-CACHE analog: after first touch the reference's tex
+    variant reads the whole 17 KB scene from L1/tex cache, not DRAM, so
+    per-wave HBM DMA is the wrong model there). Blocks are read by
+    dynamic sublane slice; the walk, bound culling, and winner updates
+    are IDENTICAL — results are bit-equal to the streamed path.
 
     ``t_refs``/``p_refs``: per-lane-group VMEM scratch lists (one
     (1, G) + (STREAM_COLS, G) pair per group, G = R // len) holding the
@@ -256,8 +264,8 @@ def _hit_world_stream(scene_hbm, bounds_ref, bufs, sems, o: Vec3, d: Vec3,
     loop nest ("Invalid input layout", UPSTREAM_ISSUES.md #8); a store to
     an offset-0 scratch row relayouts it. Groups stack on SUBLANES (16
     rows each), whose offsets are unrestricted."""
-    buf0, buf1 = bufs
-    sem0, sem1 = sems
+    buf0, buf1 = bufs if not resident else (None, None)
+    sem0, sem1 = sems if not resident else (None, None)
     shape = o.x.shape
     r_lanes = shape[-1]
     n_groups = len(t_refs)
@@ -314,7 +322,10 @@ def _hit_world_stream(scene_hbm, bounds_ref, bufs, sems, o: Vec3, d: Vec3,
             @pl.when(_block_bound_any_hit(
                 bx, by, bz, br, o_g(g), d_g(g), a_g(g), t_cur))
             def _(g=g, t_cur=t_cur):
-                blk = buf[:, :]
+                if resident:
+                    blk = scene_hbm[pl.ds(b * block, block), :]
+                else:
+                    blk = buf[:, :]
                 cx = blk[:, COL_CX:COL_CX + 1]
                 cy = blk[:, COL_CY:COL_CY + 1]
                 cz = blk[:, COL_CZ:COL_CZ + 1]
@@ -339,29 +350,37 @@ def _hit_world_stream(scene_hbm, bounds_ref, bufs, sems, o: Vec3, d: Vec3,
                     improved, params_b, p_refs[g][:, :]
                 )
 
-    # preamble: block 0 into buf0; reset the best-hit scratch
-    start_copy(buf0, sem0, jnp.int32(0))
+    # preamble: block 0 into buf0 (streamed); reset the best-hit scratch
+    if not resident:
+        start_copy(buf0, sem0, jnp.int32(0))
     for g in range(n_groups):
         t_refs[g][0:1, :] = jnp.full((1, g_size), T_MISS, dtype)
         p_refs[g][:, :] = jnp.zeros((STREAM_COLS, g_size), dtype)
 
-    def pair_body(j, carry):
-        b0 = 2 * j
-        b1 = 2 * j + 1
-        # buf1 is free (its previous block finished last iteration)
-        start_copy(buf1, sem1, b1)
-        wait_copy(buf0, sem0, b0)
-        process_block(buf0, b0)
+    if resident:
+        def body(b, carry):
+            process_block(None, b)
+            return carry
 
-        @pl.when(b1 + 1 < n_blocks)
-        def _():
-            start_copy(buf0, sem0, b1 + 1)
+        lax.fori_loop(0, n_blocks, body, jnp.int32(0))
+    else:
+        def pair_body(j, carry):
+            b0 = 2 * j
+            b1 = 2 * j + 1
+            # buf1 is free (its previous block finished last iteration)
+            start_copy(buf1, sem1, b1)
+            wait_copy(buf0, sem0, b0)
+            process_block(buf0, b0)
 
-        wait_copy(buf1, sem1, b1)
-        process_block(buf1, b1)
-        return carry
+            @pl.when(b1 + 1 < n_blocks)
+            def _():
+                start_copy(buf0, sem0, b1 + 1)
 
-    lax.fori_loop(0, n_blocks // 2, pair_body, jnp.int32(0))
+            wait_copy(buf1, sem1, b1)
+            process_block(buf1, b1)
+            return carry
+
+        lax.fori_loop(0, n_blocks // 2, pair_body, jnp.int32(0))
     if n_groups == 1:
         t_best = t_refs[0][0:1, :]
         params_best = p_refs[0][:, :]
@@ -385,19 +404,25 @@ def _hit_world_stream(scene_hbm, bounds_ref, bufs, sems, o: Vec3, d: Vec3,
 
 def _stream_tile_kernel(
     ids_ref, ii_ref, jj_ref, budget_ref, scene_hbm, bounds_ref, cam_ref,
-    out_r_ref, out_g_ref, out_b_ref, buf0, buf1, sem0, sem1, *scratch,
+    out_r_ref, out_g_ref, out_b_ref, *scratch,
     samples: int, max_depth: int, seed: int, dtype, block: int,
     n_blocks: int, rr_start, sample_offset: int, n_groups: int,
-    k_pixels: int,
+    k_pixels: int, resident: bool,
 ):
+    if resident:
+        bufs = sems = (None, None)
+    else:
+        buf0, buf1, sem0, sem1, *scratch = scratch
+        bufs, sems = (buf0, buf1), (sem0, sem1)
     ray_scr = scratch[0]
     t_refs = list(scratch[1:1 + n_groups])
     p_refs = list(scratch[1 + n_groups:])
 
     def hit_fn(o, d):
         return _hit_world_stream(
-            scene_hbm, bounds_ref, (buf0, buf1), (sem0, sem1), o, d,
+            scene_hbm, bounds_ref, bufs, sems, o, d,
             n_blocks, block, dtype, t_refs, p_refs, ray_scr,
+            resident=resident,
         )[:8]
 
     if k_pixels > 1:
@@ -440,6 +465,7 @@ def render_pallas_stream(
     accumulate_only: bool = False,
     mesh=None,
     interpret: bool = False,
+    resident=None,
 ) -> jnp.ndarray:
     """Render a prepared StreamScene with the regeneration kernel and the
     double-buffered HBM block loop. Same estimator and RNG streams as
@@ -448,7 +474,14 @@ def render_pallas_stream(
     ``sample_offset`` / ``sample_budgets`` / ``pixel_order`` /
     ``accumulate_only`` follow render_pallas's contract exactly (they
     feed the same _regen_body budget machinery), which lets the adaptive
-    sampler (ops/adaptive.py) drive streamed scenes."""
+    sampler (ops/adaptive.py) drive streamed scenes.
+
+    ``resident`` (None = auto): keep the whole packed matrix VMEM-resident
+    and skip the per-wave DMA walk — the texture-CACHE analog for scenes
+    that fit (the reference's tex variant reads a 17 KB scene from L1
+    after first touch; per-wave HBM DMA models a cache-MISSING texture
+    fetch, ~100x too pessimistic at 488 spheres). Auto: resident when the
+    packed matrix is <= 2 MB (4096 rows). Bit-identical either way."""
     rtrng.validate_stream_ids(sample_offset + samples_per_pixel,
                               max_depth)
     cam = initialize(cam_cfg, img_width, img_height)
@@ -466,7 +499,9 @@ def render_pallas_stream(
     block = stream.block
     n_blocks = stream.n_blocks
     nb_pad = stream.bounds.shape[0]
-    if n_blocks % 2 != 0:
+    if resident is None:
+        resident = stream.scene_mat.nbytes <= 2 * 2**20
+    if not resident and n_blocks % 2 != 0:
         # the double-buffered DMA walks block PAIRS; an odd count would
         # silently drop the last block from every hit test
         raise ValueError(
@@ -494,18 +529,25 @@ def render_pallas_stream(
         sample_offset=sample_offset,
         n_groups=n_groups,
         k_pixels=kpl,
+        resident=resident,
     )
 
     def run(ids_arr, ii_arr, jj_arr, bud_arr, scene_m, bounds_m, cam_r):
         tiles = ids_arr.shape[0]
         row_spec = pl.BlockSpec((1, kpl, ray_tile), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)
+        scene_spec = (
+            pl.BlockSpec(scene_m.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+            if resident
+            else pl.BlockSpec(memory_space=pl.ANY)       # scene in HBM
+        )
         return pl.pallas_call(
             kernel,
             grid=(tiles,),
             in_specs=[
                 row_spec, row_spec, row_spec, row_spec,
-                pl.BlockSpec(memory_space=pl.ANY),       # scene in HBM
+                scene_spec,
                 pl.BlockSpec((nb_pad, 8), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 24), lambda i: (0, 0),
@@ -517,13 +559,17 @@ def render_pallas_stream(
                 for _ in range(3)
             ),
             scratch_shapes=(
-                [
-                    pltpu.VMEM((block, STREAM_COLS), dtype),
-                    pltpu.VMEM((block, STREAM_COLS), dtype),
-                    pltpu.SemaphoreType.DMA,
-                    pltpu.SemaphoreType.DMA,
-                    pltpu.VMEM((_RAY_ROWS * n_groups, g_size), dtype),
-                ]
+                (
+                    []
+                    if resident
+                    else [
+                        pltpu.VMEM((block, STREAM_COLS), dtype),
+                        pltpu.VMEM((block, STREAM_COLS), dtype),
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA,
+                    ]
+                )
+                + [pltpu.VMEM((_RAY_ROWS * n_groups, g_size), dtype)]
                 + [pltpu.VMEM((1, g_size), dtype)] * n_groups
                 + [pltpu.VMEM((STREAM_COLS, g_size), dtype)] * n_groups
             ),

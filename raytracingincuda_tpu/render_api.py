@@ -165,37 +165,67 @@ def make_renderer(cfg: RenderConfig, n_devices: int = 0):
 
         if cfg.legacy_sky:
             raise ValueError("impl=stream has no legacy_sky variant")
+        from .ops.pallas_stream import StreamScene
+
         interpret = jax.default_backend() == "cpu"
         pallas_mesh = meshlib.make_mesh(n_devices) if n_devices > 1 else None
         stream_get = _identity_cache()
+        # Jitted render programs keyed by everything shape/config-static.
+        # The prepared stream's ARRAYS are jit arguments (not closures):
+        # a fresh scene object with the same shapes re-uses the compiled
+        # program — the reference's per-run H2D is new data, not a new
+        # kernel. The eager alternative (no jit around the host glue)
+        # measured seconds of pure per-op tunnel RPC per frame
+        # (packed_resident.jsonl vs the pre-fix packed sweep rows).
+        fn_cache: dict = {}
 
-        def stream_renderer(scene, cam_cfg):
-            stream = stream_get(
-                scene,
-                lambda: prepare_stream_scene(
-                    scene, block=cfg.stream_block, dtype=cfg.jnp_dtype,
-                ),
+        def _stream_fn(block, n_rows, nb, lane_group, kpl, rt, resident):
+            key = (block, n_rows, nb, lane_group, kpl, rt, resident)
+            if key not in fn_cache:
+                def call(scene_mat, bounds, cam_cfg):
+                    stream = StreamScene(scene_mat=scene_mat,
+                                         bounds=bounds, block=block)
+                    return render_pallas_stream(
+                        stream, cam_cfg, cfg.width, cfg.height,
+                        cfg.samples, cfg.bounces, seed=cfg.seed,
+                        rr_start=cfg.rr_start, lane_group=lane_group,
+                        pixels_per_lane=kpl, ray_tile=rt,
+                        resident=resident, mesh=pallas_mesh,
+                        interpret=interpret,
+                    )
+
+                fn_cache[key] = jax.jit(call)
+            return fn_cache[key]
+
+        def _build_stream(scene):
+            stream = prepare_stream_scene(
+                scene, block=cfg.stream_block, dtype=cfg.jnp_dtype,
             )
             lane_group = _auto_stream_lane_group(cfg, stream)
-            # stream waves are O(N) block walks, so the K tail-shrink is
-            # worth far more than on the VMEM kernel; K=32 is the knee
-            # (stream_kpl.jsonl: 10k 3.2->1.71s, 100k 17.3->8.17s;
-            # K=64 regresses). An explicit --pixels_per_lane wins.
-            kpl = cfg.pixels_per_lane or (32 if cfg.samples >= 8 else 1)
-            return render_pallas_stream(
-                stream, cam_cfg, cfg.width, cfg.height, cfg.samples,
-                cfg.bounces, seed=cfg.seed, rr_start=cfg.rr_start,
-                lane_group=lane_group, pixels_per_lane=kpl,
-                mesh=pallas_mesh, interpret=interpret,
+            # Small scenes ride the VMEM-RESIDENT block walk (the texture-
+            # cache analog — ops/pallas_stream.py `resident`); its knee is
+            # the VMEM kernel's K=16/rt1024, not the streamed walk's
+            # K=32/rt512 (packed_resident.jsonl: headline 4285 ms at
+            # K16/rt1024 vs 4922 at K32/rt512 — vs the reference tex
+            # variant's 4568). Streamed scenes keep the measured K=32
+            # (stream_kpl.jsonl: 10k 3.2->1.71s, 100k 17.3->8.17s; K=64
+            # regresses) and rt512. An explicit --pixels_per_lane wins.
+            resident = stream.scene_mat.nbytes <= 2 * 2**20
+            auto_k = (16 if resident else 32) if cfg.samples >= 8 else 1
+            kpl = cfg.pixels_per_lane or auto_k
+            rt = 1024 if resident else 512
+            fn = _stream_fn(
+                stream.block, stream.scene_mat.shape[0],
+                stream.bounds.shape[0], lane_group, kpl, rt, resident,
             )
+            return stream, fn
+
+        def stream_renderer(scene, cam_cfg):
+            stream, fn = stream_get(scene, lambda: _build_stream(scene))
+            return fn(stream.scene_mat, stream.bounds, cam_cfg)
 
         def stream_prepare(scene):
-            stream_get(
-                scene,
-                lambda: prepare_stream_scene(
-                    scene, block=cfg.stream_block, dtype=cfg.jnp_dtype,
-                ),
-            )
+            stream_get(scene, lambda: _build_stream(scene))
 
         stream_renderer.prepare = stream_prepare
         return stream_renderer

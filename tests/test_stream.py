@@ -79,6 +79,24 @@ def test_lane_group_bit_identical(default_camera):
     np.testing.assert_allclose(img0, img_o, atol=5e-5)
 
 
+@pytest.mark.slow
+def test_resident_bit_identical(default_camera):
+    """The VMEM-resident block walk (texture-cache analog for scenes
+    that fit — auto for packed matrices <= 2 MB) must be bit-identical
+    to the per-wave DMA walk: same blocks, same bound culling, same
+    winner updates — only the fetch path differs."""
+    big = build_random_scene(600, pad_to_multiple=128, half_extent=10.0)
+    stream = prepare_stream_scene(big, block=64)
+    for kw in (dict(), dict(lane_group=128), dict(pixels_per_lane=4)):
+        img_dma = np.asarray(render_pallas_stream(
+            stream, default_camera, W, H, 1, 4, ray_tile=256,
+            resident=False, interpret=True, **kw))
+        img_res = np.asarray(render_pallas_stream(
+            stream, default_camera, W, H, 1, 4, ray_tile=256,
+            resident=True, interpret=True, **kw))
+        assert np.array_equal(img_dma, img_res)
+
+
 def test_prepare_stream_scene_layout(tiny_scene):
     stream = prepare_stream_scene(tiny_scene, block=32)
     mat = np.asarray(stream.scene_mat)
@@ -121,7 +139,11 @@ def test_rejects_odd_block_count(tiny_scene, default_camera):
     )
     with pytest.raises(ValueError, match="even block count"):
         render_pallas_stream(bad, default_camera, 16, 8, 1, 2,
-                             interpret=True)
+                             resident=False, interpret=True)
+    # the resident walk has no pairing and accepts any block count
+    img = render_pallas_stream(bad, default_camera, 16, 8, 1, 2,
+                               resident=True, interpret=True)
+    assert np.isfinite(np.asarray(img)).all()
 
 
 def test_rejects_bad_lane_group(tiny_scene, default_camera):
