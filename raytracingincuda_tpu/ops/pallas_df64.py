@@ -1,0 +1,154 @@
+"""Pallas double-float render kernel: fp64-class rendering on TPU.
+
+The accelerator answer to the reference's GlobalDouble/ConstDouble
+variants (``GlobalDoubleCUDAInOneWeekend/rtweekend.h:32-40`` — mechanical
+float->double widenings of the float tracer, published as first-class
+benchmark rows: 40 270 ms at the reference headline vs 2 879 float,
+14x — its GPU runs fp64 at 1:64 rate). TPU has NO fp64 units, so this
+kernel runs the same regeneration wavefront as ops/pallas_kernel.py with
+every geometric/radiometric quantity in double-float arithmetic
+(ops/df64.py: f32 hi/lo pairs, ~49 significand bits; algorithms in
+ops/df64_trace.py, shared verbatim with interpret mode).
+
+Scope (precision-comparison config, like the reference's doubles):
+forward render only (no vjp), K=1 lanes, uniform sample budgets, parity
+estimator, current-bounce sky. Correctness oracle: the native-f64 jnp
+tracer on CPU (tests/test_df64.py — images agree to ~1e-9, vs f32's
+~1e-3 knife-edge flips).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.camera import CameraConfig
+from ..models.scene import Scene
+from . import df64 as dd
+from . import rng as rtrng
+from .df64 import D
+from .df64_trace import (
+    initialize_f64,
+    pack_scene_matrix_df64,
+    regen_trace_df64,
+)
+from .pallas_kernel import NUM_COLS, _lane_setup
+
+
+class _NullCtx:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *exc):
+        return False
+
+# Smaller default tile than the f32 kernel's 512/1024: the df64 hit test
+# holds ~2x the (N, R) intermediates (hi+lo per value) against the same
+# 16 MB scoped-VMEM budget.
+DEFAULT_DF64_RAY_TILE = 256
+
+
+def _df64_tile_kernel(
+    ids_ref, ii_ref, jj_ref, sm_hi_ref, sm_lo_ref, cam_hi_ref, cam_lo_ref,
+    out_rh, out_gh, out_bh, out_rl, out_gl, out_bl,
+    *, samples: int, max_depth: int, seed: int, trust_rounding: bool,
+):
+    # Mosaic can't lower reduce_precision and doesn't contract FMAs
+    # (df64._rnd docs); interpret mode runs on XLA CPU, which DOES, so
+    # it keeps the laundering. Values are identical either way.
+    ctx = dd.trusted_rounding() if trust_rounding else _NullCtx()
+    with ctx:
+        acc = regen_trace_df64(
+            sm_hi_ref[:, :], sm_lo_ref[:, :],
+            cam_hi_ref[:, :], cam_lo_ref[:, :],
+            ids_ref[0, :, :], ii_ref[0, :, :], jj_ref[0, :, :],
+            samples=samples, max_depth=max_depth, seed=seed,
+        )
+    out_rh[0, :, :] = acc.x.hi
+    out_gh[0, :, :] = acc.y.hi
+    out_bh[0, :, :] = acc.z.hi
+    out_rl[0, :, :] = acc.x.lo
+    out_gl[0, :, :] = acc.y.lo
+    out_bl[0, :, :] = acc.z.lo
+
+
+def render_pallas_df64(
+    scene: Scene,
+    cam_cfg: CameraConfig,
+    img_width: int,
+    img_height: int,
+    samples_per_pixel: int,
+    max_depth: int,
+    *,
+    seed: int = rtrng.DEFAULT_SEED,
+    gamma: bool = True,
+    ray_tile: int = DEFAULT_DF64_RAY_TILE,
+    interpret: bool = False,
+) -> D:
+    """Render in double-float. Returns a ``df64.D`` of (H, W, 3) f32
+    arrays; ``df64.to_f64(result)`` reconstructs the float64 image
+    exactly on the host. The 1/spp scale and gamma sqrt run in df64
+    inside the same jittable program."""
+    rtrng.validate_stream_ids(samples_per_pixel, max_depth)
+    (ids, ids2, ii2, jj2, _bud2, _use_sort, num_pixels,
+     padded) = _lane_setup(
+        img_width, img_height, ray_tile, 1, 1, None,
+        samples_per_pixel, 0, None, jnp.float32,
+    )
+    sm_hi, sm_lo = pack_scene_matrix_df64(scene)
+    cam_rows = jnp.asarray(initialize_f64(cam_cfg, img_width, img_height),
+                           jnp.float32)
+    n_spheres = sm_hi.shape[0]
+
+    kernel = functools.partial(
+        _df64_tile_kernel,
+        samples=samples_per_pixel,
+        max_depth=max_depth,
+        seed=seed,
+        trust_rounding=not interpret,
+    )
+
+    tiles = ids2.shape[0]
+    blk = (1, 1, ray_tile)
+    row_spec = pl.BlockSpec(blk, lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    scene_spec = pl.BlockSpec((n_spheres, NUM_COLS), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
+    cam_spec = pl.BlockSpec((1, 24), lambda i: (0, 0),
+                            memory_space=pltpu.SMEM)
+    row_shape = jax.ShapeDtypeStruct((tiles,) + blk[1:], jnp.float32)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(tiles,),
+        in_specs=[row_spec, row_spec, row_spec,
+                  scene_spec, scene_spec, cam_spec, cam_spec],
+        out_specs=(row_spec,) * 6,
+        out_shape=(row_shape,) * 6,
+        cost_estimate=pl.CostEstimate(
+            # ~8x the f32 kernel's per-element cost (df64 mul ~28 flops)
+            flops=int(samples_per_pixel * max_depth * padded
+                      * n_spheres * 160),
+            bytes_accessed=int(padded) * 4 * 32,
+            transcendentals=int(samples_per_pixel * max_depth * padded * 4),
+        ),
+        interpret=interpret,
+    )(ids2, ii2, jj2, sm_hi, sm_lo, cam_rows[0:1], cam_rows[1:2])
+    rh, gh, bh, rl, gl, bl = outs
+
+    def chan(hi, lo):
+        return D(hi.reshape(padded)[:num_pixels],
+                 lo.reshape(padded)[:num_pixels])
+
+    scale = dd.const(1.0 / samples_per_pixel)
+    img = [dd.mul(chan(h, l), scale)
+           for h, l in ((rh, rl), (gh, gl), (bh, bl))]
+    if gamma:
+        # linear_to_gamma = sqrt, 0 at 0 (color.h:10-13)
+        img = [dd.sqrt(dd.maximum(c, dd.const(0.0))) for c in img]
+    shape = (img_height, img_width)
+    hi = jnp.stack([c.hi.reshape(shape) for c in img], axis=-1)
+    lo = jnp.stack([c.lo.reshape(shape) for c in img], axis=-1)
+    return D(hi, lo)

@@ -1,0 +1,170 @@
+"""Double-float (df64) arithmetic + the Pallas df64 render kernel.
+
+Library ops are validated against numpy float64; the kernel (interpret
+mode) is validated against the NATIVE f64 jnp oracle — the independent
+implementation — with the random samplers pinned to their f32 values on
+both sides (the df64 path promotes f32 draws by contract, see
+ops/df64_trace.py docstring), so the comparison isolates arithmetic
+precision: images must agree to ~1e-6, orders tighter than the f32
+kernel's ~1e-3 knife-edge differences vs f64.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from raytracingincuda_tpu.ops import df64 as dd
+from raytracingincuda_tpu.ops.df64 import D
+
+
+def _rand(shape, lo, hi, seed):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(lo, hi, shape)
+
+
+def _rel_err(got: D, want64: np.ndarray) -> float:
+    got64 = dd.to_f64(got)
+    denom = np.maximum(np.abs(want64), 1e-300)
+    return float(np.max(np.abs(got64 - want64) / denom))
+
+
+# relative-error budget: df64 carries ~49 significand bits; allow 2^-44
+_TOL = 2.0 ** -44
+
+
+def test_df64_add_sub_mul():
+    a64 = _rand((512,), -1e4, 1e4, 1)
+    b64 = _rand((512,), -1e4, 1e4, 2)
+    a, b = dd.from_f64(a64), dd.from_f64(b64)
+    # baseline = exact op on the df64-REPRESENTED inputs (from_f64 keeps
+    # ~48 of f64's 53 bits; comparing against the unrounded values would
+    # charge the op for input quantization, amplified by cancellation)
+    a64, b64 = dd.to_f64(a), dd.to_f64(b)
+    assert _rel_err(dd.add(a, b), a64 + b64) < _TOL
+    assert _rel_err(dd.sub(a, b), a64 - b64) < _TOL
+    assert _rel_err(dd.mul(a, b), a64 * b64) < _TOL
+
+
+def test_df64_cancellation():
+    """The whole point of df64: catastrophic f32 cancellation survives.
+    (1 + eps) - 1 with eps far below f32 resolution."""
+    eps = 3e-11
+    x = dd.add(dd.const(1.0), dd.const(eps))
+    got = dd.to_f64(dd.sub(x, dd.const(1.0)))
+    assert abs(float(got) - eps) / eps < 1e-4
+
+
+def test_df64_div_sqrt():
+    a64 = _rand((512,), 1e-3, 1e6, 3)
+    b64 = _rand((512,), 1e-3, 1e6, 4)
+    a, b = dd.from_f64(a64), dd.from_f64(b64)
+    a64, b64 = dd.to_f64(a), dd.to_f64(b)
+    assert _rel_err(dd.div(a, b), a64 / b64) < _TOL
+    assert _rel_err(dd.sqrt(a), np.sqrt(a64)) < _TOL
+    # sqrt(0) == 0 exactly (guarded seed path)
+    z = dd.sqrt(dd.const(0.0))
+    assert float(z.hi) == 0.0 and float(z.lo) == 0.0
+
+
+def test_df64_compare_and_min():
+    # values differing only below f32 resolution must order correctly
+    a = dd.add(dd.const(1.0), dd.const(1e-12))
+    b = dd.const(1.0)
+    assert bool(dd.gt(a, b)) and bool(dd.lt(b, a))
+    assert not bool(dd.lt(a, a))
+
+    vals64 = _rand((16, 64), 0.0, 1.0, 5)
+    vals = dd.from_f64(vals64)
+    m = dd.min_axis0(vals)
+    np.testing.assert_array_equal(
+        dd.to_f64(m)[0], dd.to_f64(vals).min(axis=0)
+    )
+
+
+def test_df64_constants_carry_low_bits():
+    c = dd.const(0.1)
+    assert float(c.lo) != 0.0  # 0.1 is not an f32
+    assert abs(float(dd.to_f64(c)) - 0.1) < 1e-16
+
+
+def test_pack_scene_df64_exact_for_f32_scenes():
+    from raytracingincuda_tpu.models.scene import build_scene
+    from raytracingincuda_tpu.ops.df64_trace import pack_scene_matrix_df64
+    from raytracingincuda_tpu.ops.pallas_kernel import pack_scene_matrix
+
+    scene = build_scene(2)
+    hi, lo = pack_scene_matrix_df64(scene)
+    np.testing.assert_array_equal(np.asarray(hi),
+                                  np.asarray(pack_scene_matrix(scene)))
+    assert not np.asarray(lo).any()  # f32 scenes are exactly representable
+
+
+def _f32_pinned_samplers(monkeypatch):
+    """Pin the random samplers to their f32 values on every path: the
+    df64 contract promotes f32 draws (lo=0), so the f64 oracle must
+    consume the same numbers for an arithmetic-only comparison."""
+    from raytracingincuda_tpu.ops import rng as rtrng
+    from raytracingincuda_tpu.ops.vec import Vec3
+
+    orig_ruv = rtrng.random_unit_vector
+    orig_disk = rtrng.random_in_unit_disk
+
+    def ruv(key, rid, s, b, draw, dtype=jnp.float32):
+        v = orig_ruv(key, rid, s, b, draw, jnp.float32)
+        return Vec3(v.x.astype(dtype), v.y.astype(dtype),
+                    v.z.astype(dtype))
+
+    def disk(key, rid, s, dtype=jnp.float32):
+        px, py = orig_disk(key, rid, s, jnp.float32)
+        return px.astype(dtype), py.astype(dtype)
+
+    monkeypatch.setattr(rtrng, "random_unit_vector", ruv)
+    monkeypatch.setattr(rtrng, "random_in_unit_disk", disk)
+
+
+def _cast_floats(tree, dtype):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
+        tree,
+    )
+
+
+@pytest.mark.slow
+def test_df64_kernel_matches_f64_oracle(tiny_scene, default_camera,
+                                        monkeypatch):
+    """Interpret-mode df64 kernel vs the native-f64 jnp oracle on
+    bit-identical inputs and pinned f32 draws: agreement to 1e-6 in
+    gamma space (~2^-20), versus the f32 kernel's ~1e-3 deviations —
+    the quantitative content of the reference's float-vs-double
+    ppm_diff comparison (README.md:101-115), on accelerator arithmetic."""
+    from raytracingincuda_tpu.ops import tracer
+    from raytracingincuda_tpu.ops.pallas_df64 import render_pallas_df64
+    from raytracingincuda_tpu.ops.pallas_kernel import render_pallas
+
+    _f32_pinned_samplers(monkeypatch)
+    W, H, SPP, DEPTH = 40, 24, 2, 6
+
+    img_dd = dd.to_f64(render_pallas_df64(
+        tiny_scene, default_camera, W, H, SPP, DEPTH, interpret=True,
+    ))
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        scene64 = _cast_floats(tiny_scene, jnp.float64)
+        cam64 = _cast_floats(default_camera, jnp.float64)
+        img64 = np.asarray(tracer.render(
+            scene64, cam64, W, H, SPP, DEPTH, dtype=jnp.float64,
+        ))
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+    diff_dd = np.abs(img_dd - img64).max()
+    assert diff_dd < 1e-6, f"df64 vs f64 maxdiff {diff_dd}"
+
+    # context: the f32 kernel is orders of magnitude farther from f64
+    img32 = np.asarray(render_pallas(
+        tiny_scene, default_camera, W, H, SPP, DEPTH, interpret=True,
+    ))
+    diff_f32 = np.abs(img32 - img64).max()
+    assert diff_dd < diff_f32 / 10 or diff_f32 < 1e-6
