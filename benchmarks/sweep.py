@@ -89,6 +89,16 @@ def main() -> int:
     from raytracingincuda_tpu.models.scene import build_scene
     from raytracingincuda_tpu.render_api import make_renderer
 
+    # dtype=float64 on an accelerator rides the emulated double-float
+    # kernel (render_api.make_df64_renderer): device arrays stay f32
+    # hi/lo pairs, so the scene/camera are built f32 (cli.py does the
+    # same; the pack promotes host-side in numpy f64)
+    device_dtype = None
+    if args.dtype == "float64" and jax.default_backend() != "cpu":
+        import jax.numpy as jnp
+
+        device_dtype = jnp.float32
+
     resolutions = QUICK_RESOLUTIONS if args.quick else RESOLUTIONS
     if args.resolutions:
         resolutions = [tuple(int(v) for v in r.lower().split("x"))
@@ -109,13 +119,14 @@ def main() -> int:
         from raytracingincuda_tpu.utils.timing import force
 
         renderer = make_renderer(cfg)
-        cam = CameraConfig.reference_default(dtype=cfg.jnp_dtype)
-        scene_w = build_scene(scene_id, dtype=cfg.jnp_dtype)
+        dd = device_dtype or cfg.jnp_dtype
+        cam = CameraConfig.reference_default(dtype=dd)
+        scene_w = build_scene(scene_id, dtype=dd)
         force(renderer(scene_w, cam))  # compile + complete
         for run in range(runs):
             t_e2e = time.perf_counter()
             scene = jax.device_put(
-                build_scene(scene_id, dtype=cfg.jnp_dtype)
+                build_scene(scene_id, dtype=dd)
             )
             # host-side scene prep (stream/packed Morton sort + upload)
             # belongs in the e2e region, like the reference's H2D/texture

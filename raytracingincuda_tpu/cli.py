@@ -106,7 +106,14 @@ def main(argv=None) -> int:
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    if args.dtype == "float64":
+    # float64 on CPU = native-f64 oracle (needs x64). float64 on an
+    # accelerator = the emulated double-float kernel (render_api
+    # make_df64_renderer): device arrays stay f32 (hi/lo pairs), so x64
+    # stays off and the scene/camera are built f32 (the df64 pack
+    # promotes host-side; reference camera values are f32-exact).
+    df64_device = (args.dtype == "float64"
+                   and jax.default_backend() != "cpu")
+    if args.dtype == "float64" and not df64_device:
         jax.config.update("jax_enable_x64", True)
 
     from .config import RenderConfig
@@ -141,18 +148,23 @@ def main(argv=None) -> int:
     from .utils.timing import force
 
     renderer = make_renderer(cfg, n_devices=args.devices)
+    device_dtype = cfg.jnp_dtype
+    if df64_device:
+        import jax.numpy as jnp
+
+        device_dtype = jnp.float32
 
     def make_scene():
         if args.scene_file is not None:
             from .models.io import load_scene
 
-            return load_scene(args.scene_file, dtype=cfg.jnp_dtype)
+            return load_scene(args.scene_file, dtype=device_dtype)
         return build_scene(cfg.scene_id, seed=cfg.seed,
-                           dtype=cfg.jnp_dtype)
+                           dtype=device_dtype)
 
     # Warmup: compile outside the timed region (see module docstring).
     scene_w = make_scene()
-    cam_w = CameraConfig.reference_default(dtype=cfg.jnp_dtype)
+    cam_w = CameraConfig.reference_default(dtype=device_dtype)
     if args.warmup:
         force(renderer(scene_w, cam_w))
 
@@ -160,7 +172,7 @@ def main(argv=None) -> int:
     t_e2e0 = time.perf_counter()
 
     scene = make_scene()
-    cam = CameraConfig.reference_default(dtype=cfg.jnp_dtype)
+    cam = CameraConfig.reference_default(dtype=device_dtype)
     scene = jax.device_put(scene)
     # host-side scene prep (stream/adaptive Morton sort + block bounds)
     # belongs to the setup phase, like the reference's H2D transfer
@@ -180,7 +192,12 @@ def main(argv=None) -> int:
 
     if args.write_output:
         out_path = os.path.join(args.outdir, cfg.output_filename())
-        write_ppm(out_path, np.asarray(img, np.float64))
+        img_np = np.asarray(img, np.float64)
+        if img_np.ndim == 4:
+            # df64 pair (H, W, 3, 2): hi + lo in float64 reconstructs
+            # the double-precision image exactly
+            img_np = img_np[..., 0] + img_np[..., 1]
+        write_ppm(out_path, img_np)
 
     e2e_ms = (time.perf_counter() - t_e2e0) * 1e3
     print(f"{e2e_ms:15.8f}")

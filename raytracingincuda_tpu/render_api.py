@@ -55,6 +55,67 @@ def _auto_stream_lane_group(cfg, stream) -> int:
     return 256 if n_act >= 50_000 else 0
 
 
+def make_df64_renderer(cfg: RenderConfig, interpret: Optional[bool] = None):
+    """Renderer for dtype=float64 on an f32-only accelerator: the
+    double-float Pallas kernel (ops/pallas_df64.py — f32 hi/lo pairs,
+    ~49 significand bits; the reference's Global/ConstDouble analog,
+    ``GlobalDouble…/rtweekend.h:32-40``).
+
+    Returns ``renderer(scene, cam_cfg) -> (H, W, 3, 2) f32`` — the last
+    axis is the (hi, lo) pair; ``img[..., 0] + img[..., 1]`` in float64
+    reconstructs the double-precision image exactly (cli.py does this
+    for the PPM write). The camera must be concrete: its viewport math
+    runs host-side in numpy float64."""
+    import jax.numpy as jnp
+
+    from .ops.df64_trace import initialize_f64, pack_scene_matrix_df64
+    from .ops.pallas_df64 import DEFAULT_DF64_RAY_TILE, make_df64_render
+
+    if cfg.legacy_sky or cfg.rr_start is not None or cfg.mxu_dots:
+        raise ValueError(
+            "dtype=float64 (df64 kernel) is a precision-comparison "
+            "config: parity estimator only — no legacy_sky / rr_start / "
+            "mxu_dots"
+        )
+    if cfg.layout == "packed":
+        raise ValueError(
+            "dtype=float64 has no packed/stream path; the df64 scene is "
+            "VMEM-resident (use --layout vmem or hbm)"
+        )
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    rt = cfg.ray_tile or DEFAULT_DF64_RAY_TILE
+    pack_cache = _identity_cache()
+    fn_cache: dict = {}
+
+    def renderer(scene, cam_cfg):
+        sm_hi, sm_lo = pack_cache(
+            scene, lambda: pack_scene_matrix_df64(scene)
+        )
+        n = sm_hi.shape[0]
+        fn = fn_cache.get(n)
+        if fn is None:
+            fn = fn_cache[n] = make_df64_render(
+                cfg.width, cfg.height, cfg.samples, cfg.bounces, n,
+                seed=cfg.seed, ray_tile=rt, interpret=interpret,
+            )
+        cam_rows = jnp.asarray(
+            initialize_f64(cam_cfg, cfg.width, cfg.height), jnp.float32
+        )
+        out = fn(sm_hi, sm_lo, cam_rows)
+        return jnp.stack([out.hi, out.lo], axis=-1)
+
+    def prepare(scene):
+        # host-side numpy-f64 scene pack (fetches the device arrays) —
+        # the H2D-transfer analog; callers timing render-only (cli.py,
+        # sweep.py) run this in their setup region like the reference's
+        # cudaMemcpy phase (main.cu:301-314 precedes render timing)
+        pack_cache(scene, lambda: pack_scene_matrix_df64(scene))
+
+    renderer.prepare = prepare
+    return renderer
+
+
 def make_renderer(cfg: RenderConfig, n_devices: int = 0):
     """Return a jitted ``renderer(scene, cam_cfg) -> (H, W, 3) image``.
 
@@ -77,13 +138,18 @@ def make_renderer(cfg: RenderConfig, n_devices: int = 0):
 
     impl = cfg.impl
     if cfg.dtype == "float64" and jax.default_backend() not in ("cpu",):
-        # Fail fast (SURVEY.md §5 policy): TPU f64 is emulated and measured
-        # to hang/crawl on this stack; the double variants exist for
-        # precision comparison, which the CPU oracle serves.
+        # TPU has no fp64 units; the accelerator answer to the
+        # reference's Global/ConstDouble variants is the double-float
+        # kernel (ops/pallas_df64.py: f32 hi/lo pairs, ~49 significand
+        # bits). Other impls keep the fail-fast: their f64 role (exact
+        # precision comparison) is served by the CPU oracle.
+        if impl == "pallas":
+            return make_df64_renderer(cfg)
         raise RuntimeError(
-            "dtype=float64 requires the CPU backend (the reference's double "
-            "variants are precision-comparison configs). Re-run with "
-            "--platform cpu / jax.config.update('jax_platforms', 'cpu')."
+            "dtype=float64 on TPU is served by the emulated double-float "
+            "kernel (--impl pallas) or by the native-f64 CPU oracle "
+            "(--platform cpu). impl="
+            f"{impl} has no f64 path."
         )
     if impl == "pallas" and cfg.layout == "packed":
         # tex-variant analog (SURVEY.md §2.1): packed SoA fetched per

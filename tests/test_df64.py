@@ -168,3 +168,31 @@ def test_df64_kernel_matches_f64_oracle(tiny_scene, default_camera,
     ))
     diff_f32 = np.abs(img32 - img64).max()
     assert diff_dd < diff_f32 / 10 or diff_f32 < 1e-6
+
+
+def test_df64_renderer_wiring(tiny_scene, default_camera):
+    """render_api.make_df64_renderer (the dtype=float64-on-TPU product
+    path): returns the (H, W, 3, 2) hi/lo pair whose f64 reconstruction
+    matches render_pallas_df64, and rejects knobs outside the
+    precision-comparison scope."""
+    from raytracingincuda_tpu.config import RenderConfig
+    from raytracingincuda_tpu.ops.pallas_df64 import render_pallas_df64
+    from raytracingincuda_tpu.render_api import make_df64_renderer
+
+    W, H, SPP, DEPTH = 32, 16, 1, 4
+    base = dict(scene_id=2, width=W, height=H, samples=SPP,
+                bounces=DEPTH, dtype="float64")
+    renderer = make_df64_renderer(RenderConfig(**base), interpret=True)
+    img = np.asarray(renderer(tiny_scene, default_camera))
+    assert img.shape == (H, W, 3, 2) and np.isfinite(img).all()
+    want = render_pallas_df64(tiny_scene, default_camera, W, H, SPP,
+                              DEPTH, interpret=True)
+    got64 = img[..., 0].astype(np.float64) + img[..., 1]
+    np.testing.assert_array_equal(got64, dd.to_f64(want))
+
+    with pytest.raises(ValueError, match="parity estimator"):
+        make_df64_renderer(RenderConfig(**base, rr_start=2),
+                           interpret=True)
+    with pytest.raises(ValueError, match="packed"):
+        make_df64_renderer(RenderConfig(**base, layout="packed"),
+                           interpret=True)
