@@ -16,4 +16,7 @@ run python benchmarks/bwd_sorted_probe.py
 run python benchmarks/northstar_probe.py benchmarks/results/northstar_probe.jsonl
 run python benchmarks/northstar_chunked.py benchmarks/results/northstar_probe.jsonl
 run python benchmarks/stream_bwd_probe.py
+run python benchmarks/df64_probe.py
+run python benchmarks/packed_resident_probe.py
+run python benchmarks/fused_park_probe.py
 echo "all probes done"
