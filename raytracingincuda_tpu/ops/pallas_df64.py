@@ -18,6 +18,7 @@ tracer on CPU (tests/test_df64.py — images agree to ~1e-9, vs f32's
 """
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -38,13 +39,6 @@ from .df64_trace import (
 from .pallas_kernel import NUM_COLS, _lane_setup
 
 
-class _NullCtx:
-    def __enter__(self):
-        return None
-
-    def __exit__(self, *exc):
-        return False
-
 # Smaller default tile than the f32 kernel's 512/1024: the df64 hit test
 # holds ~2x the (N, R) intermediates (hi+lo per value) against the same
 # 16 MB scoped-VMEM budget.
@@ -59,7 +53,8 @@ def _df64_tile_kernel(
     # Mosaic can't lower reduce_precision and doesn't contract FMAs
     # (df64._rnd docs); interpret mode runs on XLA CPU, which DOES, so
     # it keeps the laundering. Values are identical either way.
-    ctx = dd.trusted_rounding() if trust_rounding else _NullCtx()
+    ctx = (dd.trusted_rounding() if trust_rounding
+           else contextlib.nullcontext())
     with ctx:
         # the cam refs pass through UNMATERIALIZED: Mosaic only allows
         # SCALAR loads from SMEM, and unpack_camera_df64 reads cam[0, k]

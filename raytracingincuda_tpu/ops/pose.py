@@ -76,11 +76,11 @@ class SoftConfig(NamedTuple):
          i.e. roughly constant in PIXELS (1 px ~ 0.01 rad at the
          reference 20-degree/0.4k-px camera). Radius-proportional bands
          fail here: the r=1000 ground sphere would get a 50-unit band
-         that is still half-visible where the behind-camera switch
-         flips, making the loss discontinuous (measured). The
-         depth-proportional band saturates the sigmoid as depth -> 0,
-         so the hard front/behind switch toggles only fully-invisible
-         spheres.
+         that is still half-visible at the horizon where rays cross
+         behind the camera, making the loss discontinuous (measured).
+         Behind-camera visibility itself is closed by a smooth depth
+         gate (sigmoid over proj, ~0.1 units wide) — no hard switch
+         anywhere in the weights.
     lam: depth-ordering temperature (world units) for the softmin over
          closest-approach depth; smaller = harder occlusion.
     """
@@ -91,6 +91,14 @@ class SoftConfig(NamedTuple):
 
 def _primary_dirs(cam_cfg: CameraConfig, img_width: int, img_height: int):
     """Center-of-pixel primary rays (no jitter, no defocus): (R,) Vec3s."""
+    if img_width * img_height >= 2 ** 24:
+        # f32 pixel ids lose integers above 2^24 — consecutive pixels
+        # would collapse silently (same guard as pallas_kernel's
+        # _lane_setup)
+        raise ValueError(
+            f"soft_render supports < 2^24 pixels; got "
+            f"{img_width}x{img_height}"
+        )
     cam = initialize(cam_cfg, img_width, img_height)
     ids = jnp.arange(img_width * img_height, dtype=jnp.float32)
     fi = jnp.mod(ids, float(img_width))
@@ -148,11 +156,14 @@ def soft_render(
     band = cfg.tau * jnp.maximum(proj, 1.0)
     sdf = (r - b) / band
     logit_vis = jax.nn.log_sigmoid(sdf)
-    # spheres behind the camera (or the one we are inside of) drop out;
-    # the switch is discrete but only activates off-silhouette
-    front = proj > 1e-3
+    # spheres behind / right at the camera fade out SMOOTHLY (a hard
+    # proj > eps switch would leave a loss cliff for 0 < proj < 1 where
+    # the band floor keeps the sigmoid unsaturated — a camera passing
+    # within ~1 unit of a sphere would see its weight snap): sigmoid
+    # gate over depth, ~0.1 world units wide, fully closed by proj <= 0
+    logit_vis = logit_vis + jax.nn.log_sigmoid((proj - 0.1) * 50.0)
     neg_inf = jnp.float32(-1e30)
-    logits = jnp.where(active & front,
+    logits = jnp.where(active,
                        logit_vis - proj / cfg.lam, neg_inf)       # (N, R)
     bg_logit = jnp.full((1, logits.shape[1]), -T_BG / cfg.lam)
     all_logits = jnp.concatenate([logits, bg_logit], axis=0)
@@ -269,7 +280,9 @@ def recover_pose(
             cam = _cam_with_pose(init_cam, ps)
             img = soft_render(scene, cam, img_width, img_height, soft)
             if objective == "edges":
-                img = jnp.sqrt(jnp.maximum(img, 0.0))  # target is gamma
+                # floor, not 0: sqrt'(0) = inf would leak inf/NaN into
+                # the pose gradient on exactly-black pixels
+                img = jnp.sqrt(jnp.maximum(img, 1e-8))  # target is gamma
                 ix, iy = _edge_maps(_avg_pool(img, k))
                 tx, ty = _edge_maps(tgt)
                 return (jnp.mean((ix - tx) ** 2)
@@ -308,6 +321,7 @@ def refine_pose_fd(
     eps: float = 2e-2,
     optimize_lookat: bool = True,
     render_fn=None,
+    log_every: int = 5,
 ):
     """Pose refinement on the REAL path-traced MSE via central finite
     differences.
@@ -328,7 +342,13 @@ def refine_pose_fd(
     forward model (defaults to the jnp oracle; pass a Pallas-kernel
     closure on TPU).
 
-    Returns (PoseState, mse_history list)."""
+    ``log_every``: the loss history costs ONE extra render per recorded
+    point (central FD never evaluates the center), so it is sampled
+    every ``log_every`` steps plus the final step — 12/5 + 1 renders of
+    logging across the default 60 steps instead of 60.
+
+    Returns (PoseState, mse_history list — sampled, last entry = final
+    MSE)."""
     import optax
 
     from . import tracer
@@ -354,12 +374,13 @@ def refine_pose_fd(
     history = []
     import numpy as np
 
-    for _ in range(steps):
+    for it in range(steps):
         g = np.zeros(6, np.float32)
         for k in range(n_free):
             e = jnp.zeros(6).at[k].set(eps)
             g[k] = (mse(x + e) - mse(x - e)) / (2.0 * eps)
         upd, opt_state = opt.update(jnp.asarray(g), opt_state)
         x = optax.apply_updates(x, upd)
-        history.append(mse(x))
+        if it == steps - 1 or (log_every and it % log_every == 0):
+            history.append(mse(x))
     return PoseState(x[:3], x[3:]), history

@@ -71,11 +71,12 @@ def make_df64_renderer(cfg: RenderConfig, interpret: Optional[bool] = None):
     from .ops.df64_trace import initialize_f64, pack_scene_matrix_df64
     from .ops.pallas_df64 import DEFAULT_DF64_RAY_TILE, make_df64_render
 
-    if cfg.legacy_sky or cfg.rr_start is not None or cfg.mxu_dots:
+    if (cfg.legacy_sky or cfg.rr_start is not None or cfg.mxu_dots
+            or cfg.pixels_per_lane not in (None, 1)):
         raise ValueError(
             "dtype=float64 (df64 kernel) is a precision-comparison "
-            "config: parity estimator only — no legacy_sky / rr_start / "
-            "mxu_dots"
+            "config: parity estimator, K=1 lanes only — no legacy_sky / "
+            "rr_start / mxu_dots / pixels_per_lane"
         )
     if cfg.layout == "packed":
         raise ValueError(
@@ -119,7 +120,12 @@ def make_df64_renderer(cfg: RenderConfig, interpret: Optional[bool] = None):
 def make_renderer(cfg: RenderConfig, n_devices: int = 0):
     """Return a jitted ``renderer(scene, cam_cfg) -> (H, W, 3) image``.
 
-    ``n_devices``: shard rays over this many devices (0 = all available).
+    Exception: dtype=float64 on an accelerator returns ``(H, W, 3, 2)``
+    hi/lo pairs (the df64 kernel; ``img[..., 0] + img[..., 1]`` in f64
+    reconstructs the double image — see :func:`make_df64_renderer`).
+
+    ``n_devices``: shard rays over this many devices (0 = all available;
+    the df64 path is single-device and says so on stderr).
     Single-device and multi-device renders are bit-identical (counter-based
     RNG; the pixel axis is merely sliced).
     """
@@ -143,7 +149,15 @@ def make_renderer(cfg: RenderConfig, n_devices: int = 0):
         # kernel (ops/pallas_df64.py: f32 hi/lo pairs, ~49 significand
         # bits). Other impls keep the fail-fast: their f64 role (exact
         # precision comparison) is served by the CPU oracle.
+        # NOTE: returns (H, W, 3, 2) hi/lo pairs, not (H, W, 3) — see
+        # make_df64_renderer.
         if impl == "pallas":
+            if n_devices > 1:
+                print(
+                    f"note: dtype=float64 (df64 kernel) is single-device;"
+                    f" ignoring n_devices={n_devices}",
+                    file=sys.stderr,
+                )
             return make_df64_renderer(cfg)
         raise RuntimeError(
             "dtype=float64 on TPU is served by the emulated double-float "
