@@ -105,13 +105,31 @@ def _morton3(q: np.ndarray, bits: int = 10) -> np.ndarray:
     return out
 
 
+# The per-block bounds table lives in SMEM as (n_blocks, 8) f32 and
+# Mosaic pads SMEM rows 16x — 512 bytes per block against the ~1 MB
+# SMEM budget. Cap the block COUNT and grow the block size instead for
+# huge scenes (measured: 3908 blocks = 2.0 MB fails compile with an
+# SMEM allocation error; 1M spheres at block 512 = 1954 blocks works,
+# 3.5 s/spp at 640x384/d10).
+_MAX_BLOCKS = 1792
+
+
+def _auto_block(n_act: int, block: int) -> int:
+    while _round_up(max(n_act, 1), 2 * block) // block > _MAX_BLOCKS:
+        block *= 2
+    return block
+
+
 def prepare_stream_scene(
     scene: Scene, block: int = DEFAULT_BLOCK, sort: bool = True,
     dtype=jnp.float32,
 ) -> StreamScene:
     """Sort spheres spatially, pad to an even number of blocks, compute
     per-block conservative bounding spheres. Inactive slots get far-away
-    centers so they never tighten nor break a block bound."""
+    centers so they never tighten nor break a block bound.
+
+    ``block`` is a MINIMUM: it doubles as needed to keep the SMEM
+    bounds table under budget for huge scenes (see _MAX_BLOCKS)."""
     if dtype != jnp.float32:
         raise NotImplementedError(
             "stream scenes are f32-only (the packed HBM matrix and the "
@@ -132,6 +150,7 @@ def prepare_stream_scene(
         act_mat = act_mat[order]
         act_idx = act_idx[order]
 
+    block = _auto_block(n_act, block)
     n_pad = _round_up(max(n_act, 1), 2 * block)
     out = np.zeros((n_pad, STREAM_COLS), np.float32)
     out[:n_act, :NUM_COLS] = act_mat

@@ -169,3 +169,21 @@ def test_prepare_rejects_non_f32(tiny_scene):
 
     with pytest.raises(NotImplementedError, match="f32"):
         prepare_stream_scene(tiny_scene, dtype=jnp.bfloat16)
+
+
+def test_auto_block_for_huge_scenes():
+    """The SMEM block-bounds table (512 B/block after Mosaic's 16x row
+    padding) must stay under the ~1 MB SMEM budget: prepare's block size
+    doubles as needed (measured: 3908 blocks fails AOT compile with an
+    SMEM allocation error; 1954 works)."""
+    from raytracingincuda_tpu.ops.pallas_stream import (
+        _MAX_BLOCKS, _auto_block,
+    )
+
+    assert _auto_block(488, 256) == 256          # small scenes unchanged
+    assert _auto_block(100_000, 256) == 256      # 391 blocks, fine
+    assert _auto_block(1_000_000, 256) == 1024   # 3907 -> 977 blocks
+    for n in (10, 10_000, 500_000, 1_000_000, 5_000_000):
+        b = _auto_block(n, 256)
+        n_pad = ((max(n, 1) + 2 * b - 1) // (2 * b)) * 2 * b
+        assert n_pad // b <= _MAX_BLOCKS
