@@ -249,3 +249,32 @@ def test_hollow_glass_negative_radius(default_camera):
     solid = np.asarray(render(glass_scene(None), default_camera, W, H,
                               4, 8, chunk_pixels=512))
     assert np.abs(o - solid).max() > 0.01  # the bubble is visible
+
+
+@pytest.mark.slow
+def test_matches_oracle_fuzzed_configs(default_camera):
+    """Randomized shape/knob fuzz: the kernel must match the oracle for
+    odd image sizes, ragged tile tails, any K, and either estimator —
+    not just the round-number configs the other tests pin."""
+    rng = np.random.default_rng(20260819)
+    scene = build_scene(2)
+    for trial in range(4):
+        w = int(rng.integers(9, 70))
+        h = int(rng.integers(7, 40))
+        spp = int(rng.integers(1, 4))
+        depth = int(rng.integers(2, 8))
+        kpl = int(rng.choice([1, 2, 4, 8]))
+        rr = None if rng.random() < 0.5 else 2
+        oracle = np.asarray(render(
+            scene, default_camera, w, h, spp, depth, chunk_pixels=256,
+            rr_start=rr,
+        ))
+        pallas = np.asarray(render_pallas(
+            scene, default_camera, w, h, spp, depth, ray_tile=128,
+            pixels_per_lane=kpl, rr_start=rr, interpret=True,
+        ))
+        np.testing.assert_allclose(
+            oracle, pallas, atol=5e-5,
+            err_msg=f"trial {trial}: {w}x{h}x{spp}spp d{depth} "
+                    f"K{kpl} rr={rr}",
+        )
