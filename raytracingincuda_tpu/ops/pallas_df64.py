@@ -83,9 +83,16 @@ def make_df64_render(
     seed: int = rtrng.DEFAULT_SEED,
     gamma: bool = True,
     ray_tile: int = DEFAULT_DF64_RAY_TILE,
+    pixel_order=None,
     interpret: bool = False,
 ):
     """Build a JITTED ``fn(sm_hi, sm_lo, cam_rows) -> D`` render program.
+
+    ``pixel_order``: optional difficulty ordering (padded uint32 ids,
+    e.g. from the F32 kernel's measure_difficulty/difficulty_order
+    prepass — ordering affects only speed, never values, so the cheap
+    f32 probe is a valid hint for the df64 render; outputs are
+    un-permuted exactly).
 
     The scene matrices and packed camera rows are jit ARGUMENTS, so a
     fresh same-shaped scene reuses the compiled program (the reference's
@@ -94,9 +101,9 @@ def make_df64_render(
     the one program instead of paying per-op tunnel RPC eagerly (the
     lesson of packed_resident.jsonl)."""
     rtrng.validate_stream_ids(samples_per_pixel, max_depth)
-    (ids, ids2, ii2, jj2, _bud2, _use_sort, num_pixels,
+    (ids, ids2, ii2, jj2, _bud2, use_sort, num_pixels,
      padded) = _lane_setup(
-        img_width, img_height, ray_tile, 1, 1, None,
+        img_width, img_height, ray_tile, 1, 1, pixel_order,
         samples_per_pixel, 0, None, jnp.float32,
     )
 
@@ -140,8 +147,14 @@ def make_df64_render(
         rh, gh, bh, rl, gl, bl = outs
 
         def chan(hi, lo):
-            return D(hi.reshape(padded)[:num_pixels],
-                     lo.reshape(padded)[:num_pixels])
+            h, l = hi.reshape(padded), lo.reshape(padded)
+            if use_sort:
+                # un-permute: lane i rendered pixel ids[i] (exact —
+                # per-pixel sums are lane-local)
+                idx = ids.astype(jnp.int32)
+                h = jnp.zeros_like(h).at[idx].set(h)
+                l = jnp.zeros_like(l).at[idx].set(l)
+            return D(h[:num_pixels], l[:num_pixels])
 
         scale = dd.const(1.0 / samples_per_pixel)
         img = [dd.mul(chan(h, l), scale)
@@ -168,6 +181,7 @@ def render_pallas_df64(
     seed: int = rtrng.DEFAULT_SEED,
     gamma: bool = True,
     ray_tile: int = DEFAULT_DF64_RAY_TILE,
+    pixel_order=None,
     interpret: bool = False,
 ) -> D:
     """Render in double-float. Returns a ``df64.D`` of (H, W, 3) f32
@@ -184,6 +198,6 @@ def render_pallas_df64(
     fn = make_df64_render(
         img_width, img_height, samples_per_pixel, max_depth,
         sm_hi.shape[0], seed=seed, gamma=gamma, ray_tile=ray_tile,
-        interpret=interpret,
+        pixel_order=pixel_order, interpret=interpret,
     )
     return fn(sm_hi, sm_lo, cam_rows)

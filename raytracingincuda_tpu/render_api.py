@@ -89,6 +89,38 @@ def make_df64_renderer(cfg: RenderConfig, interpret: Optional[bool] = None):
     pack_cache = _identity_cache()
     fn_cache: dict = {}
 
+    def _difficulty_order(scene, cam_cfg):
+        # difficulty-sorted tiles from the cheap F32 prepass: ordering
+        # affects only speed, never values (outputs un-permuted exactly
+        # in the kernel wrapper), so the f32 probe is a valid hint for
+        # the df64 render. Measured: -19% at 640x384x100, -8.5% at the
+        # double headline (df64.jsonl *_sorted rows). Same samples>=32
+        # gate as the f32 renderer (the probe is ~60% overhead at 10
+        # spp, ~6% at 100).
+        if cfg.samples < 32 or cfg.bounces <= 4:
+            return None
+        import jax.numpy as jnp
+
+        from .ops.pallas_kernel import (
+            difficulty_order, measure_difficulty,
+        )
+
+        pd, ps = min(8, cfg.bounces), min(6, cfg.samples)
+        seg = jax.jit(
+            functools.partial(measure_difficulty, img_width=cfg.width,
+                              img_height=cfg.height, probe_depth=pd,
+                              probe_samples=ps, seed=cfg.seed,
+                              interpret=interpret)
+        )(scene, cam_cfg)
+        order = difficulty_order(seg, pd, ps)
+        padded = _round_up(cfg.width * cfg.height, rt)
+        if order.shape[0] < padded:
+            order = jnp.concatenate([
+                order,
+                jnp.arange(order.shape[0], padded, dtype=jnp.uint32),
+            ])
+        return order[:padded]
+
     def renderer(scene, cam_cfg):
         sm_hi, sm_lo = pack_cache(
             scene, lambda: pack_scene_matrix_df64(scene)
@@ -98,7 +130,9 @@ def make_df64_renderer(cfg: RenderConfig, interpret: Optional[bool] = None):
         if fn is None:
             fn = fn_cache[n] = make_df64_render(
                 cfg.width, cfg.height, cfg.samples, cfg.bounces, n,
-                seed=cfg.seed, ray_tile=rt, interpret=interpret,
+                seed=cfg.seed, ray_tile=rt,
+                pixel_order=_difficulty_order(scene, cam_cfg),
+                interpret=interpret,
             )
         cam_rows = jnp.asarray(
             initialize_f64(cam_cfg, cfg.width, cfg.height), jnp.float32
