@@ -71,12 +71,11 @@ def make_df64_renderer(cfg: RenderConfig, interpret: Optional[bool] = None):
     from .ops.df64_trace import initialize_f64, pack_scene_matrix_df64
     from .ops.pallas_df64 import DEFAULT_DF64_RAY_TILE, make_df64_render
 
-    if (cfg.legacy_sky or cfg.rr_start is not None or cfg.mxu_dots
-            or cfg.pixels_per_lane not in (None, 1)):
+    if cfg.legacy_sky or cfg.rr_start is not None or cfg.mxu_dots:
         raise ValueError(
             "dtype=float64 (df64 kernel) is a precision-comparison "
-            "config: parity estimator, K=1 lanes only — no legacy_sky / "
-            "rr_start / mxu_dots / pixels_per_lane"
+            "config: parity estimator only — no legacy_sky / rr_start / "
+            "mxu_dots"
         )
     if cfg.layout == "packed":
         raise ValueError(
@@ -85,7 +84,12 @@ def make_df64_renderer(cfg: RenderConfig, interpret: Optional[bool] = None):
         )
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    rt = cfg.ray_tile or DEFAULT_DF64_RAY_TILE
+    # multi-pixel lanes: K=16/rt512 is the measured knee (df64.jsonl
+    # K-ladder: 640x384x100 sorted 7190 (K1) -> 4805 ms; headline
+    # 28.0 -> 19.1 s; even 320x192x10 333 -> 178 ms), same >=8-spp gate
+    # as the f32 renderer; bit-equal to K=1 for any K.
+    kpl = cfg.pixels_per_lane or (16 if cfg.samples >= 8 else 1)
+    rt = cfg.ray_tile or (512 if kpl > 1 else DEFAULT_DF64_RAY_TILE)
     pack_cache = _identity_cache()
     fn_cache: dict = {}
 
@@ -113,7 +117,7 @@ def make_df64_renderer(cfg: RenderConfig, interpret: Optional[bool] = None):
                               interpret=interpret)
         )(scene, cam_cfg)
         order = difficulty_order(seg, pd, ps)
-        padded = _round_up(cfg.width * cfg.height, rt)
+        padded = _round_up(cfg.width * cfg.height, kpl * rt)
         if order.shape[0] < padded:
             order = jnp.concatenate([
                 order,
@@ -130,7 +134,7 @@ def make_df64_renderer(cfg: RenderConfig, interpret: Optional[bool] = None):
         if fn is None:
             fn = fn_cache[n] = make_df64_render(
                 cfg.width, cfg.height, cfg.samples, cfg.bounces, n,
-                seed=cfg.seed, ray_tile=rt,
+                seed=cfg.seed, ray_tile=rt, pixels_per_lane=kpl,
                 pixel_order=_difficulty_order(scene, cam_cfg),
                 interpret=interpret,
             )

@@ -196,3 +196,19 @@ def test_df64_renderer_wiring(tiny_scene, default_camera):
     with pytest.raises(ValueError, match="packed"):
         make_df64_renderer(RenderConfig(**base, layout="packed"),
                            interpret=True)
+
+
+def test_df64_multi_pixel_lanes_bit_equal(tiny_scene, default_camera):
+    """K pixels per lane is pure bookkeeping: per-pixel RNG streams and
+    per-pixel sample order are unchanged, so images are BIT-equal to
+    K=1 for any K (the f32 kernel's contract, held in df64 too)."""
+    from raytracingincuda_tpu.ops.pallas_df64 import render_pallas_df64
+
+    W, H, SPP, DEPTH = 40, 24, 2, 5
+    base = dd.to_f64(render_pallas_df64(
+        tiny_scene, default_camera, W, H, SPP, DEPTH, interpret=True))
+    for k in (2, 8):
+        img = dd.to_f64(render_pallas_df64(
+            tiny_scene, default_camera, W, H, SPP, DEPTH,
+            pixels_per_lane=k, interpret=True))
+        np.testing.assert_array_equal(base, img)
