@@ -1,0 +1,229 @@
+"""Multi-host execution probe: a REAL 2-process jax.distributed render.
+
+Launches N worker processes (benchmarks/multihost_worker.py) on localhost
+under an env-driven cluster spec (JAX_COORDINATOR_ADDRESS /
+JAX_NUM_PROCESSES / JAX_PROCESS_ID — consumed by the production
+parallel.mesh.maybe_initialize_distributed), each with
+RT_VIRTUAL_DEVICES virtual CPU devices, so the global mesh spans
+"hosts" and the Gloo CPU collectives play the ICI/DCN role. Each worker
+renders the SAME frame over the global mesh, writes its per-host image
+parts (utils/stitch.save_image_part), and the probe then
+
+  1. stitches the parts (utils.stitch.stitch_parts) into a full PPM,
+  2. renders the identical config single-process / single-device,
+  3. asserts the two PPM files are BYTE-IDENTICAL (the counter-RNG
+     contract: sharding never changes sample streams; PPM quantization
+     absorbs float-reassociation noise between the two XLA programs),
+  4. optionally checks the cross-host scene-gradient all-reduce leg
+     (worker --grads) agrees across processes,
+
+and writes a machine-readable artifact to benchmarks/results/multihost.json.
+
+The reference has no distributed anything (SURVEY.md §2.4); this is the
+executable evidence for the north-star multi-host path short of real
+multi-host hardware. On a real pod the same worker runs one-per-host
+under the cluster's own env.
+
+Usage:
+  python benchmarks/multihost_probe.py                  # 2 procs x 4 devs
+  python benchmarks/multihost_probe.py --procs 2 --devices_per_proc 4 \
+      --width 320 --height 192 --samples 4 --grads
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import socket
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def run_probe(procs: int = 2, devices_per_proc: int = 4, scene_id: int = 2,
+              width: int = 160, height: int = 96, samples: int = 4,
+              bounces: int = 8, impl: str = "oracle", grads: bool = False,
+              workdir: str | None = None, timeout_s: int = 600) -> dict:
+    """Run the multi-host flow; returns the result record (raises on any
+    failure). Importable so tests can call it directly."""
+    workdir = workdir or tempfile.mkdtemp(prefix="multihost_")
+    os.makedirs(workdir, exist_ok=True)
+    port = _free_port()
+
+    worker = os.path.join(REPO, "benchmarks", "multihost_worker.py")
+    base_env = dict(os.environ)
+    base_env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+    base_env["JAX_NUM_PROCESSES"] = str(procs)
+    base_env["RT_VIRTUAL_DEVICES"] = str(devices_per_proc)
+    base_env["PYTHONPATH"] = REPO + os.pathsep + base_env.get("PYTHONPATH", "")
+
+    cmd = [sys.executable, worker, "--scene_id", str(scene_id),
+           "--width", str(width), "--height", str(height),
+           "--samples", str(samples), "--bounces", str(bounces),
+           "--impl", impl, "--outdir", workdir]
+    if grads:
+        cmd.append("--grads")
+
+    t0 = time.perf_counter()
+    children = []
+    for pid in range(procs):
+        env = dict(base_env)
+        env["JAX_PROCESS_ID"] = str(pid)
+        children.append(subprocess.Popen(
+            cmd, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        ))
+    outs = []
+    for pid, ch in enumerate(children):
+        try:
+            out, err = ch.communicate(timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            for c in children:
+                c.kill()
+            raise RuntimeError(f"worker {pid} timed out after {timeout_s}s")
+        outs.append((ch.returncode, out, err))
+    wall_s = time.perf_counter() - t0
+    for pid, (rc, out, err) in enumerate(outs):
+        if rc != 0:
+            raise RuntimeError(
+                f"worker {pid} failed rc={rc}\nstdout:\n{out}\n"
+                f"stderr:\n{err[-3000:]}"
+            )
+
+    statuses = []
+    for pid in range(procs):
+        with open(os.path.join(workdir, f"status_p{pid}.json")) as f:
+            statuses.append(json.load(f))
+
+    # every process must have seen the full global mesh
+    for st in statuses:
+        assert st["process_count"] == procs, st
+        assert st["global_devices"] == procs * devices_per_proc, st
+        assert st["local_devices"] == devices_per_proc, st
+
+    # 1. stitch the per-host parts
+    from raytracingincuda_tpu.utils.ppm import write_ppm
+    from raytracingincuda_tpu.utils.stitch import stitch_parts
+
+    parts = sorted(glob.glob(os.path.join(workdir, "out.part_*.npz")))
+    assert len(parts) == procs * devices_per_proc, parts
+    stitched = stitch_parts(parts)
+    stitched_ppm = os.path.join(workdir, "stitched.ppm")
+    write_ppm(stitched_ppm, stitched.astype("float64"))
+
+    # 2. single-process reference render of the identical config
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from raytracingincuda_tpu.config import RenderConfig
+    from raytracingincuda_tpu.models.camera import CameraConfig
+    from raytracingincuda_tpu.models.scene import build_scene
+    from raytracingincuda_tpu.render_api import make_renderer
+
+    if impl == "pallas":
+        # same direct kernel path as the worker (make_renderer routes CPU
+        # to the oracle; interpret-mode kernel-vs-oracle is bit-exact, but
+        # compare like against like)
+        import functools
+
+        from raytracingincuda_tpu.ops.pallas_kernel import render_pallas
+
+        renderer = jax.jit(functools.partial(
+            render_pallas, img_width=width, img_height=height,
+            samples_per_pixel=samples, max_depth=bounces,
+            interpret=jax.default_backend() == "cpu",
+        ))
+    else:
+        cfg = RenderConfig(scene_id=scene_id, width=width, height=height,
+                           samples=samples, bounces=bounces, impl=impl)
+        renderer = make_renderer(cfg, n_devices=1)
+    img1 = np.asarray(renderer(build_scene(scene_id),
+                               CameraConfig.reference_default()))
+    single_ppm = os.path.join(workdir, "single.ppm")
+    write_ppm(single_ppm, img1.astype("float64"))
+
+    # 3. bit-identity at the product surface (PPM bytes) + float maxdiff
+    with open(stitched_ppm, "rb") as f:
+        b_stitched = f.read()
+    with open(single_ppm, "rb") as f:
+        b_single = f.read()
+    ppm_identical = b_stitched == b_single
+    maxdiff = float(np.abs(stitched - img1).max())
+    if not ppm_identical:
+        raise RuntimeError(
+            f"stitched multi-host PPM differs from single-process PPM "
+            f"(float maxdiff {maxdiff})"
+        )
+
+    record = {
+        "procs": procs, "devices_per_proc": devices_per_proc,
+        "config": f"scene{scene_id} {width}x{height}x{samples}spp/"
+                  f"d{bounces} {impl}",
+        "wall_s": round(wall_s, 2),
+        "worker_render_ms": [st["render_ms"] for st in statuses],
+        "parts": len(parts),
+        "ppm_identical": ppm_identical,
+        "float_maxdiff_vs_single": maxdiff,
+        "ts": time.time(),
+    }
+
+    # 4. gradient all-reduce leg: replicated scene grads must agree
+    #    bit-exactly across processes (same global program)
+    if grads:
+        gs = [st["grads"] for st in statuses]
+        assert all(g["scene_grad_norm"] == gs[0]["scene_grad_norm"]
+                   for g in gs), gs
+        assert all(g["loss"] == gs[0]["loss"] for g in gs), gs
+        record["grads"] = gs[0]
+
+    return record
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--procs", type=int, default=2)
+    ap.add_argument("--devices_per_proc", type=int, default=4)
+    ap.add_argument("--scene_id", type=int, default=2)
+    ap.add_argument("--width", type=int, default=160)
+    ap.add_argument("--height", type=int, default=96)
+    ap.add_argument("--samples", type=int, default=4)
+    ap.add_argument("--bounces", type=int, default=8)
+    ap.add_argument("--impl", default="both",
+                    help="oracle | pallas (interpret kernel) | both")
+    ap.add_argument("--grads", action="store_true", default=True)
+    ap.add_argument("--out", default="benchmarks/results/multihost.json")
+    args = ap.parse_args()
+
+    impls = ["oracle", "pallas"] if args.impl == "both" else [args.impl]
+    records = {}
+    for impl in impls:
+        records[impl] = run_probe(
+            procs=args.procs, devices_per_proc=args.devices_per_proc,
+            scene_id=args.scene_id, width=args.width, height=args.height,
+            samples=args.samples, bounces=args.bounces, impl=impl,
+            grads=args.grads and impl == "oracle",
+        )
+    print(json.dumps(records, indent=2))
+    with open(args.out, "w") as f:
+        json.dump(records, f, indent=2)
+    print(f"-> {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -37,7 +37,8 @@ def maybe_initialize_distributed() -> None:
     any JAX calls") — i.e. the guard itself would break every
     multi-host launch. Inspect the distributed client state instead.
     """
-    if not os.environ.get("JAX_COORDINATOR_ADDRESS"):
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not coord:
         return
     try:
         from jax._src import distributed as _dist
@@ -45,7 +46,22 @@ def maybe_initialize_distributed() -> None:
         already = _dist.global_state.client is not None
     except Exception:  # noqa: BLE001 — private API moved; let init decide
         already = False
-    if not already:
+    if already:
+        return
+    # Manual (env-driven) cluster spec, the torch `env://` analog: when the
+    # launcher exports the process layout explicitly, pass it through —
+    # jax's bare initialize() only auto-detects managed clusters (SLURM,
+    # OpenMPI, cloud TPU metadata), not hand-rolled localhost pods
+    # (benchmarks/multihost_probe.py launches exactly this way).
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    if nproc is not None and pid is not None:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(nproc),
+            process_id=int(pid),
+        )
+    else:
         jax.distributed.initialize()
 
 
