@@ -1,0 +1,334 @@
+"""Roofline: how close do the kernels run to this chip's measured peak?
+
+The reference commits ncu utilization numbers (SM throughput 54.15%,
+occupancy, regs/thread — kernel-profiling/global-float-render-profile.txt);
+xprof gives us kernel-time fractions but no %-of-peak. This probe builds
+the missing number from first principles, all parts machine-measured or
+mechanically counted:
+
+  1. MEASURED machine peaks (microbenches, not datasheet numbers):
+     - VPU f32: a Pallas kernel chaining dependent vector FMAs over a
+       VMEM-resident (256, 1024) tile (8x128-lane ALUs, 2 FLOP/FMA).
+     - MXU: a single large jnp.dot (f32-highest and bf16) via XLA.
+  2. COUNTED work per wave: the per-(N-sphere x R-ray) hit-test and
+     per-ray scatter FLOPs are counted mechanically from the traced
+     jaxpr of the very functions the kernel runs (_hit_world_tile +
+     materials.scatter + RNG), weighted by output element counts —
+     no hand-waving, re-run `--counts` to audit.
+  3. MEASURED wave time: a depth-1 render executes exactly `samples`
+     waves per lane (regen pulls the next sample each wave), so
+     (render_time / samples) isolates one wave.
+
+  %-of-peak = counted FLOPs / wave / (measured wave time x measured peak).
+
+Writes benchmarks/results/roofline.json + a human-readable .txt.
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import time
+
+import numpy as np
+
+from probe_lib import REPO, emitter  # noqa: F401 (path bootstrap)
+
+FLOP1 = {
+    "add", "sub", "mul", "max", "min", "and", "or", "xor", "not",
+    "lt", "le", "gt", "ge", "eq", "ne", "select_n", "neg", "abs",
+    "floor", "sign",
+}
+FLOP_DIV = {"div"}          # ~1 VPU op class but longer latency
+TRANS = {"sqrt", "rsqrt", "exp", "log", "sin", "cos", "pow",
+         "integer_pow", "tan", "logistic"}
+INT_OPS = {"shift_left", "shift_right_logical", "shift_right_arithmetic"}
+
+
+def count_jaxpr_ops(fn, *args):
+    """(flops, transcendentals, int_ops) per call, each elementwise
+    primitive weighted by its output element count."""
+    import jax
+
+    jaxpr = jax.make_jaxpr(fn)(*args)
+    flops = trans = iops = 0
+
+    def walk(jx):
+        nonlocal flops, trans, iops
+        for eqn in jx.eqns:
+            prim = eqn.primitive.name
+            for p in eqn.params.values():
+                if hasattr(p, "jaxpr"):
+                    walk(p.jaxpr)
+                if isinstance(p, (list, tuple)):
+                    for q in p:
+                        if hasattr(q, "jaxpr"):
+                            walk(q.jaxpr)
+            size = max(
+                (int(np.prod(v.aval.shape)) for v in eqn.outvars
+                 if hasattr(v.aval, "shape")),
+                default=0,
+            )
+            if prim in FLOP1 or prim in FLOP_DIV:
+                flops += size
+            elif prim in TRANS:
+                trans += size
+            elif prim in INT_OPS:
+                iops += size
+            elif prim == "dot_general":
+                # count MXU MACs separately (2 FLOP per MAC)
+                a = eqn.invars[0].aval.shape
+                b = eqn.invars[1].aval.shape
+                dn = eqn.params["dimension_numbers"]
+                (lc, rc), _ = dn
+                k = int(np.prod([a[i] for i in lc]))
+                m = int(np.prod(a)) // max(k, 1)
+                n2 = int(np.prod(b)) // max(k, 1)
+                flops += 2 * m * n2 * k
+            elif prim == "while":
+                walk(eqn.params["body_jaxpr"].jaxpr)
+                walk(eqn.params["cond_jaxpr"].jaxpr)
+            elif prim == "scan":
+                walk(eqn.params["jaxpr"].jaxpr)
+
+    walk(jaxpr.jaxpr)
+    return flops, trans, iops
+
+
+def vpu_peak_microbench(iters=4096, shape=(256, 1024)):
+    """Measured f32 VPU FLOP/s: dependent a*x+b chain on a VMEM tile."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from jax import lax
+
+    from raytracingincuda_tpu.utils.timing import force
+
+    def kern(x_ref, o_ref):
+        x = x_ref[:, :]
+
+        def body(i, x):
+            return x * 1.000000119 + 1e-9
+
+        o_ref[:, :] = lax.fori_loop(0, iters, body, x)
+
+    x = jnp.ones(shape, jnp.float32)
+    fn = jax.jit(lambda x: pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(shape, lambda: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(shape, lambda: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
+    )(x))
+    force(fn(x))
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        force(fn(x))
+        ts.append(time.perf_counter() - t0)
+    dt = min(ts)
+    flops = 2 * int(np.prod(shape)) * iters
+    return flops / dt
+
+
+def mxu_peak_microbench(n=4096, dtype="float32"):
+    """Measured MXU FLOP/s via one large square matmul."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from raytracingincuda_tpu.utils.timing import force
+
+    dt_ = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    a = jnp.ones((n, n), dt_)
+    prec = (lax.Precision.DEFAULT if dtype == "bfloat16"
+            else lax.Precision.HIGHEST)
+    fn = jax.jit(lambda a: jnp.dot(a, a, precision=prec))
+    force(fn(a))
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        force(fn(a))
+        ts.append(time.perf_counter() - t0)
+    return 2 * n**3 / min(ts)
+
+
+def wave_time(samples=64, ray_tile=512, kpl=1, df64=False):
+    """Per-wave seconds at depth 1 (regen: one wave per sample)."""
+    import jax
+
+    from raytracingincuda_tpu.models.camera import CameraConfig
+    from raytracingincuda_tpu.models.scene import build_scene
+    from raytracingincuda_tpu.utils.timing import force
+
+    scene = build_scene(1)
+    cam = CameraConfig.reference_default()
+    W, H = 320, 192
+    if df64:
+        import jax.numpy as jnp
+
+        from raytracingincuda_tpu.ops.df64_trace import (
+            initialize_f64, pack_scene_matrix_df64_device,
+        )
+        from raytracingincuda_tpu.ops.pallas_df64 import make_df64_render
+
+        sm_hi, sm_lo = pack_scene_matrix_df64_device(scene)
+        kern = make_df64_render(W, H, samples, 1, sm_hi.shape[0],
+                                ray_tile=ray_tile, pixels_per_lane=kpl)
+        rows = jnp.asarray(initialize_f64(cam, W, H), jnp.float32)
+        fn = lambda: kern(sm_hi, sm_lo, rows)
+    else:
+        from raytracingincuda_tpu.ops.pallas_kernel import render_pallas
+
+        r = jax.jit(functools.partial(
+            render_pallas, img_width=W, img_height=H,
+            samples_per_pixel=samples, max_depth=1,
+            pixels_per_lane=kpl, ray_tile=ray_tile))
+        fn = lambda: r(scene, cam)
+    force(fn())
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        force(fn())
+        ts.append(time.perf_counter() - t0)
+    dt = min(ts)
+    n_pixels = W * H
+    padded = ((n_pixels + kpl * ray_tile - 1)
+              // (kpl * ray_tile)) * (kpl * ray_tile)
+    tiles = padded // (kpl * ray_tile)
+    # every tile runs `samples*kpl...` waves? at depth 1 each lane's pixel
+    # completes its sample in ONE wave; K pixels/lane => K*samples waves
+    waves_per_tile = samples * kpl
+    return dt / waves_per_tile, {"tiles": tiles, "ray_tile": ray_tile,
+                                 "render_s": dt, "samples": samples}
+
+
+def count_wave_work(ray_tile=512):
+    """Counted FLOPs of one forward wave at (N=488 padded to scene
+    matrix rows, R=ray_tile): hit test + gather + scatter + RNG +
+    regen bookkeeping, from the traced jaxprs of the kernel's own
+    helper functions."""
+    import jax.numpy as jnp
+
+    from raytracingincuda_tpu.models.camera import CameraConfig, initialize
+    from raytracingincuda_tpu.models.scene import build_scene
+    from raytracingincuda_tpu.ops import rng as rtrng
+    from raytracingincuda_tpu.ops.pallas_kernel import (
+        _gather_hit, _hit_world_tile, pack_scene_matrix,
+    )
+    from raytracingincuda_tpu.models import materials
+    from raytracingincuda_tpu.ops.vec import Vec3
+
+    scene = build_scene(1)
+    sm = np.asarray(pack_scene_matrix(scene))
+    n = sm.shape[0]
+    R = ray_tile
+    row = jnp.ones((1, R), jnp.float32)
+    v = Vec3(row, row, row)
+    sm_j = jnp.asarray(sm)
+
+    hit_f, hit_t, hit_i = count_jaxpr_ops(
+        lambda s, o, d: _hit_world_tile(s, o, d), sm_j, v, v)
+    # winner gather (MXU dot counted inside)
+    one_hot = jnp.ones((n, R), jnp.float32)
+    g_f, g_t, g_i = count_jaxpr_ops(_gather_hit, sm_j, one_hot)
+
+    key = rtrng.key_from_seed(1227)
+    pid = jnp.ones((1, R), jnp.uint32)
+    su = jnp.zeros((1, R), jnp.uint32)
+
+    def rng_draws(pid, su):
+        ur = rtrng.random_unit_vector(key, pid, su, su, rtrng.DRAW_SCATTER,
+                                      jnp.float32)
+        cu, _ = rtrng.uniform2(key, pid, su, su, rtrng.DRAW_COIN,
+                               jnp.float32)
+        return ur, cu
+
+    r_f, r_t, r_i = count_jaxpr_ops(rng_draws, pid, su)
+
+    mat = jnp.ones((1, R), jnp.int32)
+
+    def scat(d, nrm, ff, alb, fz, ior, ur, cu):
+        return materials.scatter(d, nrm, ff, mat, alb, fz, ior, ur, cu)
+
+    s_f, s_t, s_i = count_jaxpr_ops(
+        scat, v, v, row > 0, v, row, row, v, row)
+
+    def primary(pid, su):
+        from raytracingincuda_tpu.ops.tracer import primary_rays_from_ij
+
+        cam = initialize(CameraConfig.reference_default(), 320, 192)
+        return primary_rays_from_ij(cam, row, row, pid, su, key,
+                                    jnp.float32)
+
+    p_f, p_t, p_i = count_jaxpr_ops(primary, pid, su)
+
+    return {
+        "n_spheres_padded": int(n), "ray_tile": R,
+        "hit_test": {"flops": hit_f, "trans": hit_t, "int": hit_i},
+        "winner_gather": {"flops": g_f, "trans": g_t, "int": g_i},
+        "rng_draws": {"flops": r_f, "trans": r_t, "int": r_i},
+        "scatter": {"flops": s_f, "trans": s_t, "int": s_i},
+        "primary_regen": {"flops": p_f, "trans": p_t, "int": p_i},
+        "total_flops": hit_f + g_f + r_f + s_f + p_f,
+        "total_trans": hit_t + g_t + r_t + s_t + p_t,
+        "total_int": hit_i + g_i + r_i + s_i + p_i,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--counts", action="store_true",
+                    help="print the op counts only (CPU, auditable)")
+    ap.add_argument("--out", default="benchmarks/results/roofline.json")
+    args = ap.parse_args()
+
+    counts = count_wave_work(512)
+    if args.counts:
+        print(json.dumps(counts, indent=2))
+        return 0
+
+    import jax
+
+    rec = {"backend": jax.default_backend(), "counts_rt512": counts,
+           "ts": time.time()}
+
+    rec["vpu_f32_peak_gflops"] = round(vpu_peak_microbench() / 1e9, 1)
+    rec["mxu_f32_peak_gflops"] = round(mxu_peak_microbench(
+        dtype="float32") / 1e9, 1)
+    rec["mxu_bf16_peak_gflops"] = round(mxu_peak_microbench(
+        dtype="bfloat16") / 1e9, 1)
+
+    for tag, kw in (("fwd_k1_rt512", dict(ray_tile=512, kpl=1)),
+                    ("fwd_k8_rt512", dict(ray_tile=512, kpl=8)),
+                    ("df64_k1_rt512", dict(ray_tile=512, kpl=1,
+                                           df64=True))):
+        wt, info = wave_time(**kw)
+        rec[f"wave_time_us_{tag}"] = round(wt * 1e6, 3)
+        rec[f"wave_info_{tag}"] = info
+
+    # derived utilization (per tile-wave; tiles run sequentially on the
+    # one core, so a wave's work is counts * (padded / (K*rt)) tiles...
+    # we normalize per-tile: counted FLOPs are for one (N, R) tile wave)
+    c = counts
+    for tag in ("fwd_k1_rt512", "fwd_k8_rt512"):
+        wt = rec[f"wave_time_us_{tag}"] * 1e-6
+        tiles = rec[f"wave_info_{tag}"]["tiles"]
+        per_tile = wt / tiles
+        vpu_flops = c["total_flops"] - 2 * c["n_spheres_padded"] * 16 * 512
+        util_vpu = (vpu_flops / per_tile) / (
+            rec["vpu_f32_peak_gflops"] * 1e9)
+        rec[f"vpu_utilization_{tag}"] = round(util_vpu, 4)
+
+    emit = emitter(args.out.replace(".json", ".jsonl"))
+    emit(**{k: v for k, v in rec.items() if not k.startswith("wave_info")})
+    with open(args.out, "w") as f:
+        json.dump(rec, f, indent=2)
+    print(f"-> {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

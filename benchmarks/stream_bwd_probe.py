@@ -3,7 +3,7 @@
 The VMEM backward cannot even compile at this scene size (the forward
 VMEM kernel tops out ~5k); this measures the streaming backward's
 gradient step so the differentiable-big-scene capability carries a real
-number. Config matches stream_probe.py's 10k forward case.
+number. Config matches the stream 10k forward case (stream_kpl.jsonl).
 """
 import json
 import sys
@@ -47,7 +47,7 @@ def main():
     g_acc = jnp.full((H, W, 3), 1.0 / (W * H * 3 * SPP), jnp.float32)
 
     # close over the StreamScene: its block/perm fields are static config,
-    # not jit-traceable leaves (same pattern as stream_probe.py)
+    # not jit-traceable leaves (probe_lib pattern)
     fwd = jax.jit(lambda: render_pallas_stream(
         stream, cam, W, H, SPP, DEPTH, gamma=False))
     t0 = time.perf_counter()

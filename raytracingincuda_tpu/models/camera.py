@@ -37,13 +37,27 @@ class CameraConfig(NamedTuple):
 
     @staticmethod
     def reference_default(dtype=jnp.float32) -> "CameraConfig":
+        # HOST (numpy) scalars, deliberately: a config constant lives on
+        # the host — jit uploads it with the dispatch. jnp scalars here
+        # would sit on the accelerator and every host-side consumer
+        # (e.g. the df64 camera pack, initialize_f64) would pay one
+        # device->host fetch PER FIELD — ~14 tunnel RTTs ≈ 350 ms inside
+        # the render bracket on relayed TPU (smallrow/df64 round-3 probe).
+        # Values are exactly the reference's (main.cu:114-121) either way.
+        import numpy as np
+
+        npdt = np.dtype(jnp.dtype(dtype).name)
+
+        def s(v):
+            return np.asarray(v, npdt)
+
         return CameraConfig(
-            vfov=jnp.asarray(20.0, dtype),
-            lookfrom=Vec3.of(13.0, 2.0, 3.0, dtype),
-            lookat=Vec3.of(0.0, 0.0, 0.0, dtype),
-            vup=Vec3.of(0.0, 1.0, 0.0, dtype),
-            defocus_angle=jnp.asarray(0.6, dtype),
-            focus_dist=jnp.asarray(10.0, dtype),
+            vfov=s(20.0),
+            lookfrom=Vec3(s(13.0), s(2.0), s(3.0)),
+            lookat=Vec3(s(0.0), s(0.0), s(0.0)),
+            vup=Vec3(s(0.0), s(1.0), s(0.0)),
+            defocus_angle=s(0.6),
+            focus_dist=s(10.0),
         )
 
 

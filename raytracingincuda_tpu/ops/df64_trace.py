@@ -32,6 +32,7 @@ from __future__ import annotations
 import math
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
@@ -81,6 +82,23 @@ def pack_scene_matrix_df64(scene: Scene):
         mat[:, k] = np.asarray(c, np.float64)
     pair = dd.from_f64(mat)
     return pair.hi, pair.lo
+
+
+@jax.jit
+def pack_scene_matrix_df64_device(scene: Scene):
+    """Device-side df64 pack: (hi, lo) with hi = the f32 scene matrix and
+    lo = 0, in ONE jitted program.
+
+    Exact, not an approximation: Scene params are STORED f32 (see
+    models/scene.py), so their f64 promotion has a zero low word — this
+    is the same (hi, lo) pack_scene_matrix_df64 produces, without its
+    per-leaf device->host fetch (~27 ms tunnel RTT per leaf on relayed
+    TPU, ~300 ms total — the round-2 df64 e2e gap). The numpy pack above
+    remains for genuinely f64-valued matrices (df64 unit tests)."""
+    from .pallas_kernel import pack_scene_matrix
+
+    hi = pack_scene_matrix(scene, jnp.float32)
+    return hi, jnp.zeros_like(hi)
 
 
 class CameraD(NamedTuple):

@@ -606,6 +606,7 @@ def _render_tile_kernel_regen(
     *, samples: int, max_depth: int, seed: int, dtype, legacy_sky: bool,
     mxu_dots: bool = False, emit_depth: bool = False, rr_start=None,
     hbm_scene: bool = False, sample_offset: int = 0, k_pixels: int = 1,
+    finalize_scale=None,
 ):
     def run_body(scene_ref):
         if k_pixels > 1:
@@ -615,6 +616,7 @@ def _render_tile_kernel_regen(
                 samples=samples, max_depth=max_depth, seed=seed,
                 dtype=dtype, mxu_dots=mxu_dots, rr_start=rr_start,
                 sample_offset=sample_offset, k_pixels=k_pixels,
+                finalize_scale=finalize_scale,
             )
         else:
             _regen_body(
@@ -624,6 +626,7 @@ def _render_tile_kernel_regen(
                 dtype=dtype, legacy_sky=legacy_sky, mxu_dots=mxu_dots,
                 emit_depth=emit_depth, rr_start=rr_start,
                 sample_offset=sample_offset,
+                finalize_scale=finalize_scale,
             )
 
     if hbm_scene:
@@ -650,7 +653,7 @@ def _regen_body(
     out_g_ref, out_b_ref,
     *, samples: int, max_depth: int, seed: int, dtype, legacy_sky: bool,
     mxu_dots: bool, emit_depth: bool, rr_start, sample_offset: int,
-    hit_fn=None,
+    hit_fn=None, finalize_scale=None,
 ):
     key = rtrng.key_from_seed(seed)
     cam = _unpack_camera(cam_ref)
@@ -786,12 +789,21 @@ def _regen_body(
 
     final = lax.while_loop(cond, body, init)
     acc = final[6]
-    out_r_ref[0, :, :] = acc.x
     if emit_depth:
+        out_r_ref[0, :, :] = acc.x
         # diagnostics: green channel carries the tile's wave count
         out_g_ref[0, :, :] = jnp.full(shape, final[0]).astype(dtype)
         out_b_ref[0, :, :] = jnp.zeros(shape, dtype)
+    elif finalize_scale is not None:
+        # fused finalize: 1/spp scale + gamma in the kernel epilogue —
+        # the post-kernel XLA fusions the xprof shows as separate work
+        # (elementwise, so bit-identical to the host-side chain)
+        sc_f = jnp.asarray(finalize_scale, dtype)
+        out_r_ref[0, :, :] = _linear_to_gamma(acc.x * sc_f)
+        out_g_ref[0, :, :] = _linear_to_gamma(acc.y * sc_f)
+        out_b_ref[0, :, :] = _linear_to_gamma(acc.z * sc_f)
     else:
+        out_r_ref[0, :, :] = acc.x
         out_g_ref[0, :, :] = acc.y
         out_b_ref[0, :, :] = acc.z
 
@@ -802,6 +814,7 @@ def _regen_body_multi(
     out_g_ref, out_b_ref,
     *, samples: int, max_depth: int, seed: int, dtype, mxu_dots: bool,
     rr_start, sample_offset: int, k_pixels: int, hit_fn=None,
+    finalize_scale=None,
 ):
     """Regeneration kernel, K pixels per lane ("multi-pixel lanes").
 
@@ -1004,6 +1017,14 @@ def _regen_body_multi(
     out_g_ref[0, :, :] = out_g_ref[0, :, :] + mk_tail(acc_end.y)
     out_b_ref[0, :, :] = out_b_ref[0, :, :] + mk_tail(acc_end.z)
 
+    if finalize_scale is not None:
+        # fused finalize (see _regen_body): scale + gamma the completed
+        # (K, R) accumulator blocks in-place
+        sc_f = jnp.asarray(finalize_scale, dtype)
+        out_r_ref[0, :, :] = _linear_to_gamma(out_r_ref[0, :, :] * sc_f)
+        out_g_ref[0, :, :] = _linear_to_gamma(out_g_ref[0, :, :] * sc_f)
+        out_b_ref[0, :, :] = _linear_to_gamma(out_b_ref[0, :, :] * sc_f)
+
 
 def render_pallas(
     scene: Scene,
@@ -1099,6 +1120,14 @@ def render_pallas(
     cam_row = pack_camera(cam, dtype)
     n_spheres = scene_mat.shape[0]
 
+    # Fused finalize: uniform-budget gamma renders scale+gamma inside the
+    # kernel epilogue (bit-identical elementwise chain; saves the
+    # post-kernel XLA fusions). Adaptive/incremental callers normalize
+    # per pixel on the host, so they keep raw accumulations.
+    fuse_finalize = (
+        mode == "regen" and gamma and not accumulate_only
+        and not return_depth and sample_budgets is None
+    )
     if mode == "regen":
         kernel = functools.partial(
             _render_tile_kernel_regen,
@@ -1113,6 +1142,9 @@ def render_pallas(
             hbm_scene=(layout == "hbm"),
             sample_offset=sample_offset,
             k_pixels=kpl,
+            finalize_scale=(
+                1.0 / samples_per_pixel if fuse_finalize else None
+            ),
         )
     elif mode == "compact":
         kernel = functools.partial(
@@ -1203,7 +1235,7 @@ def render_pallas(
     return _finalize_output(
         acc_r, acc_g, acc_b, ids, use_sort, num_pixels, padded,
         img_width, img_height, samples_per_pixel, gamma,
-        accumulate_only, dtype,
+        accumulate_only, dtype, already_finalized=fuse_finalize,
     )
 
 
@@ -1267,11 +1299,14 @@ def _lane_setup(img_width, img_height, ray_tile, kpl, n_shards,
 
 def _finalize_output(acc_r, acc_g, acc_b, ids, use_sort, num_pixels,
                      padded, img_width, img_height, samples_per_pixel,
-                     gamma, accumulate_only, dtype):
+                     gamma, accumulate_only, dtype,
+                     already_finalized: bool = False):
     """Shared output tail: un-permute sorted lanes, then either return
     the raw radiance sum (accumulate_only — adaptive / incremental
     callers normalize by their own per-pixel counts) or the
-    1/spp-scaled (optionally gamma'd) image."""
+    1/spp-scaled (optionally gamma'd) image. ``already_finalized``:
+    the kernel epilogue applied scale+gamma in-kernel (fused finalize) —
+    only the un-permute/reshape remains."""
     acc = jnp.stack(
         [acc_r.reshape(padded), acc_g.reshape(padded),
          acc_b.reshape(padded)],
@@ -1280,6 +1315,8 @@ def _finalize_output(acc_r, acc_g, acc_b, ids, use_sort, num_pixels,
     if use_sort:
         # un-permute: lane i rendered pixel ids[i]
         acc = jnp.zeros_like(acc).at[ids.astype(jnp.int32)].set(acc)
+    if already_finalized:
+        return acc[:num_pixels].reshape(img_height, img_width, 3)
     if accumulate_only:
         return acc[:num_pixels].reshape(img_height, img_width, 3)
     scale = jnp.asarray(1.0 / samples_per_pixel, dtype)

@@ -53,7 +53,9 @@ from .pallas_kernel import (
     COL_RADIUS,
     NUM_COLS,
     _finalize_output,
+    _gather_params,
     _hit_select,
+    _hit_world_tile,
     _lane_setup,
     _regen_body,
     _regen_body_multi,
@@ -122,14 +124,21 @@ def _auto_block(n_act: int, block: int) -> int:
 
 def prepare_stream_scene(
     scene: Scene, block: int = DEFAULT_BLOCK, sort: bool = True,
-    dtype=jnp.float32,
+    dtype=jnp.float32, pad_pairs: bool = True,
 ) -> StreamScene:
     """Sort spheres spatially, pad to an even number of blocks, compute
     per-block conservative bounding spheres. Inactive slots get far-away
     centers so they never tighten nor break a block bound.
 
     ``block`` is a MINIMUM: it doubles as needed to keep the SMEM
-    bounds table under budget for huge scenes (see _MAX_BLOCKS)."""
+    bounds table under budget for huge scenes (see _MAX_BLOCKS).
+
+    ``pad_pairs``: pad the block COUNT to even (the double-buffered DMA
+    walks block pairs). VMEM-RESIDENT consumers (render_api's packed
+    small-scene path) pass False and size ``block`` to the whole scene:
+    a one-block walk is just the (N, R) batch with zero per-block merge
+    overhead — the walk exists for the DMA pipeline, which residency
+    removes."""
     if dtype != jnp.float32:
         raise NotImplementedError(
             "stream scenes are f32-only (the packed HBM matrix and the "
@@ -151,7 +160,7 @@ def prepare_stream_scene(
         act_idx = act_idx[order]
 
     block = _auto_block(n_act, block)
-    n_pad = _round_up(max(n_act, 1), 2 * block)
+    n_pad = _round_up(max(n_act, 1), (2 if pad_pairs else 1) * block)
     out = np.zeros((n_pad, STREAM_COLS), np.float32)
     out[:n_act, :NUM_COLS] = act_mat
     # stream-slot ids ride along with the winner gather (backward scatter)
@@ -283,6 +292,23 @@ def _hit_world_stream(scene_hbm, bounds_ref, bufs, sems, o: Vec3, d: Vec3,
     loop nest ("Invalid input layout", UPSTREAM_ISSUES.md #8); a store to
     an offset-0 scratch row relayouts it. Groups stack on SUBLANES (16
     rows each), whose offsets are unrestricted."""
+    if resident and n_blocks == 1:
+        # ONE-block resident fast path (small packed scenes): with the
+        # whole matrix in VMEM and a single block, the walk machinery —
+        # fori loop, dynamic block slice, bound test, per-block scratch
+        # merge — is pure overhead; the closest hit is exactly the VMEM
+        # kernel's straight-line (N, R) batch on the 128-lane packed
+        # matrix. Bit-identical to the walk (same _hit_select, merge
+        # against a fresh T_MISS init is the identity). Headline packed:
+        # 3894 (2-block walk) -> 3052 ms (packed_resident.jsonl round-3
+        # rows; reference tex 4569, vmem kernel 2707).
+        hit, t, one_hot = _hit_world_tile(scene_hbm, o, d)
+        params = _gather_params(scene_hbm, one_hot)           # (128, R)
+        row = lambda k: params[k:k + 1, :]
+        return (hit, t, Vec3(row(COL_CX), row(COL_CY), row(COL_CZ)),
+                row(COL_RADIUS), Vec3(row(4), row(5), row(6)),
+                row(7), row(8), row(9), row(STREAM_COL_SID))
+
     buf0, buf1 = bufs if not resident else (None, None)
     sem0, sem1 = sems if not resident else (None, None)
     shape = o.x.shape
@@ -426,16 +452,20 @@ def _stream_tile_kernel(
     out_r_ref, out_g_ref, out_b_ref, *scratch,
     samples: int, max_depth: int, seed: int, dtype, block: int,
     n_blocks: int, rr_start, sample_offset: int, n_groups: int,
-    k_pixels: int, resident: bool,
+    k_pixels: int, resident: bool, finalize_scale=None,
 ):
     if resident:
         bufs = sems = (None, None)
     else:
         buf0, buf1, sem0, sem1, *scratch = scratch
         bufs, sems = (buf0, buf1), (sem0, sem1)
-    ray_scr = scratch[0]
-    t_refs = list(scratch[1:1 + n_groups])
-    p_refs = list(scratch[1 + n_groups:])
+    if resident and n_blocks == 1:
+        # one-block fast path needs no walk scratch (see _hit_world_stream)
+        ray_scr, t_refs, p_refs = None, [None], [None]
+    else:
+        ray_scr = scratch[0]
+        t_refs = list(scratch[1:1 + n_groups])
+        p_refs = list(scratch[1 + n_groups:])
 
     def hit_fn(o, d):
         return _hit_world_stream(
@@ -451,7 +481,7 @@ def _stream_tile_kernel(
             samples=samples, max_depth=max_depth, seed=seed, dtype=dtype,
             mxu_dots=False, rr_start=rr_start,
             sample_offset=sample_offset, k_pixels=k_pixels,
-            hit_fn=hit_fn,
+            hit_fn=hit_fn, finalize_scale=finalize_scale,
         )
     else:
         _regen_body(
@@ -460,6 +490,7 @@ def _stream_tile_kernel(
             samples=samples, max_depth=max_depth, seed=seed, dtype=dtype,
             legacy_sky=False, mxu_dots=False, emit_depth=False,
             rr_start=rr_start, sample_offset=sample_offset, hit_fn=hit_fn,
+            finalize_scale=finalize_scale,
         )
 
 
@@ -536,6 +567,12 @@ def render_pallas_stream(
         ray_tile // lane_group if 0 < lane_group < ray_tile else 1
     )
     g_size = ray_tile // n_groups
+    # fused finalize: same contract as render_pallas (uniform-budget gamma
+    # renders scale+gamma in the kernel epilogue; adaptive/incremental
+    # callers keep raw accumulations)
+    fuse_finalize = (
+        gamma and not accumulate_only and sample_budgets is None
+    )
     kernel = functools.partial(
         _stream_tile_kernel,
         samples=samples_per_pixel,
@@ -549,6 +586,9 @@ def render_pallas_stream(
         n_groups=n_groups,
         k_pixels=kpl,
         resident=resident,
+        finalize_scale=(
+            1.0 / samples_per_pixel if fuse_finalize else None
+        ),
     )
 
     def run(ids_arr, ii_arr, jj_arr, bud_arr, scene_m, bounds_m, cam_r):
@@ -578,7 +618,9 @@ def render_pallas_stream(
                 for _ in range(3)
             ),
             scratch_shapes=(
-                (
+                []
+                if resident and n_blocks == 1
+                else (
                     []
                     if resident
                     else [
@@ -624,5 +666,5 @@ def render_pallas_stream(
     return _finalize_output(
         acc_r, acc_g, acc_b, ids, use_sort, num_pixels, padded,
         img_width, img_height, samples_per_pixel, gamma,
-        accumulate_only, dtype,
+        accumulate_only, dtype, already_finalized=fuse_finalize,
     )

@@ -68,7 +68,9 @@ def make_df64_renderer(cfg: RenderConfig, interpret: Optional[bool] = None):
     runs host-side in numpy float64."""
     import jax.numpy as jnp
 
-    from .ops.df64_trace import initialize_f64, pack_scene_matrix_df64
+    from .ops.df64_trace import (
+        initialize_f64, pack_scene_matrix_df64_device,
+    )
     from .ops.pallas_df64 import DEFAULT_DF64_RAY_TILE, make_df64_render
 
     if cfg.legacy_sky or cfg.rr_start is not None or cfg.mxu_dots:
@@ -98,10 +100,10 @@ def make_df64_renderer(cfg: RenderConfig, interpret: Optional[bool] = None):
         # affects only speed, never values (outputs un-permuted exactly
         # in the kernel wrapper), so the f32 probe is a valid hint for
         # the df64 render. Measured: -19% at 640x384x100, -8.5% at the
-        # double headline (df64.jsonl *_sorted rows). Same samples>=32
-        # gate as the f32 renderer (the probe is ~60% overhead at 10
-        # spp, ~6% at 100).
-        if cfg.samples < 32 or cfg.bounces <= 4:
+        # double headline (df64.jsonl *_sorted rows). Same samples>=8
+        # gate as the f32 renderer (the order is computed once per
+        # renderer and the f32 probe is cheap next to the df64 kernel).
+        if cfg.samples < 8 or cfg.bounces <= 4:
             return None
         import jax.numpy as jnp
 
@@ -127,7 +129,7 @@ def make_df64_renderer(cfg: RenderConfig, interpret: Optional[bool] = None):
 
     def renderer(scene, cam_cfg):
         sm_hi, sm_lo = pack_cache(
-            scene, lambda: pack_scene_matrix_df64(scene)
+            scene, lambda: pack_scene_matrix_df64_device(scene)
         )
         n = sm_hi.shape[0]
         fn = fn_cache.get(n)
@@ -145,11 +147,13 @@ def make_df64_renderer(cfg: RenderConfig, interpret: Optional[bool] = None):
         return jnp.stack([out.hi, out.lo], axis=-1)
 
     def prepare(scene):
-        # host-side numpy-f64 scene pack (fetches the device arrays) —
-        # the H2D-transfer analog; callers timing render-only (cli.py,
-        # sweep.py) run this in their setup region like the reference's
-        # cudaMemcpy phase (main.cu:301-314 precedes render timing)
-        pack_cache(scene, lambda: pack_scene_matrix_df64(scene))
+        # device-side df64 pack (one jitted program; exact — scene params
+        # are f32 so lo == 0). The old numpy pack paid a ~27 ms tunnel
+        # fetch PER LEAF (~300 ms) inside the e2e bracket (round-2
+        # VERDICT weak #4). Callers timing render-only (cli.py, sweep.py)
+        # still run this in their setup region like the reference's
+        # cudaMemcpy phase (main.cu:301-314 precedes render timing).
+        pack_cache(scene, lambda: pack_scene_matrix_df64_device(scene))
 
     renderer.prepare = prepare
     return renderer
@@ -347,9 +351,20 @@ def make_renderer(cfg: RenderConfig, n_devices: int = 0):
             return order[:padded]
 
         def _build_stream(scene):
-            stream = prepare_stream_scene(
-                scene, block=cfg.stream_block, dtype=cfg.jnp_dtype,
-            )
+            if scene.num_slots <= 4096:
+                # will ride the VMEM-RESIDENT walk (<= 2 MB packed):
+                # one block spanning the whole scene — a multi-block walk
+                # only exists to pipeline HBM DMA, which residency
+                # removes; per-block winner merges are pure overhead at
+                # this size (packed_resident round-3 rows)
+                stream = prepare_stream_scene(
+                    scene, block=_round_up(scene.num_slots, 256),
+                    dtype=cfg.jnp_dtype, pad_pairs=False,
+                )
+            else:
+                stream = prepare_stream_scene(
+                    scene, block=cfg.stream_block, dtype=cfg.jnp_dtype,
+                )
             lane_group = _auto_stream_lane_group(cfg, stream)
             # Small scenes ride the VMEM-RESIDENT block walk (the texture-
             # cache analog — ops/pallas_stream.py `resident`); its knee is
@@ -363,7 +378,9 @@ def make_renderer(cfg: RenderConfig, n_devices: int = 0):
             auto_k = (16 if resident else 32) if cfg.samples >= 8 else 1
             kpl = cfg.pixels_per_lane or auto_k
             rt = 1024 if resident else 512
-            use_order = (resident and cfg.samples >= 32
+            # same >=8-spp sorting gate as the vmem renderer (the order
+            # cache amortizes the prepass across renders)
+            use_order = (resident and cfg.samples >= 8
                          and cfg.bounces > 4)
             fn = _stream_fn(
                 stream.block, stream.scene_mat.shape[0],
@@ -449,10 +466,12 @@ def make_renderer(cfg: RenderConfig, n_devices: int = 0):
 
         # Difficulty-sorted tiling: the prepass runs as a SEPARATE jit (the
         # TPU AOT compile service rejects two Mosaic kernels per program)
-        # and its bucket ordering feeds the main render as data. Only worth
-        # it at high sample counts: the 6-sample probe is ~60% overhead on
-        # a 10-spp render but 6% at 100 spp (and cached across renders).
-        if cfg.samples >= 32 and cfg.bounces > 4:
+        # and its bucket ordering feeds the main render as data. The order
+        # cache keys on shapes, so steady-state renders never re-pay the
+        # probe (warmup does) — worth it from 8 spp up (round-3 ladder,
+        # smallrow.jsonl: 320x192x10spp device 23.7 -> 20.3 ms sorted;
+        # round 2 measured the same -3.3 ms at wall).
+        if cfg.samples >= 8 and cfg.bounces > 4:
             probe_depth = min(8, cfg.bounces)
             probe_samples = min(6, cfg.samples)
             prepass = jax.jit(

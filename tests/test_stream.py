@@ -97,6 +97,29 @@ def test_resident_bit_identical(default_camera):
         assert np.array_equal(img_dma, img_res)
 
 
+@pytest.mark.slow
+def test_one_block_resident_fast_path(default_camera):
+    """A one-block resident scene (pad_pairs=False, block >= N — the
+    packed small-scene production shape) takes the straight-line
+    fast path in _hit_world_stream; it must be bit-identical to the
+    multi-block resident walk and match the oracle. Both K=1 and
+    multi-pixel lanes."""
+    big = build_random_scene(600, pad_to_multiple=128, half_extent=10.0)
+    walk = prepare_stream_scene(big, block=64)
+    one = prepare_stream_scene(big, block=1024, pad_pairs=False)
+    assert one.n_blocks == 1
+    for kw in (dict(), dict(pixels_per_lane=4)):
+        img_walk = np.asarray(render_pallas_stream(
+            walk, default_camera, W, H, 1, 4, ray_tile=256,
+            resident=True, interpret=True, **kw))
+        img_one = np.asarray(render_pallas_stream(
+            one, default_camera, W, H, 1, 4, ray_tile=256,
+            resident=True, interpret=True, **kw))
+        assert np.array_equal(img_walk, img_one)
+    img_o = np.asarray(tracer.render(big, default_camera, W, H, 1, 4))
+    np.testing.assert_allclose(img_one, img_o, atol=5e-5)
+
+
 def test_prepare_stream_scene_layout(tiny_scene):
     stream = prepare_stream_scene(tiny_scene, block=32)
     mat = np.asarray(stream.scene_mat)
