@@ -95,8 +95,13 @@ def count_jaxpr_ops(fn, *args):
     return flops, trans, iops
 
 
-def vpu_peak_microbench(iters=4096, shape=(256, 1024)):
-    """Measured f32 VPU FLOP/s: dependent a*x+b chain on a VMEM tile."""
+def vpu_peak_microbench(iters=512, shape=(64, 1024), lanes=4, unroll=64):
+    """Measured f32 VPU FLOP/s: `lanes` independent chains of `unroll`
+    straight-line FMAs per fori iteration over a VMEM-resident tile.
+    The unroll matters: a bare fori body spills its carry to VMEM every
+    iteration and measures VMEM bandwidth, not ALU throughput (first
+    version read 0.4 TFLOP/s while the render kernel itself measured
+    1.9). Total in-kernel work also swamps the ~25 ms dispatch RTT."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -106,12 +111,18 @@ def vpu_peak_microbench(iters=4096, shape=(256, 1024)):
     from raytracingincuda_tpu.utils.timing import force
 
     def kern(x_ref, o_ref):
-        x = x_ref[:, :]
+        xs = tuple(x_ref[:, :] + float(k) for k in range(lanes))
 
-        def body(i, x):
-            return x * 1.000000119 + 1e-9
+        def body(i, xs):
+            for _ in range(unroll):
+                xs = tuple(x * 1.000000119 + 1e-9 for x in xs)
+            return xs
 
-        o_ref[:, :] = lax.fori_loop(0, iters, body, x)
+        xs = lax.fori_loop(0, iters, body, xs)
+        acc = xs[0]
+        for x in xs[1:]:
+            acc = acc + x
+        o_ref[:, :] = acc
 
     x = jnp.ones(shape, jnp.float32)
     fn = jax.jit(lambda x: pl.pallas_call(
@@ -129,12 +140,13 @@ def vpu_peak_microbench(iters=4096, shape=(256, 1024)):
         force(fn(x))
         ts.append(time.perf_counter() - t0)
     dt = min(ts)
-    flops = 2 * int(np.prod(shape)) * iters
+    flops = 2 * int(np.prod(shape)) * iters * lanes * unroll
     return flops / dt
 
 
-def mxu_peak_microbench(n=4096, dtype="float32"):
-    """Measured MXU FLOP/s via one large square matmul."""
+def mxu_peak_microbench(n=2048, chain=64, dtype="float32"):
+    """Measured MXU FLOP/s: a chain of dependent square matmuls inside
+    one jit (amortizes the dispatch RTT)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -142,21 +154,32 @@ def mxu_peak_microbench(n=4096, dtype="float32"):
     from raytracingincuda_tpu.utils.timing import force
 
     dt_ = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
-    a = jnp.ones((n, n), dt_)
+    a = (jnp.eye(n, dtype=jnp.float32) * 1.0000001).astype(dt_)
+    b = jnp.ones((n, n), dt_) * (1.0 / n)
     prec = (lax.Precision.DEFAULT if dtype == "bfloat16"
             else lax.Precision.HIGHEST)
-    fn = jax.jit(lambda a: jnp.dot(a, a, precision=prec))
-    force(fn(a))
+
+    def fn(a, b):
+        def body(i, b):
+            return jnp.dot(a, b, precision=prec).astype(dt_)
+
+        return lax.fori_loop(0, chain, body, b)
+
+    jf = jax.jit(fn)
+    force(jf(a, b))
     ts = []
     for _ in range(5):
         t0 = time.perf_counter()
-        force(fn(a))
+        force(jf(a, b))
         ts.append(time.perf_counter() - t0)
-    return 2 * n**3 / min(ts)
+    return 2 * n**3 * chain / min(ts)
 
 
-def wave_time(samples=64, ray_tile=512, kpl=1, df64=False):
-    """Per-wave seconds at depth 1 (regen: one wave per sample)."""
+def wave_time(ray_tile=512, kpl=1, df64=False, s_lo=32, s_hi=256):
+    """Marginal per-tile-wave seconds at depth 1 (regen: one wave per
+    sample per lane), from the SLOPE between two sample counts — the
+    difference cancels both the dispatch RTT and per-dispatch fixed
+    device work."""
     import jax
 
     from raytracingincuda_tpu.models.camera import CameraConfig
@@ -166,43 +189,53 @@ def wave_time(samples=64, ray_tile=512, kpl=1, df64=False):
     scene = build_scene(1)
     cam = CameraConfig.reference_default()
     W, H = 320, 192
-    if df64:
-        import jax.numpy as jnp
 
-        from raytracingincuda_tpu.ops.df64_trace import (
-            initialize_f64, pack_scene_matrix_df64_device,
-        )
-        from raytracingincuda_tpu.ops.pallas_df64 import make_df64_render
+    def render_time(samples):
+        if df64:
+            import jax.numpy as jnp
 
-        sm_hi, sm_lo = pack_scene_matrix_df64_device(scene)
-        kern = make_df64_render(W, H, samples, 1, sm_hi.shape[0],
-                                ray_tile=ray_tile, pixels_per_lane=kpl)
-        rows = jnp.asarray(initialize_f64(cam, W, H), jnp.float32)
-        fn = lambda: kern(sm_hi, sm_lo, rows)
-    else:
-        from raytracingincuda_tpu.ops.pallas_kernel import render_pallas
+            from raytracingincuda_tpu.ops.df64_trace import (
+                initialize_f64, pack_scene_matrix_df64_device,
+            )
+            from raytracingincuda_tpu.ops.pallas_df64 import (
+                make_df64_render,
+            )
 
-        r = jax.jit(functools.partial(
-            render_pallas, img_width=W, img_height=H,
-            samples_per_pixel=samples, max_depth=1,
-            pixels_per_lane=kpl, ray_tile=ray_tile))
-        fn = lambda: r(scene, cam)
-    force(fn())
-    ts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
+            sm_hi, sm_lo = pack_scene_matrix_df64_device(scene)
+            kern = make_df64_render(W, H, samples, 1, sm_hi.shape[0],
+                                    ray_tile=ray_tile,
+                                    pixels_per_lane=kpl)
+            rows = jnp.asarray(initialize_f64(cam, W, H), jnp.float32)
+            fn = lambda: kern(sm_hi, sm_lo, rows)
+        else:
+            from raytracingincuda_tpu.ops.pallas_kernel import (
+                render_pallas,
+            )
+
+            r = jax.jit(functools.partial(
+                render_pallas, img_width=W, img_height=H,
+                samples_per_pixel=samples, max_depth=1,
+                pixels_per_lane=kpl, ray_tile=ray_tile))
+            fn = lambda: r(scene, cam)
         force(fn())
-        ts.append(time.perf_counter() - t0)
-    dt = min(ts)
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            force(fn())
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
     n_pixels = W * H
     padded = ((n_pixels + kpl * ray_tile - 1)
               // (kpl * ray_tile)) * (kpl * ray_tile)
     tiles = padded // (kpl * ray_tile)
-    # every tile runs `samples*kpl...` waves? at depth 1 each lane's pixel
-    # completes its sample in ONE wave; K pixels/lane => K*samples waves
-    waves_per_tile = samples * kpl
-    return dt / waves_per_tile, {"tiles": tiles, "ray_tile": ray_tile,
-                                 "render_s": dt, "samples": samples}
+    dt_lo, dt_hi = render_time(s_lo), render_time(s_hi)
+    # total tile-waves at depth 1 = tiles * samples * kpl
+    d_waves = tiles * (s_hi - s_lo) * kpl
+    wt = (dt_hi - dt_lo) / d_waves
+    return wt, {"tiles": tiles, "ray_tile": ray_tile,
+                "dt_lo_s": round(dt_lo, 4), "dt_hi_s": round(dt_hi, 4),
+                "s_lo": s_lo, "s_hi": s_hi}
 
 
 def count_wave_work(ray_tile=512):
@@ -309,18 +342,22 @@ def main() -> int:
         rec[f"wave_time_us_{tag}"] = round(wt * 1e6, 3)
         rec[f"wave_info_{tag}"] = info
 
-    # derived utilization (per tile-wave; tiles run sequentially on the
-    # one core, so a wave's work is counts * (padded / (K*rt)) tiles...
-    # we normalize per-tile: counted FLOPs are for one (N, R) tile wave)
+    # derived utilization per (N, R) tile-wave: counted VPU FLOPs (the
+    # MXU gather MACs subtracted) over marginal wave time vs the
+    # measured VPU peak; the gather's MACs likewise vs the MXU peak.
     c = counts
-    for tag in ("fwd_k1_rt512", "fwd_k8_rt512"):
+    mxu_macs_flops = c["winner_gather"]["flops"]
+    vpu_flops = c["total_flops"] - mxu_macs_flops
+    for tag in ("fwd_k1_rt512", "fwd_k8_rt512", "df64_k1_rt512"):
         wt = rec[f"wave_time_us_{tag}"] * 1e-6
-        tiles = rec[f"wave_info_{tag}"]["tiles"]
-        per_tile = wt / tiles
-        vpu_flops = c["total_flops"] - 2 * c["n_spheres_padded"] * 16 * 512
-        util_vpu = (vpu_flops / per_tile) / (
-            rec["vpu_f32_peak_gflops"] * 1e9)
-        rec[f"vpu_utilization_{tag}"] = round(util_vpu, 4)
+        # df64 computes every FLOP as an f32 hi/lo pair expansion; its
+        # counted-equivalent utilization is reported against the same
+        # f32 counts (the expansion factor is the df64 ratio itself)
+        rec[f"vpu_gflops_{tag}"] = round(vpu_flops / wt / 1e9, 1)
+        rec[f"vpu_utilization_{tag}"] = round(
+            (vpu_flops / wt) / (rec["vpu_f32_peak_gflops"] * 1e9), 4)
+        rec[f"mxu_utilization_{tag}"] = round(
+            (mxu_macs_flops / wt) / (rec["mxu_f32_peak_gflops"] * 1e9), 4)
 
     emit = emitter(args.out.replace(".json", ".jsonl"))
     emit(**{k: v for k, v in rec.items() if not k.startswith("wave_info")})

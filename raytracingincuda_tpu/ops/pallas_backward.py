@@ -108,6 +108,11 @@ _R_WFUZZ = 18
 _R_WIOR = 19
 _R_WMAT = 20
 _R_SID = 21
+# wave-sweep extras (sweep='wave' parks by WAVE index, so each lane's
+# (sample, bounce, died-here) must ride its parked row)
+_R_DIES = 22
+_R_SAMPLE = 23
+_R_BOUNCE = 24
 _ST_ROWS = 32
 _CAM_COLS = 24
 _N_CAM = 18   # differentiable camera scalars (pack_camera rows 0..17)
@@ -466,6 +471,238 @@ def _grad_tile_kernel(
     _write_grad_outputs(dscene_ref, dcam_ref, d_scene, d_cam, dtype)
 
 
+def _wave_pack_residual(o, d, atten, alive_f, hit_f, wc, wr, walb, wfuzz,
+                        wior, wmat, sid, dies_f, sample_f, bounce_f):
+    rows = [o.x, o.y, o.z, d.x, d.y, d.z, atten.x, atten.y, atten.z,
+            alive_f, hit_f, wc.x, wc.y, wc.z, wr,
+            walb.x, walb.y, walb.z, wfuzz, wior, wmat, sid,
+            dies_f, sample_f, bounce_f]
+    rows += [jnp.zeros_like(alive_f)] * (_ST_ROWS - len(rows))
+    return jnp.concatenate(rows, axis=0)                      # (32, R)
+
+
+def _grad_tile_kernel_wave(
+    ids_ref, ii_ref, jj_ref, gr_ref, gg_ref, gb_ref, scene_ref, cam_ref,
+    dscene_ref, dcam_ref, st_ref,
+    *, samples: int, max_depth: int, seed: int, dtype,
+    sample_offset: int = 0, window: int = 32,
+):
+    """Wave-reversed REGENERATING gradient sweep.
+
+    The per-sample sweep (_grad_tile_kernel) pays the lane-MAX path
+    length per sample twice (forward park + reverse walk): measured 4.2x
+    the production forward's wave count at d25 and worse at d50 — the
+    production forward smooths exactly this tail with ray regeneration
+    (bwd_decomp.jsonl: the fwd sweep alone is 71% of backward time).
+
+    This kernel applies the same regeneration to the backward. Lanes
+    stream their pixel's samples back-to-back, parking each wave's
+    pre-bounce state + winner by WAVE index (a scalar row offset — the
+    per-lane bounce index never indexes memory, which is what makes
+    this SIMD-expressible). When the parking window fills, regeneration
+    pauses, live paths DRAIN to death (<= max_depth extra waves), and
+    the whole window is walked backward: reversing wave order reverses
+    every lane's path stream simultaneously; the per-lane cotangent
+    carry resets where the parked died-here flag is set (each path's
+    chain is independent), and path-start rows (parked bounce == 0)
+    route their origin/direction cotangents through the primary-ray vjp
+    into the camera scalars. Rounds repeat until every lane's sample
+    budget is spent. Per-path results are identical to the per-sample
+    sweep (same _hit_winner/_winner_bounce replay, same RNG streams);
+    only accumulation order differs (float reassociation).
+    """
+    key = rtrng.key_from_seed(seed)
+    (pixel_ids, fi, fj, scene_mat, cx, cy, cz, rc, active_col,
+     cam_vals, use_defocus) = _read_tile_refs(
+        ids_ref, ii_ref, jj_ref, scene_ref, cam_ref
+    )
+    g = Vec3(gr_ref[0, :, :], gg_ref[0, :, :], gb_ref[0, :, :])
+    shape = fi.shape
+    n, cols = scene_mat.shape
+    iota_n = lax.broadcasted_iota(jnp.int32, (n, 1), 0).astype(dtype)
+    budget = float(sample_offset + samples)
+    zero_row = jnp.zeros(shape, dtype)
+    one_row = jnp.ones(shape, dtype)
+    zero3 = Vec3.zeros(shape, dtype=dtype)
+
+    def to_u32(f):
+        return pltpu.bitcast(f.astype(jnp.int32), jnp.uint32)
+
+    def primary_from(cvals, s_u):
+        cam = _camera_from_scalars(cvals, use_defocus)
+        return primary_rays_from_ij(cam, fi, fj, pixel_ids, s_u, key,
+                                    dtype)
+
+    def fwd_phase(state):
+        """Park-and-advance until the window fills and live paths drain.
+        Returns (W_end, state')."""
+        sample_f, bounce_f, o, d, atten, alive_f = state
+
+        # round-start regeneration: lanes idled by the previous round's
+        # drain pull their next sample
+        regen0 = (alive_f < 0.5) & (sample_f < budget)
+        o_n, d_n = primary_from(cam_vals, to_u32(sample_f))
+        o = vec.where(regen0, o_n, o)
+        d = vec.where(regen0, d_n, d)
+        atten = vec.where(regen0, Vec3(one_row, one_row, one_row), atten)
+        bounce_f = jnp.where(regen0, zero_row, bounce_f)
+        alive_f = jnp.where(regen0, one_row, alive_f)
+
+        def cond(c):
+            w = c[0]
+            alive_f = c[6]
+            return (w < window + max_depth) & (jnp.max(alive_f) > 0.5)
+
+        def body(c):
+            w, sample_f, bounce_f, o, d, atten, alive_f = c
+            active = alive_f > 0.5
+            hit_raw, wc, wr, walb, wfuzz, wior, wmat, sid = _hit_winner(
+                scene_mat, cx, cy, cz, rc, active_col, o, d
+            )
+            hit = hit_raw & active
+            s_u = to_u32(sample_f)
+            b_u = to_u32(bounce_f)
+            (o2, d2, at2, al2), _ = _winner_bounce(
+                wc, wr, walb, wfuzz, wior, wmat, hit,
+                o, d, atten, alive_f, pixel_ids, s_u, b_u, key, dtype,
+            )
+            # scattering at the depth cap exits black (camera.h:126-127)
+            at_cap = (al2 > 0.5) & (bounce_f >= (max_depth - 1))
+            al3 = jnp.where(at_cap, 0.0, al2).astype(dtype)
+            dies = active & (al3 < 0.5)
+            dies_f = jnp.where(dies, 1.0, 0.0).astype(dtype)
+
+            st_ref[pl.ds(pl.multiple_of(w * _ST_ROWS, _ST_ROWS),
+                         _ST_ROWS), :] = _wave_pack_residual(
+                o, d, atten, alive_f, hit.astype(dtype),
+                wc, wr, walb, wfuzz, wior, wmat, sid,
+                dies_f, sample_f, bounce_f,
+            )
+
+            # advance: continue, regenerate (window permitting), or idle
+            continues = active & (al3 > 0.5)
+            sample_next = sample_f + jnp.where(dies, one_row, zero_row)
+            pull_ok = (w + 1) < window
+            regen = dies & (sample_next < budget) & pull_ok
+            o3 = vec.where(continues, o2, o)
+            d3 = vec.where(continues, d2, d)
+            at3 = vec.where(continues, at2, atten)
+            o_n, d_n = primary_from(cam_vals, to_u32(sample_next))
+            o3 = vec.where(regen, o_n, o3)
+            d3 = vec.where(regen, d_n, d3)
+            at3 = vec.where(regen, Vec3(one_row, one_row, one_row), at3)
+            bounce3 = jnp.where(continues, bounce_f + 1.0,
+                                jnp.where(regen, zero_row, bounce_f))
+            alive3 = jnp.where(continues | regen, 1.0, 0.0).astype(dtype)
+            sample3 = jnp.where(dies, sample_next, sample_f)
+            return (w + 1, sample3, bounce3, o3, d3, at3, alive3)
+
+        init = (jnp.int32(0), sample_f, bounce_f, o, d, atten, alive_f)
+        out = lax.while_loop(cond, body, init)
+        return out[0], out[1:]
+
+    def rev_phase(w_end, carry):
+        """Walk parked waves w_end-1 .. 0; returns (d_scene, d_cam')."""
+        d_scene0, d_cam0 = carry
+
+        def body(i, c):
+            d_scene, d_cam, ct_o, ct_d, ct_at, ct_al = c
+            w = w_end - 1 - i
+            blk = st_ref[pl.ds(pl.multiple_of(w * _ST_ROWS, _ST_ROWS),
+                               _ST_ROWS), :]
+            (o, d, atten, alive_f, hit_f, wc, wr, walb, wfuzz, wior,
+             wmat, sid) = _unpack_residual(blk)
+            r1 = lambda k: blk[k:k + 1, :]
+            dies_f = r1(_R_DIES)
+            sample_row = r1(_R_SAMPLE)
+            bounce_row = r1(_R_BOUNCE)
+            hit = hit_f > 0.5
+            s_u = to_u32(sample_row)
+            b_u = to_u32(bounce_row)
+
+            # died-here rows end their path's chain: the incoming state
+            # cotangent is zero (radiance flows in through ``g`` at every
+            # bounce, as in the per-sample reverse)
+            ended = dies_f > 0.5
+            ct_o_in = vec.where(ended, zero3, ct_o)
+            ct_d_in = vec.where(ended, zero3, ct_d)
+            ct_at_in = vec.where(ended, zero3, ct_at)
+            ct_al_in = jnp.where(ended, zero_row, ct_al)
+
+            def f(wc_, wr_, walb_, wfuzz_, wior_, o_, d_, at_, al_):
+                return _winner_bounce(
+                    wc_, wr_, walb_, wfuzz_, wior_, wmat, hit,
+                    o_, d_, at_, al_, pixel_ids, s_u, b_u, key, dtype,
+                )
+
+            _, vjp_f = jax.vjp(f, wc, wr, walb, wfuzz, wior,
+                               o, d, atten, alive_f)
+            (d_wc, d_wr, d_walb, d_wfuzz, d_wior,
+             d_o, d_d, d_at, d_al) = vjp_f(
+                ((ct_o_in, ct_d_in, ct_at_in, ct_al_in), g)
+            )
+
+            # winner cotangents -> (16, R) rows (scene-matrix col order)
+            d_rows = jnp.concatenate(
+                [d_wc.x, d_wc.y, d_wc.z, d_wr,
+                 d_walb.x, d_walb.y, d_walb.z, d_wfuzz, d_wior]
+                + [zero_row] * (cols - 9),
+                axis=0,
+            )
+            valid = hit & (alive_f > 0.5)
+            sid_v = jnp.where(valid, sid, -1.0)
+            one_hot = (sid_v == iota_n).astype(dtype)
+            d_scene = d_scene + _scatter_matmul(one_hot, d_rows)
+
+            # path-start rows: o/d cotangents flow into the camera
+            start = (bounce_row < 0.5) & (alive_f > 0.5)
+
+            def prim(cvals):
+                return primary_from(cvals, s_u)
+
+            _, vjp_p = jax.vjp(prim, cam_vals)
+            ct_o_m = vec.where(start, d_o, zero3)
+            ct_d_m = vec.where(start, d_d, zero3)
+            (d_cam_vals,) = vjp_p((ct_o_m, ct_d_m))
+            d_cam = tuple(d_cam[k] + d_cam_vals[k] for k in range(_N_CAM))
+
+            # carry to the previous wave; path boundaries cut the chain
+            ct_o2 = vec.where(start, zero3, d_o)
+            ct_d2 = vec.where(start, zero3, d_d)
+            ct_at2 = vec.where(start, zero3, d_at)
+            ct_al2 = jnp.where(start, zero_row, d_al)
+            return (d_scene, d_cam, ct_o2, ct_d2, ct_at2, ct_al2)
+
+        init = (d_scene0, d_cam0, zero3, zero3, zero3, zero_row)
+        out = lax.fori_loop(0, w_end, body, init)
+        return out[0], out[1]
+
+    def outer_cond(c):
+        sample_f, alive_f = c[0], c[5]
+        return (jnp.max(jnp.where(sample_f < budget, 1.0, 0.0)) > 0.5) | (
+            jnp.max(alive_f) > 0.5
+        )
+
+    def outer_body(c):
+        state = c[:6]
+        d_scene, d_cam = c[6], c[7]
+        w_end, state2 = fwd_phase(state)
+        d_scene, d_cam = rev_phase(w_end, (d_scene, d_cam))
+        return state2 + (d_scene, d_cam)
+
+    zero_cam = tuple(jnp.zeros((), dtype) for _ in range(_N_CAM))
+    init = (
+        jnp.full(shape, float(sample_offset), dtype),   # sample_f
+        zero_row,                                       # bounce_f
+        zero3, zero3,                                   # o, d
+        Vec3.full(shape, 1.0, 1.0, 1.0, dtype=dtype),   # atten
+        zero_row,                                       # alive_f
+        jnp.zeros((n, cols), dtype), zero_cam,
+    )
+    final = lax.while_loop(outer_cond, outer_body, init)
+    _write_grad_outputs(dscene_ref, dcam_ref, final[6], final[7], dtype)
+
+
 def _fused_tile_kernel(
     ids_ref, ii_ref, jj_ref, tr_ref, tg_ref, tb_ref, scene_ref, cam_ref,
     loss_ref, imr_ref, img_ref, imb_ref,
@@ -709,6 +946,8 @@ def render_pallas_grads(
     sample_offset: int = 0,
     mesh=None,
     interpret: bool = False,
+    sweep: str = "wave",
+    window: int = 0,
 ):
     """Cotangents (d_scene_matrix (N,16), d_camera_row (1,24)) for an
     upstream cotangent ``g_acc`` (H, W, 3) expressed in the ACCUMULATED
@@ -723,21 +962,53 @@ def render_pallas_grads(
     ``pixel_order``: optional permutation of pixel ids (as in
     render_pallas) — grouping pixels by expected path depth lets whole
     tiles hit the all-dead early exit together. Scene/camera cotangents
-    are order-invariant up to float reassociation (tile-sum order)."""
+    are order-invariant up to float reassociation (tile-sum order).
+
+    ``sweep``: 'wave' (default) = the regenerating wave-reversed sweep
+    (_grad_tile_kernel_wave — lanes stream samples like the forward
+    kernel, windows of parked waves are walked backward; removes the
+    per-sample lane-max tail that made the d50 backward ~12x the
+    forward); 'sample' = the original per-sample sweep. Same gradients
+    up to float reassociation. ``window``: parked waves per round for
+    'wave' (0 = auto by VMEM budget)."""
+    if sweep not in ("wave", "sample"):
+        raise ValueError("sweep must be 'wave' or 'sample'")
     (ids, ids2, ii2, jj2, (gr, gg, gb), scene_mat, cam_row, n_spheres,
      num_pixels, padded, n_tiles) = _prepare_grad_inputs(
         scene, cam_cfg, g_acc, img_width, img_height, ray_tile,
         pixel_order, mesh, dtype,
     )
 
-    kernel = functools.partial(
-        _grad_tile_kernel,
-        samples=samples_per_pixel,
-        max_depth=max_depth,
-        seed=seed,
-        dtype=dtype,
-        sample_offset=sample_offset,
-    )
+    if sweep == "wave":
+        if not window:
+            # scratch budget ~10 MB: rows = window + max_depth waves of
+            # (32, ray_tile) f32 (a path pulled at the window edge still
+            # parks <= max_depth more waves while draining). Measured
+            # knee at 640x384x16spp/d25: rt512 w64 339 ms -> w96 318 ->
+            # w128 312 (10 MB, fits beside the (N, R) scan); rt1024
+            # plateaus worse (w16 427, w32 365) — bwd_wave.jsonl.
+            budget_waves = int(10e6 // (_ST_ROWS * ray_tile * 4))
+            window = max(8, budget_waves - max_depth)
+        scratch_waves = window + max_depth
+        kernel = functools.partial(
+            _grad_tile_kernel_wave,
+            samples=samples_per_pixel,
+            max_depth=max_depth,
+            seed=seed,
+            dtype=dtype,
+            sample_offset=sample_offset,
+            window=window,
+        )
+    else:
+        scratch_waves = max_depth
+        kernel = functools.partial(
+            _grad_tile_kernel,
+            samples=samples_per_pixel,
+            max_depth=max_depth,
+            seed=seed,
+            dtype=dtype,
+            sample_offset=sample_offset,
+        )
 
     def run(ids_arr, ii_arr, jj_arr, g_r, g_g, g_b, scene_m, cam_r):
         tiles = ids_arr.shape[0]
@@ -766,7 +1037,7 @@ def render_pallas_grads(
                 jax.ShapeDtypeStruct((1, _CAM_COLS), dtype),
             ),
             scratch_shapes=[
-                pltpu.VMEM((max_depth * _ST_ROWS, ray_tile), dtype),
+                pltpu.VMEM((scratch_waves * _ST_ROWS, ray_tile), dtype),
             ],
             cost_estimate=pl.CostEstimate(
                 flops=int(

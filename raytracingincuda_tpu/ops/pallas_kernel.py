@@ -1368,11 +1368,13 @@ def make_diff_render(
 ):
     """Differentiable renderer with the Pallas kernel as the forward pass.
 
-    ``bwd_ray_tile``: backward-kernel tile (default 1024 — the
-    winner-replay reverse sweep is O(R), so bigger tiles amortize better
-    than the forward's 512, bwd_winner.jsonl). Lower it explicitly for
-    sphere-heavy scenes where the forward sweep's (N, R) hit-scan
-    working set presses the 16 MB VMEM limit.
+    ``bwd_ray_tile``: backward-kernel tile (default 512 — the
+    wave-reversed regenerating sweep prefers a smaller tile with a
+    DEEPER parking window under the same VMEM budget: rt512/w128 312 ms
+    vs rt1024/w32 365 at 640x384x16spp/d25, bwd_wave.jsonl; the old
+    per-sample sweep preferred 1024, bwd_winner.jsonl). Lower it
+    explicitly for sphere-heavy scenes where the forward sweep's (N, R)
+    hit-scan working set presses the 16 MB VMEM limit.
 
     ``pixel_order``: optional frozen difficulty permutation (see
     measure_difficulty/difficulty_order) applied to BOTH the forward
@@ -1454,7 +1456,7 @@ def make_diff_render(
         d_sm, d_cr = render_pallas_grads(
             _scene(params), cam_cfg, g_acc, img_width, img_height,
             samples_per_pixel, max_depth, seed=seed,
-            ray_tile=bwd_ray_tile or 1024, pixel_order=pixel_order,
+            ray_tile=bwd_ray_tile or 512, pixel_order=pixel_order,
             mesh=mesh, interpret=interpret,
         )
         return chain_to_params(

@@ -164,6 +164,31 @@ def test_scatter_split_exact():
 
 
 @pytest.mark.slow
+def test_wave_sweep_matches_sample_sweep(mixed_scene, default_camera):
+    """The regenerating wave-reversed sweep (default) must agree with the
+    per-sample sweep to reassociation precision — identical per-path
+    replay math and RNG streams, different accumulation order. Exercises
+    the window-drain boundary with a tiny window (paths span rounds)."""
+    from raytracingincuda_tpu.ops.pallas_backward import (
+        render_pallas_grads,
+    )
+
+    g = _weight_image()
+    base = render_pallas_grads(
+        mixed_scene, default_camera, g, W, H, SPP, DEPTH,
+        ray_tile=128, interpret=True, sweep="sample",
+    )
+    for window in (0, 3):
+        wave = render_pallas_grads(
+            mixed_scene, default_camera, g, W, H, SPP, DEPTH,
+            ray_tile=128, interpret=True, sweep="wave", window=window,
+        )
+        for leaf in jax.tree_util.tree_leaves(wave):
+            assert np.isfinite(np.asarray(leaf)).all()
+        _assert_tree_close(base, wave, rtol=1e-4, atol=5e-7)
+
+
+@pytest.mark.slow
 def test_sample_chunked_grads(mixed_scene, default_camera):
     """Cotangents are sums over samples, so two sweeps over disjoint
     sample-id windows add up to the full-range sweep (counter RNG keys
