@@ -10,11 +10,17 @@ samples — test_sample_chunked_grads). Reports end-to-end fwd+bwd
 Mrays/s including every dispatch.
 
 Usage: northstar_chunked.py [out.jsonl] [depth] [chunk] [bwd_ray_tile]
+                            [rr_start]
 Depth 50 notes: the backward residual scratch is (depth*32, ray_tile)
 f32 — 6.6 MB at rt1024/d50, pressing the 16 MB VMEM cap together with
 the forward sweep's (N, R) hit scan, so d50 drops to rt512 (3.3 MB)
 by default; chunks shrink to keep each dispatch well under the ~100 s
 worker ceiling.
+
+``rr_start`` (round 3): render AND differentiate the Russian-roulette
+estimator from that bounce — the backward replays the identical RR
+streams (test_rr_grads_match_oracle), so this measures the production
+rr2 estimator's fwd+bwd rate (unbiased; paths shorten at both passes).
 """
 import json
 import sys
@@ -40,6 +46,7 @@ CHUNK = int(sys.argv[3]) if len(sys.argv) > 3 else (50 if DEPTH <= 25
                                                     else 25)
 BWD_RT = int(sys.argv[4]) if len(sys.argv) > 4 else (1024 if DEPTH <= 25
                                                      else 512)
+RR = int(sys.argv[5]) if len(sys.argv) > 5 else None
 
 
 def log(rec):
@@ -51,7 +58,8 @@ def log(rec):
 
 def main():
     log({"event": "start", "devices": str(jax.devices()),
-         "cfg": f"scene1_{W}x{H}x{SPP}spp_d{DEPTH}_chunk{CHUNK}"})
+         "cfg": (f"scene1_{W}x{H}x{SPP}spp_d{DEPTH}_chunk{CHUNK}"
+                 + (f"_rr{RR}" if RR is not None else ""))})
     scene = jax.device_put(build_scene(1))
     cam = CameraConfig.reference_default()
     key = jax.random.PRNGKey(0)
@@ -66,7 +74,7 @@ def main():
 
     fwd = jax.jit(lambda s, c: render_pallas(
         s, c, W, H, SPP, DEPTH, gamma=False, pixels_per_lane=8,
-        pixel_order=order))
+        pixel_order=order, rr_start=RR))
 
     @jax.jit
     def cotangent(img, tgt):
@@ -77,7 +85,7 @@ def main():
         return jax.jit(lambda p, c, gg, off=off: render_pallas_grads(
             Scene(p, scene.mat_type, scene.active), c, gg, W, H,
             CHUNK, DEPTH, sample_offset=off, pixel_order=order,
-            ray_tile=BWD_RT))
+            ray_tile=BWD_RT, rr_start=RR))
 
     chunks = [bwd_chunk(off) for off in range(0, SPP, CHUNK)]
 
@@ -104,7 +112,8 @@ def main():
     total = time.perf_counter() - t0
     mrays = W * H * SPP / total / 1e6
     log({"case": f"fwdbwd_{SPP}spp_d{DEPTH}"
-                  + ("_chunked" if DEPTH <= 25 else f"_chunk{CHUNK}"),
+                  + ("_chunked" if DEPTH <= 25 else f"_chunk{CHUNK}")
+                  + (f"_rr{RR}" if RR is not None else ""),
          "s": round(total, 2),
          "fwd_s": round(t_fwd, 2), "n_chunks": len(chunks),
          "mrays_s": round(mrays, 2),

@@ -187,9 +187,17 @@ def _hit_winner(scene_mat, cx, cy, cz, rc, active_col, o: Vec3, d: Vec3):
 
 def _winner_bounce(wc: Vec3, wr, walb: Vec3, wfuzz, wior, wmat_f, hit,
                    o: Vec3, d: Vec3, atten: Vec3, alive_f,
-                   pixel_ids, s_u, b_u, key, dtype):
-    """One bounce of the (non-RR) estimator restricted to the stored
+                   pixel_ids, s_u, b_u, key, dtype, rr_start=None):
+    """One bounce of the estimator restricted to the stored
     winner sphere, for a (1, R) lane row batch.
+
+    ``rr_start``: enable Russian roulette from that bounce — identical
+    streams (DRAW_RR) and float association as the forward kernels
+    (_regen_body) and the oracle (tracer.trace_sample), so the replayed
+    primal (survival decisions, attenuation scales) is bitwise the
+    forward's. The kill DECISION is detached (comparison), while the
+    1/p_surv weight is a continuous function of attenuation and carries
+    gradients — the detached-sampler convention applied to RR.
 
     Differentiable in (wc, wr, walb, wfuzz, wior, o, d, atten): the
     winner's root is recomputed from its quadratic with the same
@@ -251,7 +259,21 @@ def _winner_bounce(wc: Vec3, wr, walb: Vec3, wfuzz, wior, wmat_f, hit,
     contrib = vec.where(miss_now, atten * sky, zero)
 
     scattered_alive = alive & hit & sc.scattered
-    atten2 = vec.where(scattered_alive, atten * sc.attenuation, atten)
+    atten_upd = atten * sc.attenuation
+    if rr_start is not None:
+        p_surv = jnp.clip(
+            jnp.maximum(jnp.maximum(atten_upd.x, atten_upd.y),
+                        atten_upd.z),
+            0.05, 1.0,
+        )
+        u_rr, _ = rtrng.uniform2(
+            key, pixel_ids, s_u, b_u, rtrng.DRAW_RR, dtype
+        )
+        rr_zone = b_u.astype(dtype) >= float(rr_start)
+        rr_kill = scattered_alive & rr_zone & (u_rr >= p_surv)
+        scattered_alive = scattered_alive & ~rr_kill
+        atten_upd = atten_upd * jnp.where(rr_zone, 1.0 / p_surv, 1.0)
+    atten2 = vec.where(scattered_alive, atten_upd, atten)
     o2 = vec.where(scattered_alive, p, o)
     d2 = vec.where(scattered_alive, sc.direction, d)
     alive2 = jnp.where(scattered_alive, 1.0, 0.0).astype(dtype)
@@ -293,7 +315,7 @@ def _read_tile_refs(ids_ref, ii_ref, jj_ref, scene_ref, cam_ref):
 
 
 def _reverse_sweep(st_ref, blk0, b_exit, g, pixel_ids, s_u, key, dtype,
-                   n, cols, iota_n):
+                   n, cols, iota_n, rr_start=None):
     """Winner-replay reverse vjp over parked residual blocks
     [blk0, blk0 + b_exit) of ``st_ref`` (32 rows per bounce). Returns
     (d_scene (N, 16), ct_o, ct_d) — the camera chain happens outside."""
@@ -313,6 +335,7 @@ def _reverse_sweep(st_ref, blk0, b_exit, g, pixel_ids, s_u, key, dtype,
             return _winner_bounce(
                 wc_, wr_, walb_, wfuzz_, wior_, wmat, hit,
                 o_, d_, at_, al_, pixel_ids, s_u, b_u, key, dtype,
+                rr_start=rr_start,
             )
 
         _, vjp_f = jax.vjp(f, wc, wr, walb, wfuzz, wior,
@@ -351,7 +374,7 @@ def _reverse_sweep(st_ref, blk0, b_exit, g, pixel_ids, s_u, key, dtype,
 def _tile_grad_sweep(scene_mat, cx, cy, cz, rc, active_col, cam_vals,
                      use_defocus, pixel_ids, fi, fj, g, key, st_ref,
                      *, samples: int, max_depth: int, dtype,
-                     sample_offset: int = 0):
+                     sample_offset: int = 0, rr_start=None):
     """Per-tile gradient accumulation for an upstream image cotangent ``g``
     (Vec3 of (1, R) rows, accumulated-radiance domain): per-sample forward
     sweep (full hit scan, detached) parking each bounce's winner in
@@ -404,6 +427,7 @@ def _tile_grad_sweep(scene_mat, cx, cy, cz, rc, active_col, cam_vals,
             (o2, d2, at2, al2), _ = _winner_bounce(
                 wc, wr, walb, wfuzz, wior, wmat, hit,
                 o, d, atten, alive_f, pixel_ids, s_u, b_u, key, dtype,
+                rr_start=rr_start,
             )
             return (b + 1, o2, d2, at2, al2)
 
@@ -417,7 +441,7 @@ def _tile_grad_sweep(scene_mat, cx, cy, cz, rc, active_col, cam_vals,
         # ---- reverse sweep: winner-replay vjp + MXU one-hot scatter ----
         d_scene, ct_o, ct_d = _reverse_sweep(
             st_ref, 0, b_exit, g, pixel_ids, s_u, key, dtype, n, cols,
-            iota_n,
+            iota_n, rr_start=rr_start,
         )
 
         # cotangents of the primary ray flow into the camera scalars
@@ -454,7 +478,7 @@ def _grad_tile_kernel(
     ids_ref, ii_ref, jj_ref, gr_ref, gg_ref, gb_ref, scene_ref, cam_ref,
     dscene_ref, dcam_ref, st_ref,
     *, samples: int, max_depth: int, seed: int, dtype,
-    sample_offset: int = 0,
+    sample_offset: int = 0, rr_start=None,
 ):
     key = rtrng.key_from_seed(seed)
     (pixel_ids, fi, fj, scene_mat, cx, cy, cz, rc, active_col,
@@ -466,7 +490,7 @@ def _grad_tile_kernel(
         scene_mat, cx, cy, cz, rc, active_col, cam_vals, use_defocus,
         pixel_ids, fi, fj, g, key, st_ref,
         samples=samples, max_depth=max_depth, dtype=dtype,
-        sample_offset=sample_offset,
+        sample_offset=sample_offset, rr_start=rr_start,
     )
     _write_grad_outputs(dscene_ref, dcam_ref, d_scene, d_cam, dtype)
 
@@ -481,21 +505,21 @@ def _wave_pack_residual(o, d, atten, alive_f, hit_f, wc, wr, walb, wfuzz,
     return jnp.concatenate(rows, axis=0)                      # (32, R)
 
 
-def _grad_tile_kernel_wave(
-    ids_ref, ii_ref, jj_ref, gr_ref, gg_ref, gb_ref, scene_ref, cam_ref,
-    dscene_ref, dcam_ref, st_ref,
-    *, samples: int, max_depth: int, seed: int, dtype,
-    sample_offset: int = 0, window: int = 32,
-):
-    """Wave-reversed REGENERATING gradient sweep.
+def _wave_grad_sweep(scene_mat, cx, cy, cz, rc, active_col, cam_vals,
+                     use_defocus, pixel_ids, fi, fj, g, key, st_ref,
+                     *, samples: int, max_depth: int, dtype,
+                     sample_offset: int = 0, window: int = 32,
+                     rr_start=None):
+    """Wave-reversed REGENERATING gradient sweep (shared by the grad
+    kernel and the fused train kernel). Returns (d_scene, d_cam).
 
-    The per-sample sweep (_grad_tile_kernel) pays the lane-MAX path
+    The per-sample sweep (_tile_grad_sweep) pays the lane-MAX path
     length per sample twice (forward park + reverse walk): measured 4.2x
     the production forward's wave count at d25 and worse at d50 — the
     production forward smooths exactly this tail with ray regeneration
     (bwd_decomp.jsonl: the fwd sweep alone is 71% of backward time).
 
-    This kernel applies the same regeneration to the backward. Lanes
+    This sweep applies the same regeneration to the backward. Lanes
     stream their pixel's samples back-to-back, parking each wave's
     pre-bounce state + winner by WAVE index (a scalar row offset — the
     per-lane bounce index never indexes memory, which is what makes
@@ -511,12 +535,6 @@ def _grad_tile_kernel_wave(
     sweep (same _hit_winner/_winner_bounce replay, same RNG streams);
     only accumulation order differs (float reassociation).
     """
-    key = rtrng.key_from_seed(seed)
-    (pixel_ids, fi, fj, scene_mat, cx, cy, cz, rc, active_col,
-     cam_vals, use_defocus) = _read_tile_refs(
-        ids_ref, ii_ref, jj_ref, scene_ref, cam_ref
-    )
-    g = Vec3(gr_ref[0, :, :], gg_ref[0, :, :], gb_ref[0, :, :])
     shape = fi.shape
     n, cols = scene_mat.shape
     iota_n = lax.broadcasted_iota(jnp.int32, (n, 1), 0).astype(dtype)
@@ -565,6 +583,7 @@ def _grad_tile_kernel_wave(
             (o2, d2, at2, al2), _ = _winner_bounce(
                 wc, wr, walb, wfuzz, wior, wmat, hit,
                 o, d, atten, alive_f, pixel_ids, s_u, b_u, key, dtype,
+                rr_start=rr_start,
             )
             # scattering at the depth cap exits black (camera.h:126-127)
             at_cap = (al2 > 0.5) & (bounce_f >= (max_depth - 1))
@@ -633,6 +652,7 @@ def _grad_tile_kernel_wave(
                 return _winner_bounce(
                     wc_, wr_, walb_, wfuzz_, wior_, wmat, hit,
                     o_, d_, at_, al_, pixel_ids, s_u, b_u, key, dtype,
+                    rr_start=rr_start,
                 )
 
             _, vjp_f = jax.vjp(f, wc, wr, walb, wfuzz, wior,
@@ -700,7 +720,29 @@ def _grad_tile_kernel_wave(
         jnp.zeros((n, cols), dtype), zero_cam,
     )
     final = lax.while_loop(outer_cond, outer_body, init)
-    _write_grad_outputs(dscene_ref, dcam_ref, final[6], final[7], dtype)
+    return final[6], final[7]
+
+
+def _grad_tile_kernel_wave(
+    ids_ref, ii_ref, jj_ref, gr_ref, gg_ref, gb_ref, scene_ref, cam_ref,
+    dscene_ref, dcam_ref, st_ref,
+    *, samples: int, max_depth: int, seed: int, dtype,
+    sample_offset: int = 0, window: int = 32, rr_start=None,
+):
+    """Wave-reversed regenerating gradient kernel (see _wave_grad_sweep)."""
+    key = rtrng.key_from_seed(seed)
+    (pixel_ids, fi, fj, scene_mat, cx, cy, cz, rc, active_col,
+     cam_vals, use_defocus) = _read_tile_refs(
+        ids_ref, ii_ref, jj_ref, scene_ref, cam_ref
+    )
+    g = Vec3(gr_ref[0, :, :], gg_ref[0, :, :], gb_ref[0, :, :])
+    d_scene, d_cam = _wave_grad_sweep(
+        scene_mat, cx, cy, cz, rc, active_col, cam_vals, use_defocus,
+        pixel_ids, fi, fj, g, key, st_ref,
+        samples=samples, max_depth=max_depth, dtype=dtype,
+        sample_offset=sample_offset, window=window, rr_start=rr_start,
+    )
+    _write_grad_outputs(dscene_ref, dcam_ref, d_scene, d_cam, dtype)
 
 
 def _fused_tile_kernel(
@@ -708,7 +750,8 @@ def _fused_tile_kernel(
     loss_ref, imr_ref, img_ref, imb_ref,
     dscene_ref, dcam_ref, *scratch,
     samples: int, max_depth: int, seed: int, dtype, gamma: bool,
-    num_pixels: int, park_all: bool = False,
+    num_pixels: int, park_all: bool = False, sweep: str = "sample",
+    window: int = 32, rr_start=None,
 ):
     """Fused MSE train step: ONE kernel computes the rendered tile, the
     MSE-vs-target loss contribution, AND the scene/camera cotangents.
@@ -726,7 +769,12 @@ def _fused_tile_kernel(
     sample exit depths in SMEM), so sweep 3 is reverse-only — removing
     the second forward trace, ~1/3 of the fused cost. Identical
     arithmetic either way: sweep 3's recompute replays exactly what
-    sweep 1 computed."""
+    sweep 1 computed.
+
+    ``sweep`` (when not park_all): 'wave' runs sweep 3 as the
+    wave-reversed regenerating sweep (_wave_grad_sweep — removes the
+    per-sample lane-max tail; the win grows with depth), 'sample' the
+    original per-sample re-trace."""
     key = rtrng.key_from_seed(seed)
     if park_all:
         st_ref, bexit_ref = scratch
@@ -768,7 +816,7 @@ def _fused_tile_kernel(
             (o2, d2, at2, al2), contrib = _winner_bounce(
                 wc, wr, walb, wfuzz, wior, wmat, hit,
                 o, d, atten, alive_f, pixel_ids, s_u,
-                b.astype(jnp.uint32), key, dtype,
+                b.astype(jnp.uint32), key, dtype, rr_start=rr_start,
             )
             return (b + 1, o2, d2, at2, al2, acc3 + contrib)
 
@@ -831,7 +879,7 @@ def _fused_tile_kernel(
             _, vjp_primary = jax.vjp(primary, cam_vals)
             d_scene, ct_o, ct_d = _reverse_sweep(
                 st_ref, s_i * max_depth, bexit_ref[s_i], g, pixel_ids,
-                s_u, key, dtype, n, cols, iota_n,
+                s_u, key, dtype, n, cols, iota_n, rr_start=rr_start,
             )
             (d_cam_vals,) = vjp_primary((ct_o, ct_d))
             d_cam_new = tuple(
@@ -844,11 +892,19 @@ def _fused_tile_kernel(
             0, samples, one_sample_rev,
             (jnp.zeros((n, cols), dtype), zero_cam),
         )
+    elif sweep == "wave":
+        d_scene, d_cam = _wave_grad_sweep(
+            scene_mat, cx, cy, cz, rc, active_col, cam_vals, use_defocus,
+            pixel_ids, fi, fj, g, key, st_ref,
+            samples=samples, max_depth=max_depth, dtype=dtype,
+            window=window, rr_start=rr_start,
+        )
     else:
         d_scene, d_cam = _tile_grad_sweep(
             scene_mat, cx, cy, cz, rc, active_col, cam_vals, use_defocus,
             pixel_ids, fi, fj, g, key, st_ref,
             samples=samples, max_depth=max_depth, dtype=dtype,
+            rr_start=rr_start,
         )
     _write_grad_outputs(dscene_ref, dcam_ref, d_scene, d_cam, dtype)
 
@@ -948,6 +1004,7 @@ def render_pallas_grads(
     interpret: bool = False,
     sweep: str = "wave",
     window: int = 0,
+    rr_start=None,
 ):
     """Cotangents (d_scene_matrix (N,16), d_camera_row (1,24)) for an
     upstream cotangent ``g_acc`` (H, W, 3) expressed in the ACCUMULATED
@@ -970,7 +1027,12 @@ def render_pallas_grads(
     per-sample lane-max tail that made the d50 backward ~12x the
     forward); 'sample' = the original per-sample sweep. Same gradients
     up to float reassociation. ``window``: parked waves per round for
-    'wave' (0 = auto by VMEM budget)."""
+    'wave' (0 = auto by VMEM budget).
+
+    ``rr_start``: differentiate the Russian-roulette estimator from that
+    bounce (must match the forward render's rr_start — identical RNG
+    streams make the replayed survival decisions bitwise the forward's).
+    RR shortens paths, so the backward speeds up with the forward."""
     if sweep not in ("wave", "sample"):
         raise ValueError("sweep must be 'wave' or 'sample'")
     (ids, ids2, ii2, jj2, (gr, gg, gb), scene_mat, cam_row, n_spheres,
@@ -998,6 +1060,7 @@ def render_pallas_grads(
             dtype=dtype,
             sample_offset=sample_offset,
             window=window,
+            rr_start=rr_start,
         )
     else:
         scratch_waves = max_depth
@@ -1008,6 +1071,7 @@ def render_pallas_grads(
             seed=seed,
             dtype=dtype,
             sample_offset=sample_offset,
+            rr_start=rr_start,
         )
 
     def run(ids_arr, ii_arr, jj_arr, g_r, g_g, g_b, scene_m, cam_r):
@@ -1097,6 +1161,9 @@ def mse_train_pallas(
     mesh=None,
     interpret: bool = False,
     park_residuals=None,
+    sweep=None,
+    window: int = 0,
+    rr_start=None,
 ):
     """Fused MSE train step: ONE Mosaic kernel returning
     ``(loss, image, d_scene_matrix, d_camera_row)`` against a target
@@ -1125,7 +1192,16 @@ def mse_train_pallas(
     at a smaller tile beats the rt1024 re-tracing step whenever parking
     fits (fused_park.jsonl, 16spp: d4 119 vs 142, d8 181 vs 234, d12
     rt256 225 vs 316 ms), so auto walks rt512 -> rt256 looking for a
-    parking fit and falls back to rt1024 re-tracing."""
+    parking fit and falls back to rt1024 re-tracing.
+
+    ``sweep`` (None = auto): when parking does not fit, sweep 3 runs as
+    the wave-reversed regenerating sweep ('wave', _wave_grad_sweep) —
+    the same rebuild that took the standalone backward kernel from 650
+    to 315 ms at d25 (bwd_wave.jsonl) — with ``window`` parked waves per
+    round (0 = auto by the same 10 MB scratch budget as
+    render_pallas_grads). 'sample' forces the original per-sample
+    re-trace. Ignored when park_residuals is on (sweep 3 is
+    reverse-only from the parked residuals)."""
     def _park_fits(rt: int, budget: int) -> bool:
         park_bytes = samples_per_pixel * max_depth * _ST_ROWS * rt * 4
         scan_bytes = scene.num_slots * rt * 4 * 8  # ~8 (N,R) temps
@@ -1150,6 +1226,14 @@ def mse_train_pallas(
             f"the (N, R) scan working set — exceeds the 16 MB scoped-VMEM "
             f"budget; lower ray_tile/samples/depth or leave it on auto"
         )
+    if sweep is None:
+        sweep = "sample" if park_residuals else "wave"
+    if sweep not in ("wave", "sample"):
+        raise ValueError("sweep must be 'wave' or 'sample'")
+    if sweep == "wave" and not park_residuals and not window:
+        # same scratch budget as render_pallas_grads' auto window
+        budget_waves = int(10e6 // (_ST_ROWS * ray_tile * 4))
+        window = max(8, budget_waves - max_depth)
     (ids, ids2, ii2, jj2, (tr, tg, tb), scene_mat, cam_row, n_spheres,
      num_pixels, padded, n_tiles) = _prepare_grad_inputs(
         scene, cam_cfg, target, img_width, img_height, ray_tile,
@@ -1165,6 +1249,9 @@ def mse_train_pallas(
         gamma=gamma,
         num_pixels=num_pixels,
         park_all=park_residuals,
+        sweep=sweep,
+        window=window,
+        rr_start=rr_start,
     )
 
     def run(ids_arr, ii_arr, jj_arr, t_r, t_g, t_b, scene_m, cam_r):
@@ -1208,7 +1295,10 @@ def mse_train_pallas(
                     pltpu.SMEM((samples_per_pixel,), jnp.int32),
                 ]
                 if park_residuals
-                else [pltpu.VMEM((max_depth * _ST_ROWS, ray_tile), dtype)]
+                else [pltpu.VMEM(
+                    ((window + max_depth if sweep == "wave" else max_depth)
+                     * _ST_ROWS, ray_tile), dtype,
+                )]
             ),
             cost_estimate=pl.CostEstimate(
                 # parked: one forward + reverse; else sweeps 1+3 both
@@ -1278,6 +1368,9 @@ def make_mse_train(
     mesh=None,
     interpret: bool = False,
     park_residuals=None,
+    sweep=None,
+    window: int = 0,
+    rr_start=None,
 ):
     """User-facing fused train step builder.
 
@@ -1298,6 +1391,7 @@ def make_mse_train(
             samples_per_pixel, max_depth, seed=seed, gamma=gamma,
             ray_tile=ray_tile, pixel_order=pixel_order, mesh=mesh,
             interpret=interpret, park_residuals=park_residuals,
+            sweep=sweep, window=window, rr_start=rr_start,
         )
         d_params, d_cam = chain_to_params(
             d_sm, d_cr, params, cam_cfg, mat_type, active,

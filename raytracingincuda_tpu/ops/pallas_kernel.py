@@ -1365,8 +1365,14 @@ def make_diff_render(
     oracle_pixel_sharding=None,
     interpret: bool = False,
     backward: str = "pallas",
+    rr_start=None,
 ):
     """Differentiable renderer with the Pallas kernel as the forward pass.
+
+    ``rr_start``: render AND differentiate the Russian-roulette estimator
+    from that bounce (the backward replays the identical RR streams —
+    ops/pallas_backward._winner_bounce). Unbiased like the forward rr;
+    paths shorten, so fwd+bwd both speed up.
 
     ``bwd_ray_tile``: backward-kernel tile (default 512 — the
     wave-reversed regenerating sweep prefers a smaller tile with a
@@ -1431,6 +1437,7 @@ def make_diff_render(
             samples_per_pixel, max_depth, seed=seed, gamma=gamma,
             legacy_sky=legacy_sky, ray_tile=ray_tile,
             pixel_order=pixel_order, mesh=mesh, interpret=interpret,
+            rr_start=rr_start,
         )
     )
 
@@ -1457,7 +1464,7 @@ def make_diff_render(
             _scene(params), cam_cfg, g_acc, img_width, img_height,
             samples_per_pixel, max_depth, seed=seed,
             ray_tile=bwd_ray_tile or 512, pixel_order=pixel_order,
-            mesh=mesh, interpret=interpret,
+            mesh=mesh, interpret=interpret, rr_start=rr_start,
         )
         return chain_to_params(
             d_sm, d_cr, params, cam_cfg, mat_type, active,
@@ -1481,6 +1488,7 @@ def make_diff_render(
                 max_depth, seed=seed, gamma=gamma, legacy_sky=legacy_sky,
                 chunk_pixels=oracle_chunk_pixels,
                 pixel_sharding=oracle_pixel_sharding, remat=True,
+                rr_start=rr_start,
             )
 
         _, vjp = jax.vjp(oracle, params, cam_cfg)

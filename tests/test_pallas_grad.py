@@ -189,6 +189,57 @@ def test_wave_sweep_matches_sample_sweep(mixed_scene, default_camera):
 
 
 @pytest.mark.slow
+def test_rr_grads_match_oracle(mixed_scene, default_camera):
+    """Russian-roulette estimator gradients (round 3): the backward
+    replays the forward's DRAW_RR streams bitwise, so grads through the
+    kernel must match jax.grad through the oracle with the same
+    rr_start — and the wave sweep must match the per-sample sweep."""
+    from raytracingincuda_tpu.ops.pallas_backward import (
+        render_pallas_grads,
+    )
+
+    w = _weight_image()
+    f = make_diff_render(
+        mixed_scene.mat_type, mixed_scene.active, W, H, SPP, DEPTH,
+        gamma=False, interpret=True, backward="pallas",
+        ray_tile=128, bwd_ray_tile=128, rr_start=1,
+    )
+
+    def loss(p, c):
+        return jnp.sum(w * f(p, c))
+
+    gp = jax.grad(loss, argnums=(0, 1))(
+        mixed_scene.params, default_camera
+    )
+
+    def oloss(p, c):
+        img = tracer.render(
+            Scene(p, mixed_scene.mat_type, mixed_scene.active), c, W, H,
+            SPP, DEPTH, gamma=False, rr_start=1,
+        )
+        return jnp.sum(w * img)
+
+    go = jax.grad(oloss, argnums=(0, 1))(
+        mixed_scene.params, default_camera
+    )
+    for leaf in jax.tree_util.tree_leaves(gp):
+        assert np.isfinite(np.asarray(leaf)).all()
+    _assert_tree_close(gp, go)
+
+    # wave sweep == per-sample sweep under rr (reassociation only);
+    # window=3 forces rr-shortened paths to span drain rounds
+    base = render_pallas_grads(
+        mixed_scene, default_camera, w, W, H, SPP, DEPTH,
+        ray_tile=128, interpret=True, sweep="sample", rr_start=1,
+    )
+    wave = render_pallas_grads(
+        mixed_scene, default_camera, w, W, H, SPP, DEPTH,
+        ray_tile=128, interpret=True, sweep="wave", window=3, rr_start=1,
+    )
+    _assert_tree_close(base, wave, rtol=1e-4, atol=5e-7)
+
+
+@pytest.mark.slow
 def test_sample_chunked_grads(mixed_scene, default_camera):
     """Cotangents are sums over samples, so two sweeps over disjoint
     sample-id windows add up to the full-range sweep (counter RNG keys
@@ -236,6 +287,37 @@ def test_fused_pixel_order_image_exact(mixed_scene, default_camera):
     np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
     _assert_tree_close((d_sm0, d_cr0), (d_sm1, d_cr1),
                        rtol=1e-4, atol=5e-7)
+
+
+@pytest.mark.slow
+def test_fused_wave_sweep_matches_sample(mixed_scene, default_camera):
+    """The fused train kernel's wave-reversed grad sweep must agree with
+    its per-sample sweep: sweep 1 (the render) is shared code, so loss
+    and image are bit-identical; cotangents agree to reassociation.
+    window=3 forces paths to span drain rounds."""
+    from raytracingincuda_tpu.ops.pallas_backward import mse_train_pallas
+
+    rng = np.random.default_rng(5)
+    target = jnp.asarray(rng.random((H, W, 3)), jnp.float32)
+    base = mse_train_pallas(
+        mixed_scene, default_camera, target, W, H, SPP, DEPTH,
+        ray_tile=128, interpret=True, park_residuals=False,
+        sweep="sample",
+    )
+    for window in (0, 3):
+        wave = mse_train_pallas(
+            mixed_scene, default_camera, target, W, H, SPP, DEPTH,
+            ray_tile=128, interpret=True, park_residuals=False,
+            sweep="wave", window=window,
+        )
+        for leaf in jax.tree_util.tree_leaves(wave):
+            assert np.isfinite(np.asarray(leaf)).all()
+        np.testing.assert_array_equal(
+            np.asarray(base[1]), np.asarray(wave[1])
+        )
+        np.testing.assert_allclose(float(base[0]), float(wave[0]),
+                                   rtol=1e-6)
+        _assert_tree_close(base[2:], wave[2:], rtol=1e-4, atol=5e-7)
 
 
 @pytest.mark.slow

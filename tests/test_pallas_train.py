@@ -162,7 +162,11 @@ def test_fused_park_residuals_identical(tiny_scene, default_camera):
     W, H = 40, 24
     target = jax.random.uniform(jax.random.PRNGKey(3), (H, W, 3),
                                 jnp.float32)
-    kw = dict(ray_tile=128, interpret=True, gamma=False)
+    # sweep='sample': parking removes the per-sample sweep's re-trace, so
+    # bitwise identity holds against THAT sweep (the wave sweep accumulates
+    # in wave order — reassociation; covered by
+    # test_pallas_grad.test_fused_wave_sweep_matches_sample)
+    kw = dict(ray_tile=128, interpret=True, gamma=False, sweep="sample")
     outs0 = mse_train_pallas(tiny_scene, default_camera, target, W, H,
                              2, 4, park_residuals=False, **kw)
     outs1 = mse_train_pallas(tiny_scene, default_camera, target, W, H,
