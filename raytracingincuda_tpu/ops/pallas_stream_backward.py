@@ -48,11 +48,15 @@ from . import rng as rtrng
 from .pallas_backward import (
     _CAM_COLS,
     _N_CAM,
+    _R_BOUNCE,
+    _R_DIES,
+    _R_SAMPLE,
     _ST_ROWS,
     _camera_from_scalars,
     _pack_residual,
     _scatter_matmul,
     _unpack_residual,
+    _wave_pack_residual,
     _winner_bounce,
 )
 from .pallas_kernel import NUM_COLS, _round_up, pack_camera
@@ -62,6 +66,7 @@ from .pallas_stream import (
     _RAY_ROWS,
     _hit_world_stream,
 )
+from . import vec
 from .tracer import primary_rays_from_ij
 from .vec import Vec3
 
@@ -79,7 +84,7 @@ def _stream_grad_kernel(
     buf0, buf1, sem0, sem1, *scratch,
     samples: int, max_depth: int, seed: int, dtype, block: int,
     n_blocks: int, n_groups: int, mse: bool = False,
-    num_pixels: int = 0,
+    num_pixels: int = 0, sweep: str = "sample", window: int = 32,
 ):
     """``mse=False``: gr/gg/gb rows are the upstream cotangent g_acc;
     loss output stays 0. ``mse=True`` (the FUSED train step): gr/gg/gb
@@ -88,7 +93,15 @@ def _stream_grad_kernel(
     in-kernel, and banks the tile's partial loss — one Mosaic program
     for the whole value_and_grad (the two-program composition pays a
     tunnel dispatch per phase; see make_mse_train's 14x for the VMEM
-    analog)."""
+    analog).
+
+    ``sweep='wave'``: the wave-reversed regenerating sweep (the VMEM
+    backward's round-3 rebuild, pallas_backward._wave_grad_sweep,
+    adapted to the block walk). Each parked wave is a full O(N) HBM
+    block walk, so removing the per-sample lane-MAX path-length tail
+    removes whole walks — the win is LARGER here than on the VMEM
+    kernel. Gradients equal the per-sample sweep's up to reassociation
+    (same replay math and RNG streams; wave-order accumulation)."""
     ray_scr = scratch[0]
     t_refs = list(scratch[1:1 + n_groups])
     p_refs = list(scratch[1 + n_groups:1 + 2 * n_groups])
@@ -170,6 +183,38 @@ def _stream_grad_kernel(
         )
     else:
         g = Vec3(gr_ref[0, :, :], gg_ref[0, :, :], gb_ref[0, :, :])
+
+    def _scatter_rows(d_rows, sid_v):
+        """Block-looped MXU scatter of (16, R) cotangent rows into the
+        VMEM-resident (N, 16) accumulator, skipping blocks with no
+        winner (Morton-sorted scenes keep a tile's winners in few
+        blocks)."""
+
+        def scatter_block(blk_i, _):
+            base = blk_i * block
+            base_f = base.astype(dtype)
+            in_blk = (sid_v >= base_f) & (sid_v < base_f + block)
+
+            @pl.when(jnp.max(in_blk.astype(dtype)) > 0.0)
+            def _():
+                # iota must be integer-typed on real Mosaic (f32 iota
+                # fails MLIR verification); cast after
+                local = jax.lax.broadcasted_iota(
+                    jnp.int32, (block, 1), 0
+                ).astype(dtype)                        # (B, 1)
+                one_hot = (
+                    (sid_v - base_f) == local
+                ).astype(dtype)                        # (B, R)
+                # one-side bf16x3 split: f32-exact scatter without
+                # HIGHEST's both-side 6-pass cost (see
+                # pallas_backward._scatter_matmul)
+                d_blk = _scatter_matmul(one_hot, d_rows)  # (B, 16)
+                ds = pl.ds(pl.multiple_of(base, block), block)
+                dscene_ref[ds, :] = dscene_ref[ds, :] + d_blk
+
+            return 0
+
+        lax.fori_loop(0, n_blocks, scatter_block, 0)
 
     def one_sample(s_i, d_cam_acc):
         s_u = s_i.astype(jnp.uint32)
@@ -253,32 +298,7 @@ def _stream_grad_kernel(
             )                                             # (16, R)
             valid = hit & (alive_f > 0.5)
             sid_v = jnp.where(valid, sid, -1.0)           # never scatters
-
-            def scatter_block(blk_i, _):
-                base = blk_i * block
-                base_f = base.astype(dtype)
-                in_blk = (sid_v >= base_f) & (sid_v < base_f + block)
-
-                @pl.when(jnp.max(in_blk.astype(dtype)) > 0.0)
-                def _():
-                    # iota must be integer-typed on real Mosaic (f32 iota
-                    # fails MLIR verification); cast after
-                    local = jax.lax.broadcasted_iota(
-                        jnp.int32, (block, 1), 0
-                    ).astype(dtype)                        # (B, 1)
-                    one_hot = (
-                        (sid_v - base_f) == local
-                    ).astype(dtype)                        # (B, R)
-                    # one-side bf16x3 split: f32-exact scatter without
-                    # HIGHEST's both-side 6-pass cost (see
-                    # pallas_backward._scatter_matmul)
-                    d_blk = _scatter_matmul(one_hot, d_rows)  # (B, 16)
-                    ds = pl.ds(pl.multiple_of(base, block), block)
-                    dscene_ref[ds, :] = dscene_ref[ds, :] + d_blk
-
-                return 0
-
-            lax.fori_loop(0, n_blocks, scatter_block, 0)
+            _scatter_rows(d_rows, sid_v)
             return (d_o, d_d, d_at, d_al)
 
         ct0 = (Vec3.zeros(shape, dtype=dtype),
@@ -291,7 +311,189 @@ def _stream_grad_kernel(
         return tuple(d_cam_acc[k] + d_cam_vals[k] for k in range(_N_CAM))
 
     zero_cam = tuple(jnp.zeros((), dtype) for _ in range(_N_CAM))
-    d_cam = lax.fori_loop(0, samples, one_sample, zero_cam)
+
+    if sweep == "wave":
+        # ---- wave-reversed regenerating sweep (see docstring) ---------
+        zero3 = Vec3.zeros(shape, dtype=dtype)
+        zero_row = jnp.zeros(shape, dtype)
+        one_row = jnp.ones(shape, dtype)
+        budget = float(samples)
+
+        def to_u32(f):
+            return pltpu.bitcast(f.astype(jnp.int32), jnp.uint32)
+
+        def primary_from(cvals, s_u):
+            cam = _camera_from_scalars(cvals, use_defocus)
+            return primary_rays_from_ij(cam, fi, fj, pixel_ids, s_u,
+                                        key, dtype)
+
+        def fwd_phase(state):
+            """Park-and-advance until the window fills and live paths
+            drain; every wave is one O(N) block walk."""
+            sample_f, bounce_f, o, d, atten, alive_f = state
+            regen0 = (alive_f < 0.5) & (sample_f < budget)
+            o_n, d_n = primary_from(cam_vals, to_u32(sample_f))
+            o = vec.where(regen0, o_n, o)
+            d = vec.where(regen0, d_n, d)
+            atten = vec.where(regen0, Vec3(one_row, one_row, one_row),
+                              atten)
+            bounce_f = jnp.where(regen0, zero_row, bounce_f)
+            alive_f = jnp.where(regen0, one_row, alive_f)
+
+            def cond(c):
+                w = c[0]
+                al = c[6]
+                return (w < window + max_depth) & (jnp.max(al) > 0.5)
+
+            def body(c):
+                w, sample_f, bounce_f, o, d, atten, alive_f = c
+                active = alive_f > 0.5
+                (hit_raw, _t, wc, wr, walb, wfuzz, wior, wmat, sid) = (
+                    hit_stream(o, d)
+                )
+                hit = hit_raw & active
+                s_u = to_u32(sample_f)
+                b_u = to_u32(bounce_f)
+                (o2, d2, at2, al2), _ = _winner_bounce(
+                    wc, wr, walb, wfuzz, wior, wmat, hit,
+                    o, d, atten, alive_f, pixel_ids, s_u, b_u, key,
+                    dtype,
+                )
+                at_cap = (al2 > 0.5) & (bounce_f >= (max_depth - 1))
+                al3 = jnp.where(at_cap, 0.0, al2).astype(dtype)
+                dies = active & (al3 < 0.5)
+                dies_f = jnp.where(dies, 1.0, 0.0).astype(dtype)
+
+                st_ref[pl.ds(pl.multiple_of(w * _ST_ROWS, _ST_ROWS),
+                             _ST_ROWS), :] = _wave_pack_residual(
+                    o, d, atten, alive_f, hit.astype(dtype),
+                    wc, wr, walb, wfuzz, wior, wmat, sid,
+                    dies_f, sample_f, bounce_f,
+                )
+
+                continues = active & (al3 > 0.5)
+                sample_next = sample_f + jnp.where(dies, one_row,
+                                                   zero_row)
+                pull_ok = (w + 1) < window
+                regen = dies & (sample_next < budget) & pull_ok
+                o3 = vec.where(continues, o2, o)
+                d3 = vec.where(continues, d2, d)
+                at3 = vec.where(continues, at2, atten)
+                o_n, d_n = primary_from(cam_vals, to_u32(sample_next))
+                o3 = vec.where(regen, o_n, o3)
+                d3 = vec.where(regen, d_n, d3)
+                at3 = vec.where(regen, Vec3(one_row, one_row, one_row),
+                                at3)
+                bounce3 = jnp.where(continues, bounce_f + 1.0,
+                                    jnp.where(regen, zero_row, bounce_f))
+                alive3 = jnp.where(continues | regen, 1.0,
+                                   0.0).astype(dtype)
+                sample3 = jnp.where(dies, sample_next, sample_f)
+                return (w + 1, sample3, bounce3, o3, d3, at3, alive3)
+
+            init = (jnp.int32(0), sample_f, bounce_f, o, d, atten,
+                    alive_f)
+            out = lax.while_loop(cond, body, init)
+            return out[0], out[1:]
+
+        def rev_phase(w_end, d_cam0):
+            """Walk parked waves w_end-1 .. 0: winner-replay vjp, block
+            scatter, camera vjp at path-start rows; per-lane cotangent
+            carries reset at the parked died-here flags."""
+
+            def body(i, c):
+                d_cam, ct_o, ct_d, ct_at, ct_al = c
+                w = w_end - 1 - i
+                blk = st_ref[pl.ds(pl.multiple_of(w * _ST_ROWS,
+                                                  _ST_ROWS),
+                                   _ST_ROWS), :]
+                (o, d, atten, alive_f, hit_f, wc, wr, walb, wfuzz,
+                 wior, wmat, sid) = _unpack_residual(blk)
+                r1 = lambda k: blk[k:k + 1, :]
+                dies_f = r1(_R_DIES)
+                sample_row = r1(_R_SAMPLE)
+                bounce_row = r1(_R_BOUNCE)
+                hit = hit_f > 0.5
+                s_u = to_u32(sample_row)
+                b_u = to_u32(bounce_row)
+
+                ended = dies_f > 0.5
+                ct_o_in = vec.where(ended, zero3, ct_o)
+                ct_d_in = vec.where(ended, zero3, ct_d)
+                ct_at_in = vec.where(ended, zero3, ct_at)
+                ct_al_in = jnp.where(ended, zero_row, ct_al)
+
+                def fb(wc_, wr_, walb_, wfuzz_, wior_, o_, d_, at_, al_):
+                    return _winner_bounce(
+                        wc_, wr_, walb_, wfuzz_, wior_, wmat, hit,
+                        o_, d_, at_, al_, pixel_ids, s_u, b_u, key,
+                        dtype,
+                    )
+
+                _, vjp_f = jax.vjp(fb, wc, wr, walb, wfuzz, wior,
+                                   o, d, atten, alive_f)
+                (d_wc, d_wr, d_walb, d_wfuzz, d_wior,
+                 d_o, d_d, d_at, d_al) = vjp_f(
+                    ((ct_o_in, ct_d_in, ct_at_in, ct_al_in), g)
+                )
+
+                zero = jnp.zeros(shape, dtype)
+                d_rows = jnp.concatenate(
+                    [d_wc.x, d_wc.y, d_wc.z, d_wr,
+                     d_walb.x, d_walb.y, d_walb.z, d_wfuzz, d_wior]
+                    + [zero] * (NUM_COLS - 9),
+                    axis=0,
+                )                                             # (16, R)
+                valid = hit & (alive_f > 0.5)
+                sid_v = jnp.where(valid, sid, -1.0)
+                _scatter_rows(d_rows, sid_v)
+
+                # path-start rows: o/d cotangents flow into the camera
+                start = (bounce_row < 0.5) & (alive_f > 0.5)
+
+                def prim(cvals):
+                    return primary_from(cvals, s_u)
+
+                _, vjp_p = jax.vjp(prim, cam_vals)
+                ct_o_m = vec.where(start, d_o, zero3)
+                ct_d_m = vec.where(start, d_d, zero3)
+                (d_cam_vals,) = vjp_p((ct_o_m, ct_d_m))
+                d_cam = tuple(d_cam[k] + d_cam_vals[k]
+                              for k in range(_N_CAM))
+
+                ct_o2 = vec.where(start, zero3, d_o)
+                ct_d2 = vec.where(start, zero3, d_d)
+                ct_at2 = vec.where(start, zero3, d_at)
+                ct_al2 = jnp.where(start, zero_row, d_al)
+                return (d_cam, ct_o2, ct_d2, ct_at2, ct_al2)
+
+            init = (d_cam0, zero3, zero3, zero3, zero_row)
+            out = lax.fori_loop(0, w_end, body, init)
+            return out[0]
+
+        def outer_cond(c):
+            sample_f, alive_f = c[0], c[5]
+            return (jnp.max(jnp.where(sample_f < budget, 1.0, 0.0))
+                    > 0.5) | (jnp.max(alive_f) > 0.5)
+
+        def outer_body(c):
+            state = c[:6]
+            d_cam_c = c[6]
+            w_end, state2 = fwd_phase(state)
+            d_cam_c = rev_phase(w_end, d_cam_c)
+            return state2 + (d_cam_c,)
+
+        init = (
+            zero_row,                                       # sample_f
+            zero_row,                                       # bounce_f
+            zero3, zero3,                                   # o, d
+            Vec3.full(shape, 1.0, 1.0, 1.0, dtype=dtype),   # atten
+            zero_row,                                       # alive_f
+            zero_cam,
+        )
+        d_cam = lax.while_loop(outer_cond, outer_body, init)[6]
+    else:
+        d_cam = lax.fori_loop(0, samples, one_sample, zero_cam)
 
     for k in range(_N_CAM):
         dcam_ref[0, k] = dcam_ref[0, k] + d_cam[k]
@@ -313,11 +515,23 @@ def _stream_grad_program(
     lane_group: int = 0,
     mesh=None,
     interpret: bool = False,
+    sweep: str = "sample",
+    window: int = 0,
 ):
     """Shared driver for both grad entry points. ``rows3`` (H, W, 3) is
     the upstream cotangent g_acc (mse=False) or the target image
     (mse=True). Returns (loss (1,1), d_stream_matrix (N, 16) in STREAM
-    row order, d_camera_row (1, 24))."""
+    row order, d_camera_row (1, 24)).
+
+    ``sweep='wave'``: wave-reversed regenerating sweep (kernel
+    docstring); ``window`` = parked waves per round (0 = auto by the
+    same ~10 MB scratch budget as the VMEM backward)."""
+    if sweep not in ("wave", "sample"):
+        raise ValueError("sweep must be 'wave' or 'sample'")
+    if sweep == "wave" and not window:
+        budget_waves = int(10e6 // (_ST_ROWS * ray_tile * 4))
+        window = max(8, budget_waves - max_depth)
+    scratch_waves = window + max_depth if sweep == "wave" else max_depth
     cam = initialize(cam_cfg, img_width, img_height)
     num_pixels = img_width * img_height
     n_shards = (
@@ -368,6 +582,8 @@ def _stream_grad_program(
         n_groups=n_groups,
         mse=mse,
         num_pixels=num_pixels,
+        sweep=sweep,
+        window=window,
     )
 
     def run(ids_arr, ii_arr, jj_arr, g_r, g_g, g_b, scene_m, bounds_m,
@@ -410,7 +626,8 @@ def _stream_grad_program(
                 + [pltpu.VMEM((_RAY_ROWS * n_groups, g_size), dtype)]
                 + [pltpu.VMEM((1, g_size), dtype)] * n_groups
                 + [pltpu.VMEM((STREAM_COLS, g_size), dtype)] * n_groups
-                + [pltpu.VMEM((max_depth * _ST_ROWS, ray_tile), dtype)]
+                + [pltpu.VMEM((scratch_waves * _ST_ROWS, ray_tile),
+                              dtype)]
             ),
             cost_estimate=pl.CostEstimate(
                 flops=int(2 * samples_per_pixel * max_depth * padded

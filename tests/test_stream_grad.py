@@ -48,12 +48,13 @@ def _weight():
     return jnp.asarray(rng.standard_normal((H, W, 3)), jnp.float32)
 
 
-def _stream_grads(scene, cam, *, block=128, ray_tile=128, mesh=None):
+def _stream_grads(scene, cam, *, block=128, ray_tile=128, mesh=None,
+                  sweep="sample", window=0):
     w = _weight()
     stream = prepare_stream_scene(scene, block=block)
     d_stream, d_cr = render_pallas_stream_grads(
         stream, cam, w / SPP, W, H, SPP, DEPTH, ray_tile=ray_tile,
-        interpret=True, mesh=mesh,
+        interpret=True, mesh=mesh, sweep=sweep, window=window,
     )
     d_sm = stream_grads_to_scene_mat(d_stream, stream, scene.num_slots)
     return chain_to_params(d_sm, d_cr, scene.params, cam,
@@ -99,6 +100,32 @@ def test_multi_block_morton_scatter(default_camera):
     gs = _stream_grads(scene, default_camera, block=32)
     go = _oracle_grads(scene, default_camera)
     _assert_tree_close(gs, go, rtol=1e-2, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_wave_sweep_matches_sample(mixed_scene, default_camera):
+    """The stream wave-reversed regenerating sweep (round 3) must agree
+    with the per-sample sweep to reassociation precision — same winner
+    replay and RNG streams, wave-order accumulation. window=3 forces
+    paths to span drain rounds."""
+    base = _stream_grads(mixed_scene, default_camera, sweep="sample")
+    for window in (0, 3):
+        wave = _stream_grads(mixed_scene, default_camera, sweep="wave",
+                             window=window)
+        _assert_tree_close(base, wave, rtol=1e-4, atol=5e-7)
+
+
+@pytest.mark.slow
+def test_wave_sweep_multi_block(default_camera):
+    """Wave sweep on a 4-block Morton-sorted scene: the per-wave block
+    scatter must land every cotangent row in its stream slot."""
+    scene = build_random_scene(90, seed=7, pad_to_multiple=32,
+                               half_extent=8.0)
+    base = _stream_grads(scene, default_camera, block=32, sweep="sample")
+    wave = _stream_grads(scene, default_camera, block=32, sweep="wave")
+    # atol floor: near-zero camera leaves see a couple reassociation
+    # ulps over 90 spheres' worth of scatter sums
+    _assert_tree_close(base, wave, rtol=1e-4, atol=2e-6)
 
 
 @pytest.mark.slow
