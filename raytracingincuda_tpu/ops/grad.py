@@ -181,6 +181,9 @@ def make_train_step(
                 samples_per_pixel, max_depth, seed=seed, gamma=gamma,
                 pixel_order=kw.get("pixel_order"), mesh=mesh,
                 interpret=interpret,
+                park_residuals=kw.get("park_residuals"),
+                sweep=kw.get("sweep"), window=kw.get("window", 0),
+                rr_start=kw.get("rr_start"),
             )
             d_params, _d_cam = chain_to_params(
                 d_sm, d_cr, state.params, cam_cfg, mat_type, active,
