@@ -19,4 +19,8 @@ run python benchmarks/stream_bwd_probe.py
 run python benchmarks/df64_probe.py
 run python benchmarks/packed_resident_probe.py
 run python benchmarks/fused_park_probe.py
+# round-3 session 2: wave sweep in the fused/stream kernels + rr backward
+run python benchmarks/fused_wave_probe.py
+run python benchmarks/stream_wave_probe.py
+run python benchmarks/northstar_chunked.py benchmarks/results/northstar_probe.jsonl 50 100 512 2
 echo "all probes done"
