@@ -181,6 +181,7 @@ def make_train_step(
                 samples_per_pixel, max_depth, seed=seed, gamma=gamma,
                 pixel_order=kw.get("pixel_order"), mesh=mesh,
                 interpret=interpret,
+                ray_tile=kw.get("ray_tile"),
                 park_residuals=kw.get("park_residuals"),
                 sweep=kw.get("sweep"), window=kw.get("window", 0),
                 rr_start=kw.get("rr_start"),

@@ -505,13 +505,26 @@ def _wave_pack_residual(o, d, atten, alive_f, hit_f, wc, wr, walb, wfuzz,
     return jnp.concatenate(rows, axis=0)                      # (32, R)
 
 
-def _wave_grad_sweep(scene_mat, cx, cy, cz, rc, active_col, cam_vals,
+def _wave_grad_sweep(hit_fn, scatter_fn, d_scene0, cam_vals,
                      use_defocus, pixel_ids, fi, fj, g, key, st_ref,
                      *, samples: int, max_depth: int, dtype,
                      sample_offset: int = 0, window: int = 32,
                      rr_start=None):
-    """Wave-reversed REGENERATING gradient sweep (shared by the grad
-    kernel and the fused train kernel). Returns (d_scene, d_cam).
+    """Wave-reversed REGENERATING gradient sweep, shared by the grad
+    kernel, the fused train kernel, AND the streaming backward (which
+    inject their own closest-hit and gradient-scatter):
+
+      hit_fn(o, d) -> (hit, wc, wr, walb, wfuzz, wior, wmat, sid)
+        the full (detached) closest-hit — the VMEM (N, R) scan or the
+        streaming HBM block walk.
+      scatter_fn(d_rows, sid_v, carry) -> carry'
+        lands the (16, R) winner cotangent rows at slot ids ``sid_v``
+        (-1 = never scatters) — a carried (N, 16) one-hot matmul
+        accumulation (VMEM) or a direct block-looped write into the
+        output ref (stream; the carry is a dummy scalar).
+      d_scene0: initial scatter carry.
+
+    Returns (d_scene_carry, d_cam 18-tuple).
 
     The per-sample sweep (_tile_grad_sweep) pays the lane-MAX path
     length per sample twice (forward park + reverse walk): measured 4.2x
@@ -536,8 +549,6 @@ def _wave_grad_sweep(scene_mat, cx, cy, cz, rc, active_col, cam_vals,
     only accumulation order differs (float reassociation).
     """
     shape = fi.shape
-    n, cols = scene_mat.shape
-    iota_n = lax.broadcasted_iota(jnp.int32, (n, 1), 0).astype(dtype)
     budget = float(sample_offset + samples)
     zero_row = jnp.zeros(shape, dtype)
     one_row = jnp.ones(shape, dtype)
@@ -574,9 +585,7 @@ def _wave_grad_sweep(scene_mat, cx, cy, cz, rc, active_col, cam_vals,
         def body(c):
             w, sample_f, bounce_f, o, d, atten, alive_f = c
             active = alive_f > 0.5
-            hit_raw, wc, wr, walb, wfuzz, wior, wmat, sid = _hit_winner(
-                scene_mat, cx, cy, cz, rc, active_col, o, d
-            )
+            hit_raw, wc, wr, walb, wfuzz, wior, wmat, sid = hit_fn(o, d)
             hit = hit_raw & active
             s_u = to_u32(sample_f)
             b_u = to_u32(bounce_f)
@@ -666,13 +675,12 @@ def _wave_grad_sweep(scene_mat, cx, cy, cz, rc, active_col, cam_vals,
             d_rows = jnp.concatenate(
                 [d_wc.x, d_wc.y, d_wc.z, d_wr,
                  d_walb.x, d_walb.y, d_walb.z, d_wfuzz, d_wior]
-                + [zero_row] * (cols - 9),
+                + [zero_row] * (NUM_COLS - 9),
                 axis=0,
             )
             valid = hit & (alive_f > 0.5)
             sid_v = jnp.where(valid, sid, -1.0)
-            one_hot = (sid_v == iota_n).astype(dtype)
-            d_scene = d_scene + _scatter_matmul(one_hot, d_rows)
+            d_scene = scatter_fn(d_rows, sid_v, d_scene)
 
             # path-start rows: o/d cotangents flow into the camera
             start = (bounce_row < 0.5) & (alive_f > 0.5)
@@ -717,10 +725,28 @@ def _wave_grad_sweep(scene_mat, cx, cy, cz, rc, active_col, cam_vals,
         zero3, zero3,                                   # o, d
         Vec3.full(shape, 1.0, 1.0, 1.0, dtype=dtype),   # atten
         zero_row,                                       # alive_f
-        jnp.zeros((n, cols), dtype), zero_cam,
+        d_scene0, zero_cam,
     )
     final = lax.while_loop(outer_cond, outer_body, init)
     return final[6], final[7]
+
+
+def _vmem_wave_bindings(scene_mat, cx, cy, cz, rc, active_col, dtype):
+    """(hit_fn, scatter_fn, d_scene0) for _wave_grad_sweep over a
+    VMEM-resident scene: the full (N, R) hit scan and the carried
+    one-hot MXU scatter (the streaming backward injects the HBM block
+    walk and a direct block-looped ref write instead)."""
+    n, cols = scene_mat.shape
+    iota_n = lax.broadcasted_iota(jnp.int32, (n, 1), 0).astype(dtype)
+
+    def hit_fn(o, d):
+        return _hit_winner(scene_mat, cx, cy, cz, rc, active_col, o, d)
+
+    def scatter_fn(d_rows, sid_v, carry):
+        one_hot = (sid_v == iota_n).astype(dtype)
+        return carry + _scatter_matmul(one_hot, d_rows)
+
+    return hit_fn, scatter_fn, jnp.zeros((n, cols), dtype)
 
 
 def _grad_tile_kernel_wave(
@@ -736,8 +762,11 @@ def _grad_tile_kernel_wave(
         ids_ref, ii_ref, jj_ref, scene_ref, cam_ref
     )
     g = Vec3(gr_ref[0, :, :], gg_ref[0, :, :], gb_ref[0, :, :])
+    hit_fn, scatter_fn, d_scene0 = _vmem_wave_bindings(
+        scene_mat, cx, cy, cz, rc, active_col, dtype
+    )
     d_scene, d_cam = _wave_grad_sweep(
-        scene_mat, cx, cy, cz, rc, active_col, cam_vals, use_defocus,
+        hit_fn, scatter_fn, d_scene0, cam_vals, use_defocus,
         pixel_ids, fi, fj, g, key, st_ref,
         samples=samples, max_depth=max_depth, dtype=dtype,
         sample_offset=sample_offset, window=window, rr_start=rr_start,
@@ -893,8 +922,11 @@ def _fused_tile_kernel(
             (jnp.zeros((n, cols), dtype), zero_cam),
         )
     elif sweep == "wave":
+        hit_fn, scatter_fn, d_scene0 = _vmem_wave_bindings(
+            scene_mat, cx, cy, cz, rc, active_col, dtype
+        )
         d_scene, d_cam = _wave_grad_sweep(
-            scene_mat, cx, cy, cz, rc, active_col, cam_vals, use_defocus,
+            hit_fn, scatter_fn, d_scene0, cam_vals, use_defocus,
             pixel_ids, fi, fj, g, key, st_ref,
             samples=samples, max_depth=max_depth, dtype=dtype,
             window=window, rr_start=rr_start,
@@ -1191,8 +1223,10 @@ def mse_train_pallas(
     ``ray_tile=None`` selects tile and parking jointly: a parked step
     at a smaller tile beats the rt1024 re-tracing step whenever parking
     fits (fused_park.jsonl, 16spp: d4 119 vs 142, d8 181 vs 234, d12
-    rt256 225 vs 316 ms), so auto walks rt512 -> rt256 looking for a
-    parking fit and falls back to rt1024 re-tracing.
+    rt256 225 vs 316 ms), so auto walks rt1024 -> rt256 looking for a
+    parking fit and falls back to rt512 + the wave sweep (the
+    standalone wave backward's measured knee, which also bounds the
+    wave residual scratch under the scoped-VMEM budget).
 
     ``sweep`` (None = auto): when parking does not fit, sweep 3 runs as
     the wave-reversed regenerating sweep ('wave', _wave_grad_sweep) —
@@ -1211,7 +1245,12 @@ def mse_train_pallas(
     # (measured fit: d8/16spp/rt512 = 9.0 MB compiles and runs)
     _AUTO_BUDGET = 10 * 2**20
     if ray_tile is None:
-        ray_tile = 1024
+        # parking fit first (wins <= d12); otherwise rt512 — the wave
+        # sweep's measured knee on the standalone grad kernel
+        # (rt512/w128 312 ms vs rt1024/w32 365, bwd_wave.jsonl), which
+        # also halves the wave residual scratch and the (N, R) scan
+        # working set under the 16 MB scoped-VMEM budget
+        ray_tile = 512
         if park_residuals is None:
             for rt in (1024, 512, 256):
                 if _park_fits(rt, _AUTO_BUDGET):

@@ -48,15 +48,12 @@ from . import rng as rtrng
 from .pallas_backward import (
     _CAM_COLS,
     _N_CAM,
-    _R_BOUNCE,
-    _R_DIES,
-    _R_SAMPLE,
     _ST_ROWS,
     _camera_from_scalars,
     _pack_residual,
     _scatter_matmul,
     _unpack_residual,
-    _wave_pack_residual,
+    _wave_grad_sweep,
     _winner_bounce,
 )
 from .pallas_kernel import NUM_COLS, _round_up, pack_camera
@@ -66,7 +63,6 @@ from .pallas_stream import (
     _RAY_ROWS,
     _hit_world_stream,
 )
-from . import vec
 from .tracer import primary_rays_from_ij
 from .vec import Vec3
 
@@ -85,6 +81,7 @@ def _stream_grad_kernel(
     samples: int, max_depth: int, seed: int, dtype, block: int,
     n_blocks: int, n_groups: int, mse: bool = False,
     num_pixels: int = 0, sweep: str = "sample", window: int = 32,
+    rr_start=None,
 ):
     """``mse=False``: gr/gg/gb rows are the upstream cotangent g_acc;
     loss output stays 0. ``mse=True`` (the FUSED train step): gr/gg/gb
@@ -95,13 +92,18 @@ def _stream_grad_kernel(
     tunnel dispatch per phase; see make_mse_train's 14x for the VMEM
     analog).
 
-    ``sweep='wave'``: the wave-reversed regenerating sweep (the VMEM
-    backward's round-3 rebuild, pallas_backward._wave_grad_sweep,
-    adapted to the block walk). Each parked wave is a full O(N) HBM
-    block walk, so removing the per-sample lane-MAX path-length tail
-    removes whole walks — the win is LARGER here than on the VMEM
-    kernel. Gradients equal the per-sample sweep's up to reassociation
-    (same replay math and RNG streams; wave-order accumulation)."""
+    ``sweep='wave'``: the SHARED wave-reversed regenerating sweep
+    (pallas_backward._wave_grad_sweep) with the HBM block walk injected
+    as its closest-hit and the block-looped ref write as its scatter.
+    Each parked wave is a full O(N) block walk, so removing the
+    per-sample lane-MAX path-length tail removes whole walks — the win
+    is LARGER here than on the VMEM kernel. Gradients equal the
+    per-sample sweep's up to reassociation (same replay math and RNG
+    streams; wave-order accumulation).
+
+    ``rr_start``: differentiate the Russian-roulette estimator from
+    that bounce (replays the forward's RR streams bitwise — see
+    pallas_backward._winner_bounce)."""
     ray_scr = scratch[0]
     t_refs = list(scratch[1:1 + n_groups])
     p_refs = list(scratch[1 + n_groups:1 + 2 * n_groups])
@@ -155,7 +157,7 @@ def _stream_grad_kernel(
                 (o2, d2, at2, al2), contrib = _winner_bounce(
                     wc, wr, walb, wfuzz, wior, wmat, hit,
                     o, d, atten, alive_f, pixel_ids, s_u, b_u, key,
-                    dtype,
+                    dtype, rr_start=rr_start,
                 )
                 return (b + 1, o2, d2, at2, al2,
                         ax + contrib.x, ay + contrib.y, az + contrib.z)
@@ -255,6 +257,7 @@ def _stream_grad_kernel(
             (o2, d2, at2, al2), _ = _winner_bounce(
                 wc, wr, walb, wfuzz, wior, wmat, hit,
                 o, d, atten, alive_f, pixel_ids, s_u, b_u, key, dtype,
+                rr_start=rr_start,
             )
             return (b + 1, o2, d2, at2, al2)
 
@@ -278,6 +281,7 @@ def _stream_grad_kernel(
                 return _winner_bounce(
                     wc_, wr_, walb_, wfuzz_, wior_, wmat, hit,
                     o_, d_, at_, al_, pixel_ids, s_u, b_u, key, dtype,
+                    rr_start=rr_start,
                 )
 
             _, vjp_f = jax.vjp(f, wc, wr, walb, wfuzz, wior,
@@ -313,185 +317,25 @@ def _stream_grad_kernel(
     zero_cam = tuple(jnp.zeros((), dtype) for _ in range(_N_CAM))
 
     if sweep == "wave":
-        # ---- wave-reversed regenerating sweep (see docstring) ---------
-        zero3 = Vec3.zeros(shape, dtype=dtype)
-        zero_row = jnp.zeros(shape, dtype)
-        one_row = jnp.ones(shape, dtype)
-        budget = float(samples)
+        # shared wave-reversed regenerating sweep with stream bindings:
+        # the HBM block walk as the closest-hit, the block-looped ref
+        # write as the scatter (dummy scalar carry)
+        def hit_fn(o, d):
+            hit, _t, wc, wr, walb, wfuzz, wior, wmat, sid = hit_stream(
+                o, d
+            )
+            return hit, wc, wr, walb, wfuzz, wior, wmat, sid
 
-        def to_u32(f):
-            return pltpu.bitcast(f.astype(jnp.int32), jnp.uint32)
+        def scatter_fn(d_rows, sid_v, carry):
+            _scatter_rows(d_rows, sid_v)
+            return carry
 
-        def primary_from(cvals, s_u):
-            cam = _camera_from_scalars(cvals, use_defocus)
-            return primary_rays_from_ij(cam, fi, fj, pixel_ids, s_u,
-                                        key, dtype)
-
-        def fwd_phase(state):
-            """Park-and-advance until the window fills and live paths
-            drain; every wave is one O(N) block walk."""
-            sample_f, bounce_f, o, d, atten, alive_f = state
-            regen0 = (alive_f < 0.5) & (sample_f < budget)
-            o_n, d_n = primary_from(cam_vals, to_u32(sample_f))
-            o = vec.where(regen0, o_n, o)
-            d = vec.where(regen0, d_n, d)
-            atten = vec.where(regen0, Vec3(one_row, one_row, one_row),
-                              atten)
-            bounce_f = jnp.where(regen0, zero_row, bounce_f)
-            alive_f = jnp.where(regen0, one_row, alive_f)
-
-            def cond(c):
-                w = c[0]
-                al = c[6]
-                return (w < window + max_depth) & (jnp.max(al) > 0.5)
-
-            def body(c):
-                w, sample_f, bounce_f, o, d, atten, alive_f = c
-                active = alive_f > 0.5
-                (hit_raw, _t, wc, wr, walb, wfuzz, wior, wmat, sid) = (
-                    hit_stream(o, d)
-                )
-                hit = hit_raw & active
-                s_u = to_u32(sample_f)
-                b_u = to_u32(bounce_f)
-                (o2, d2, at2, al2), _ = _winner_bounce(
-                    wc, wr, walb, wfuzz, wior, wmat, hit,
-                    o, d, atten, alive_f, pixel_ids, s_u, b_u, key,
-                    dtype,
-                )
-                at_cap = (al2 > 0.5) & (bounce_f >= (max_depth - 1))
-                al3 = jnp.where(at_cap, 0.0, al2).astype(dtype)
-                dies = active & (al3 < 0.5)
-                dies_f = jnp.where(dies, 1.0, 0.0).astype(dtype)
-
-                st_ref[pl.ds(pl.multiple_of(w * _ST_ROWS, _ST_ROWS),
-                             _ST_ROWS), :] = _wave_pack_residual(
-                    o, d, atten, alive_f, hit.astype(dtype),
-                    wc, wr, walb, wfuzz, wior, wmat, sid,
-                    dies_f, sample_f, bounce_f,
-                )
-
-                continues = active & (al3 > 0.5)
-                sample_next = sample_f + jnp.where(dies, one_row,
-                                                   zero_row)
-                pull_ok = (w + 1) < window
-                regen = dies & (sample_next < budget) & pull_ok
-                o3 = vec.where(continues, o2, o)
-                d3 = vec.where(continues, d2, d)
-                at3 = vec.where(continues, at2, atten)
-                o_n, d_n = primary_from(cam_vals, to_u32(sample_next))
-                o3 = vec.where(regen, o_n, o3)
-                d3 = vec.where(regen, d_n, d3)
-                at3 = vec.where(regen, Vec3(one_row, one_row, one_row),
-                                at3)
-                bounce3 = jnp.where(continues, bounce_f + 1.0,
-                                    jnp.where(regen, zero_row, bounce_f))
-                alive3 = jnp.where(continues | regen, 1.0,
-                                   0.0).astype(dtype)
-                sample3 = jnp.where(dies, sample_next, sample_f)
-                return (w + 1, sample3, bounce3, o3, d3, at3, alive3)
-
-            init = (jnp.int32(0), sample_f, bounce_f, o, d, atten,
-                    alive_f)
-            out = lax.while_loop(cond, body, init)
-            return out[0], out[1:]
-
-        def rev_phase(w_end, d_cam0):
-            """Walk parked waves w_end-1 .. 0: winner-replay vjp, block
-            scatter, camera vjp at path-start rows; per-lane cotangent
-            carries reset at the parked died-here flags."""
-
-            def body(i, c):
-                d_cam, ct_o, ct_d, ct_at, ct_al = c
-                w = w_end - 1 - i
-                blk = st_ref[pl.ds(pl.multiple_of(w * _ST_ROWS,
-                                                  _ST_ROWS),
-                                   _ST_ROWS), :]
-                (o, d, atten, alive_f, hit_f, wc, wr, walb, wfuzz,
-                 wior, wmat, sid) = _unpack_residual(blk)
-                r1 = lambda k: blk[k:k + 1, :]
-                dies_f = r1(_R_DIES)
-                sample_row = r1(_R_SAMPLE)
-                bounce_row = r1(_R_BOUNCE)
-                hit = hit_f > 0.5
-                s_u = to_u32(sample_row)
-                b_u = to_u32(bounce_row)
-
-                ended = dies_f > 0.5
-                ct_o_in = vec.where(ended, zero3, ct_o)
-                ct_d_in = vec.where(ended, zero3, ct_d)
-                ct_at_in = vec.where(ended, zero3, ct_at)
-                ct_al_in = jnp.where(ended, zero_row, ct_al)
-
-                def fb(wc_, wr_, walb_, wfuzz_, wior_, o_, d_, at_, al_):
-                    return _winner_bounce(
-                        wc_, wr_, walb_, wfuzz_, wior_, wmat, hit,
-                        o_, d_, at_, al_, pixel_ids, s_u, b_u, key,
-                        dtype,
-                    )
-
-                _, vjp_f = jax.vjp(fb, wc, wr, walb, wfuzz, wior,
-                                   o, d, atten, alive_f)
-                (d_wc, d_wr, d_walb, d_wfuzz, d_wior,
-                 d_o, d_d, d_at, d_al) = vjp_f(
-                    ((ct_o_in, ct_d_in, ct_at_in, ct_al_in), g)
-                )
-
-                zero = jnp.zeros(shape, dtype)
-                d_rows = jnp.concatenate(
-                    [d_wc.x, d_wc.y, d_wc.z, d_wr,
-                     d_walb.x, d_walb.y, d_walb.z, d_wfuzz, d_wior]
-                    + [zero] * (NUM_COLS - 9),
-                    axis=0,
-                )                                             # (16, R)
-                valid = hit & (alive_f > 0.5)
-                sid_v = jnp.where(valid, sid, -1.0)
-                _scatter_rows(d_rows, sid_v)
-
-                # path-start rows: o/d cotangents flow into the camera
-                start = (bounce_row < 0.5) & (alive_f > 0.5)
-
-                def prim(cvals):
-                    return primary_from(cvals, s_u)
-
-                _, vjp_p = jax.vjp(prim, cam_vals)
-                ct_o_m = vec.where(start, d_o, zero3)
-                ct_d_m = vec.where(start, d_d, zero3)
-                (d_cam_vals,) = vjp_p((ct_o_m, ct_d_m))
-                d_cam = tuple(d_cam[k] + d_cam_vals[k]
-                              for k in range(_N_CAM))
-
-                ct_o2 = vec.where(start, zero3, d_o)
-                ct_d2 = vec.where(start, zero3, d_d)
-                ct_at2 = vec.where(start, zero3, d_at)
-                ct_al2 = jnp.where(start, zero_row, d_al)
-                return (d_cam, ct_o2, ct_d2, ct_at2, ct_al2)
-
-            init = (d_cam0, zero3, zero3, zero3, zero_row)
-            out = lax.fori_loop(0, w_end, body, init)
-            return out[0]
-
-        def outer_cond(c):
-            sample_f, alive_f = c[0], c[5]
-            return (jnp.max(jnp.where(sample_f < budget, 1.0, 0.0))
-                    > 0.5) | (jnp.max(alive_f) > 0.5)
-
-        def outer_body(c):
-            state = c[:6]
-            d_cam_c = c[6]
-            w_end, state2 = fwd_phase(state)
-            d_cam_c = rev_phase(w_end, d_cam_c)
-            return state2 + (d_cam_c,)
-
-        init = (
-            zero_row,                                       # sample_f
-            zero_row,                                       # bounce_f
-            zero3, zero3,                                   # o, d
-            Vec3.full(shape, 1.0, 1.0, 1.0, dtype=dtype),   # atten
-            zero_row,                                       # alive_f
-            zero_cam,
+        _, d_cam = _wave_grad_sweep(
+            hit_fn, scatter_fn, jnp.zeros((), dtype), cam_vals,
+            use_defocus, pixel_ids, fi, fj, g, key, st_ref,
+            samples=samples, max_depth=max_depth, dtype=dtype,
+            window=window, rr_start=rr_start,
         )
-        d_cam = lax.while_loop(outer_cond, outer_body, init)[6]
     else:
         d_cam = lax.fori_loop(0, samples, one_sample, zero_cam)
 
@@ -517,6 +361,7 @@ def _stream_grad_program(
     interpret: bool = False,
     sweep: str = "sample",
     window: int = 0,
+    rr_start=None,
 ):
     """Shared driver for both grad entry points. ``rows3`` (H, W, 3) is
     the upstream cotangent g_acc (mse=False) or the target image
@@ -584,6 +429,7 @@ def _stream_grad_program(
         num_pixels=num_pixels,
         sweep=sweep,
         window=window,
+        rr_start=rr_start,
     )
 
     def run(ids_arr, ii_arr, jj_arr, g_r, g_g, g_b, scene_m, bounds_m,
@@ -680,8 +526,9 @@ def render_pallas_stream_grads(
     """Cotangents for an upstream ``g_acc`` (H, W, 3) in the ACCUMULATED
     radiance domain: (d_stream_matrix (N, 16) in STREAM row order,
     d_camera_row (1, 24)). Map the former back to Scene order with
-    stream_grads_to_scene_mat. Non-RR estimator only (like the VMEM
-    backward)."""
+    stream_grads_to_scene_mat. Pass ``rr_start`` to differentiate the
+    Russian-roulette estimator (matching the forward render's
+    rr_start), ``sweep='wave'`` for the regenerating sweep."""
     _, d_stream, d_cam = _stream_grad_program(
         stream, cam_cfg, g_acc, img_width, img_height,
         samples_per_pixel, max_depth, mse=False, **kw,

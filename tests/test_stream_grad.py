@@ -116,6 +116,37 @@ def test_wave_sweep_matches_sample(mixed_scene, default_camera):
 
 
 @pytest.mark.slow
+def test_rr_grads_match_oracle_stream(mixed_scene, default_camera):
+    """Russian-roulette gradients through the STREAMING backward (both
+    sweeps) vs jax.grad through the oracle with the same rr_start — the
+    stream kernel replays the forward's RR streams bitwise too."""
+    w = _weight()
+    stream = prepare_stream_scene(mixed_scene, block=128)
+
+    def stream_rr(sweep):
+        d_stream, d_cr = render_pallas_stream_grads(
+            stream, default_camera, w / SPP, W, H, SPP, DEPTH,
+            ray_tile=128, interpret=True, rr_start=1, sweep=sweep,
+        )
+        d_sm = stream_grads_to_scene_mat(d_stream, stream,
+                                         mixed_scene.num_slots)
+        return chain_to_params(d_sm, d_cr, mixed_scene.params,
+                               default_camera, mixed_scene.mat_type,
+                               mixed_scene.active, W, H)
+
+    def loss(p, c):
+        img = tracer.render(Scene(p, mixed_scene.mat_type,
+                                  mixed_scene.active), c,
+                            W, H, SPP, DEPTH, gamma=False, rr_start=1)
+        return jnp.sum(w * img)
+
+    go = jax.grad(loss, argnums=(0, 1))(mixed_scene.params,
+                                        default_camera)
+    for sweep in ("sample", "wave"):
+        _assert_tree_close(stream_rr(sweep), go)
+
+
+@pytest.mark.slow
 def test_wave_sweep_multi_block(default_camera):
     """Wave sweep on a 4-block Morton-sorted scene: the per-wave block
     scatter must land every cotangent row in its stream slot."""
