@@ -682,16 +682,29 @@ def _wave_grad_sweep(hit_fn, scatter_fn, d_scene0, cam_vals,
             sid_v = jnp.where(valid, sid, -1.0)
             d_scene = scatter_fn(d_rows, sid_v, d_scene)
 
-            # path-start rows: o/d cotangents flow into the camera
+            # path-start rows: o/d cotangents flow into the camera.
+            # Gated on any-start: most parked waves have no bounce-0
+            # rows (1/E[path length]), and the primary-ray vjp is the
+            # rev phase's only transcendental-heavy per-wave fixed cost
+            # (two threefry draws + defocus/jitter chains). Exact: the
+            # skipped branch contributes identically zero.
             start = (bounce_row < 0.5) & (alive_f > 0.5)
+            any_start = jnp.max(jnp.where(start, 1.0, 0.0)) > 0.5
 
-            def prim(cvals):
-                return primary_from(cvals, s_u)
+            def cam_chain(_):
+                def prim(cvals):
+                    return primary_from(cvals, s_u)
 
-            _, vjp_p = jax.vjp(prim, cam_vals)
-            ct_o_m = vec.where(start, d_o, zero3)
-            ct_d_m = vec.where(start, d_d, zero3)
-            (d_cam_vals,) = vjp_p((ct_o_m, ct_d_m))
+                _, vjp_p = jax.vjp(prim, cam_vals)
+                ct_o_m = vec.where(start, d_o, zero3)
+                ct_d_m = vec.where(start, d_d, zero3)
+                (d_cam_vals,) = vjp_p((ct_o_m, ct_d_m))
+                return tuple(d_cam_vals)
+
+            def cam_skip(_):
+                return tuple(jnp.zeros((), dtype) for _ in range(_N_CAM))
+
+            d_cam_vals = lax.cond(any_start, cam_chain, cam_skip, 0)
             d_cam = tuple(d_cam[k] + d_cam_vals[k] for k in range(_N_CAM))
 
             # carry to the previous wave; path boundaries cut the chain
