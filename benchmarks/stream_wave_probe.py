@@ -35,7 +35,9 @@ def main() -> int:
 
     emit(event="start", devices=str(jax.devices()))
     scene = build_random_scene(10_000, seed=3)
-    stream = jax.device_put(prepare_stream_scene(scene, block=256))
+    # no device_put and no jit arg for the StreamScene: block/perm are
+    # static config (stream_bwd_probe's NOTE) — close over it instead
+    stream = prepare_stream_scene(scene, block=256)
     cam = CameraConfig.reference_default()
     W, H = 640, 384
     g = jax.random.normal(jax.random.PRNGKey(0), (H, W, 3),
@@ -53,16 +55,17 @@ def main() -> int:
         tag = f"stream_{spp}spp_d{depth}_{sweep}" + (
             f"_w{window}" if window else "_wauto")
         try:
-            f = jax.jit(lambda st, c, gg, s=spp, d=depth, sw=sweep,
-                        w=window: render_pallas_stream_grads(
-                            st, c, gg, W, H, s, d, sweep=sw, window=w))
+            f = jax.jit(lambda s=spp, d=depth, sw=sweep, w=window:
+                        render_pallas_stream_grads(
+                            stream, cam, g, W, H, s, d, sweep=sw,
+                            window=w))
             t0 = time.perf_counter()
-            force(f(stream, cam, g)[0])
+            force(f()[0])
             comp = time.perf_counter() - t0
             times = []
             for _ in range(3):
                 t0 = time.perf_counter()
-                force(f(stream, cam, g)[0])
+                force(f()[0])
                 times.append((time.perf_counter() - t0) * 1e3)
             emit(case=tag, ms=min(times), compile_s=round(comp, 1))
         except Exception as e:  # noqa: BLE001

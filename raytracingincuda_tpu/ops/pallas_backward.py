@@ -269,7 +269,10 @@ def _winner_bounce(wc: Vec3, wr, walb: Vec3, wfuzz, wior, wmat_f, hit,
         u_rr, _ = rtrng.uniform2(
             key, pixel_ids, s_u, b_u, rtrng.DRAW_RR, dtype
         )
-        rr_zone = b_u.astype(dtype) >= float(rr_start)
+        # integer-domain zone test: Mosaic cannot lower uint32->f32
+        # casts (the oracle's bounce.astype(dtype) >= float(rr_start)
+        # decides identically for integer bounces)
+        rr_zone = b_u >= jnp.uint32(rr_start)
         rr_kill = scattered_alive & rr_zone & (u_rr >= p_surv)
         scattered_alive = scattered_alive & ~rr_kill
         atten_upd = atten_upd * jnp.where(rr_zone, 1.0 / p_surv, 1.0)
@@ -683,28 +686,20 @@ def _wave_grad_sweep(hit_fn, scatter_fn, d_scene0, cam_vals,
             d_scene = scatter_fn(d_rows, sid_v, d_scene)
 
             # path-start rows: o/d cotangents flow into the camera.
-            # Gated on any-start: most parked waves have no bounce-0
-            # rows (1/E[path length]), and the primary-ray vjp is the
-            # rev phase's only transcendental-heavy per-wave fixed cost
-            # (two threefry draws + defocus/jitter chains). Exact: the
-            # skipped branch contributes identically zero.
+            # (NOT cond-gated on any-start: measured 315 -> 470 ms at
+            # 640x384x16spp/d25 — the per-wave lax.cond costs far more
+            # than the unconditional primary-ray vjp it skips, the same
+            # law as the forward's pl.when flush gating. bwd_wave.jsonl
+            # *_camgate rows.)
             start = (bounce_row < 0.5) & (alive_f > 0.5)
-            any_start = jnp.max(jnp.where(start, 1.0, 0.0)) > 0.5
 
-            def cam_chain(_):
-                def prim(cvals):
-                    return primary_from(cvals, s_u)
+            def prim(cvals):
+                return primary_from(cvals, s_u)
 
-                _, vjp_p = jax.vjp(prim, cam_vals)
-                ct_o_m = vec.where(start, d_o, zero3)
-                ct_d_m = vec.where(start, d_d, zero3)
-                (d_cam_vals,) = vjp_p((ct_o_m, ct_d_m))
-                return tuple(d_cam_vals)
-
-            def cam_skip(_):
-                return tuple(jnp.zeros((), dtype) for _ in range(_N_CAM))
-
-            d_cam_vals = lax.cond(any_start, cam_chain, cam_skip, 0)
+            _, vjp_p = jax.vjp(prim, cam_vals)
+            ct_o_m = vec.where(start, d_o, zero3)
+            ct_d_m = vec.where(start, d_d, zero3)
+            (d_cam_vals,) = vjp_p((ct_o_m, ct_d_m))
             d_cam = tuple(d_cam[k] + d_cam_vals[k] for k in range(_N_CAM))
 
             # carry to the previous wave; path boundaries cut the chain
