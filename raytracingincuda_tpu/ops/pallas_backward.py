@@ -865,8 +865,81 @@ def _fused_tile_kernel(
             bexit_ref[s_i] = final[0]
         return final[5]
 
-    acc = lax.fori_loop(0, samples, one_sample_fwd,
-                        Vec3.zeros(shape, dtype=dtype))
+    def regen_render():
+        """Regenerating render (the production forward's recurrence):
+        lanes stream their samples back-to-back instead of paying each
+        sample's lane-MAX path length — total waves drop from
+        sum-of-per-sample-maxima to ~samples x E[path length]. Per-lane
+        accumulation order is identical to the per-sample loop's
+        (samples sequential, bounces in path order; idle lanes add
+        exact +0.0), so the radiance — and hence loss/image/cotangent
+        ``g`` — is BIT-IDENTICAL."""
+        zero_row = jnp.zeros(shape, dtype)
+        one_row = jnp.ones(shape, dtype)
+        budget_f = float(samples)
+
+        def to_u32(f):
+            return pltpu.bitcast(f.astype(jnp.int32), jnp.uint32)
+
+        def cond(c):
+            sample_f, alive_f = c[0], c[5]
+            return (jnp.max(jnp.where(sample_f < budget_f, 1.0, 0.0))
+                    > 0.5) | (jnp.max(alive_f) > 0.5)
+
+        def body(c):
+            sample_f, bounce_f, o, d, atten, alive_f, acc3 = c
+            # idle lanes with budget pull their next sample
+            regen = (alive_f < 0.5) & (sample_f < budget_f)
+            o_n, d_n = primary_rays_from_ij(
+                cam, fi, fj, pixel_ids, to_u32(sample_f), key, dtype
+            )
+            o = vec.where(regen, o_n, o)
+            d = vec.where(regen, d_n, d)
+            atten = vec.where(regen, Vec3(one_row, one_row, one_row),
+                              atten)
+            bounce_f = jnp.where(regen, zero_row, bounce_f)
+            alive_f = jnp.where(regen, one_row, alive_f)
+            active = alive_f > 0.5
+
+            hit_raw, wc, wr, walb, wfuzz, wior, wmat, sid = _hit_winner(
+                scene_mat, cx, cy, cz, rc, active_col, o, d
+            )
+            hit = hit_raw & active
+            (o2, d2, at2, al2), contrib = _winner_bounce(
+                wc, wr, walb, wfuzz, wior, wmat, hit,
+                o, d, atten, alive_f, pixel_ids, to_u32(sample_f),
+                to_u32(bounce_f), key, dtype, rr_start=rr_start,
+            )
+            # scattering at the depth cap exits black (camera.h:126-127)
+            at_cap = (al2 > 0.5) & (bounce_f >= (max_depth - 1))
+            al3 = jnp.where(at_cap, 0.0, al2).astype(dtype)
+            dies = active & (al3 < 0.5)
+            continues = active & (al3 > 0.5)
+            o3 = vec.where(continues, o2, o)
+            d3 = vec.where(continues, d2, d)
+            at3 = vec.where(continues, at2, atten)
+            bounce3 = jnp.where(continues, bounce_f + 1.0, bounce_f)
+            sample3 = sample_f + jnp.where(dies, one_row, zero_row)
+            alive3 = jnp.where(continues, 1.0, 0.0).astype(dtype)
+            return (sample3, bounce3, o3, d3, at3, alive3,
+                    acc3 + contrib)
+
+        init = (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+                Vec3.zeros(shape, dtype=dtype),
+                Vec3.zeros(shape, dtype=dtype),
+                Vec3.full(shape, 1.0, 1.0, 1.0, dtype=dtype),
+                jnp.zeros(shape, dtype),
+                Vec3.zeros(shape, dtype=dtype))
+        return lax.while_loop(cond, body, init)[6]
+
+    if park_all:
+        # parking needs per-(sample, bounce) residual rows — keep the
+        # per-sample loop (its lane-max tail is what the parked reverse
+        # avoids re-tracing anyway)
+        acc = lax.fori_loop(0, samples, one_sample_fwd,
+                            Vec3.zeros(shape, dtype=dtype))
+    else:
+        acc = regen_render()
 
     # ---- sweep 2 (pointwise): image, loss, upstream cotangent ---------
     inv_spp = 1.0 / samples
