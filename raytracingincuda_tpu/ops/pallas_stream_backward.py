@@ -63,6 +63,7 @@ from .pallas_stream import (
     _RAY_ROWS,
     _hit_world_stream,
 )
+from . import vec
 from .tracer import primary_rays_from_ij
 from .vec import Vec3
 
@@ -131,46 +132,74 @@ def _stream_grad_kernel(
         )
 
     if mse:
-        # ---- render pass: accumulate radiance, derive the cotangent --
+        # ---- render pass: accumulate radiance, derive the cotangent.
+        # REGENERATING (round 3, mirrors pallas_backward's fused
+        # regen_render): lanes stream their samples back-to-back, so the
+        # per-sample lane-MAX path tail — each wave here a full O(N) HBM
+        # block walk — disappears. Per-lane accumulation order equals
+        # the per-sample loop's (samples sequential, path order; idle
+        # lanes add exact +0.0): radiance, loss, and the cotangent are
+        # bit-identical (pinned by test_stream_train's fused-vs-
+        # two-program check). -----------------------------------------
         target = Vec3(gr_ref[0, :, :], gg_ref[0, :, :], gb_ref[0, :, :])
         cam_primal = _camera_from_scalars(cam_vals, use_defocus)
+        zero_row0 = jnp.zeros(shape, dtype)
+        one_row0 = jnp.ones(shape, dtype)
+        budget_f = float(samples)
 
-        def render_sample(s_i, acc):
-            s_u = s_i.astype(jnp.uint32)
-            o0, d0 = primary_rays_from_ij(
-                cam_primal, fi, fj, pixel_ids, s_u, key, dtype
+        def to_u32_r(f):
+            return pltpu.bitcast(f.astype(jnp.int32), jnp.uint32)
+
+        def rcond(c):
+            sample_f, alive_f = c[0], c[5]
+            return (jnp.max(jnp.where(sample_f < budget_f, 1.0, 0.0))
+                    > 0.5) | (jnp.max(alive_f) > 0.5)
+
+        def rbody(c):
+            sample_f, bounce_f, o, d, atten, alive_f, ax, ay, az = c
+            regen = (alive_f < 0.5) & (sample_f < budget_f)
+            o_n, d_n = primary_rays_from_ij(
+                cam_primal, fi, fj, pixel_ids, to_u32_r(sample_f), key,
+                dtype,
             )
+            o = vec.where(regen, o_n, o)
+            d = vec.where(regen, d_n, d)
+            atten = vec.where(regen, Vec3(one_row0, one_row0, one_row0),
+                              atten)
+            bounce_f = jnp.where(regen, zero_row0, bounce_f)
+            alive_f = jnp.where(regen, one_row0, alive_f)
+            active = alive_f > 0.5
 
-            # early exit once every lane is dead (dead bounces bank
-            # exactly zero radiance — and each skipped bounce here is a
-            # full O(N) HBM block walk)
-            def cond(st):
-                b, _o, _d, _atten, alive_f, _ax, _ay, _az = st
-                return (b < max_depth) & (jnp.max(alive_f) > 0.5)
-
-            def body(st):
-                b, o, d, atten, alive_f, ax, ay, az = st
-                b_u = b.astype(jnp.uint32)
-                (hit, t, wc, wr, walb, wfuzz, wior, wmat, sid) = (
-                    hit_stream(o, d)
-                )
-                (o2, d2, at2, al2), contrib = _winner_bounce(
-                    wc, wr, walb, wfuzz, wior, wmat, hit,
-                    o, d, atten, alive_f, pixel_ids, s_u, b_u, key,
-                    dtype, rr_start=rr_start,
-                )
-                return (b + 1, o2, d2, at2, al2,
-                        ax + contrib.x, ay + contrib.y, az + contrib.z)
-
-            init = (jnp.int32(0), o0, d0,
-                    Vec3.full(shape, 1.0, 1.0, 1.0, dtype=dtype),
-                    jnp.ones(shape, dtype), acc[0], acc[1], acc[2])
-            fin = lax.while_loop(cond, body, init)
-            return fin[5], fin[6], fin[7]
+            (hit_raw, _t, wc, wr, walb, wfuzz, wior, wmat, sid) = (
+                hit_stream(o, d)
+            )
+            hit = hit_raw & active
+            (o2, d2, at2, al2), contrib = _winner_bounce(
+                wc, wr, walb, wfuzz, wior, wmat, hit,
+                o, d, atten, alive_f, pixel_ids, to_u32_r(sample_f),
+                to_u32_r(bounce_f), key, dtype, rr_start=rr_start,
+            )
+            at_cap = (al2 > 0.5) & (bounce_f >= (max_depth - 1))
+            al3 = jnp.where(at_cap, 0.0, al2).astype(dtype)
+            dies = active & (al3 < 0.5)
+            continues = active & (al3 > 0.5)
+            o3 = vec.where(continues, o2, o)
+            d3 = vec.where(continues, d2, d)
+            at3 = vec.where(continues, at2, atten)
+            bounce3 = jnp.where(continues, bounce_f + 1.0, bounce_f)
+            sample3 = sample_f + jnp.where(dies, one_row0, zero_row0)
+            alive3 = jnp.where(continues, 1.0, 0.0).astype(dtype)
+            return (sample3, bounce3, o3, d3, at3, alive3,
+                    ax + contrib.x, ay + contrib.y, az + contrib.z)
 
         zero = jnp.zeros(shape, dtype)
-        acc = lax.fori_loop(0, samples, render_sample,
-                            (zero, zero, zero))
+        rinit = (zero, zero,
+                 Vec3.zeros(shape, dtype=dtype),
+                 Vec3.zeros(shape, dtype=dtype),
+                 Vec3.full(shape, 1.0, 1.0, 1.0, dtype=dtype),
+                 zero, zero, zero, zero)
+        rfin = lax.while_loop(rcond, rbody, rinit)
+        acc = (rfin[6], rfin[7], rfin[8])
         inv_spp = 1.0 / samples
         img = Vec3(acc[0] * inv_spp, acc[1] * inv_spp, acc[2] * inv_spp)
         valid = (pixel_ids < jnp.uint32(num_pixels)).astype(dtype)
