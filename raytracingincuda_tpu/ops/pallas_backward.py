@@ -113,6 +113,15 @@ _R_SID = 21
 _R_DIES = 22
 _R_SAMPLE = 23
 _R_BOUNCE = 24
+# multi-pixel-lane extras (k_pixels > 1: a lane's CURRENT pixel — and
+# hence its upstream cotangent row — changes as it pulls new pixels, so
+# they must ride the parked row too; K=1 skips these writes)
+_R_PIX = 25
+_R_FI = 26
+_R_FJ = 27
+_R_GX = 28
+_R_GY = 29
+_R_GZ = 30
 _ST_ROWS = 32
 _CAM_COLS = 24
 _N_CAM = 18   # differentiable camera scalars (pack_camera rows 0..17)
@@ -499,20 +508,24 @@ def _grad_tile_kernel(
 
 
 def _wave_pack_residual(o, d, atten, alive_f, hit_f, wc, wr, walb, wfuzz,
-                        wior, wmat, sid, dies_f, sample_f, bounce_f):
+                        wior, wmat, sid, dies_f, sample_f, bounce_f,
+                        pix_f=None, fi_r=None, fj_r=None, g_r=None):
     rows = [o.x, o.y, o.z, d.x, d.y, d.z, atten.x, atten.y, atten.z,
             alive_f, hit_f, wc.x, wc.y, wc.z, wr,
             walb.x, walb.y, walb.z, wfuzz, wior, wmat, sid,
             dies_f, sample_f, bounce_f]
+    if pix_f is not None:
+        # multi-pixel lanes: the row's pixel identity + cotangent rows
+        rows += [pix_f, fi_r, fj_r, g_r.x, g_r.y, g_r.z]
     rows += [jnp.zeros_like(alive_f)] * (_ST_ROWS - len(rows))
     return jnp.concatenate(rows, axis=0)                      # (32, R)
 
 
 def _wave_grad_sweep(hit_fn, scatter_fn, d_scene0, cam_vals,
-                     use_defocus, pixel_ids, fi, fj, g, key, st_ref,
-                     *, samples: int, max_depth: int, dtype,
+                     use_defocus, ids_blk, ii_blk, jj_blk, g_blk, key,
+                     st_ref, *, samples: int, max_depth: int, dtype,
                      sample_offset: int = 0, window: int = 32,
-                     rr_start=None):
+                     rr_start=None, k_pixels: int = 1):
     """Wave-reversed REGENERATING gradient sweep, shared by the grad
     kernel, the fused train kernel, AND the streaming backward (which
     inject their own closest-hit and gradient-scatter):
@@ -527,6 +540,16 @@ def _wave_grad_sweep(hit_fn, scatter_fn, d_scene0, cam_vals,
         output ref (stream; the carry is a dummy scalar).
       d_scene0: initial scatter carry.
 
+    ``ids_blk``/``ii_blk``/``jj_blk`` are (K, R) lane->pixel blocks and
+    ``g_blk`` the matching (K, R) upstream-cotangent rows, K =
+    ``k_pixels``. K > 1 = MULTI-PIXEL LANES (the forward kernel's
+    _regen_body_multi, applied to the backward): each lane works K
+    pixels sequentially, averaging the per-lane total-work statistic
+    that sets each drain's tail — the lane's current pixel id / fi/fj /
+    g row ride the carry, are re-selected on pixel pull (row_of — K
+    cheap (1, R) selects), and are PARKED with each wave so the reverse
+    walk replays the right pixel's RNG streams and cotangent row.
+
     Returns (d_scene_carry, d_cam 18-tuple).
 
     The per-sample sweep (_tile_grad_sweep) pays the lane-MAX path
@@ -536,7 +559,7 @@ def _wave_grad_sweep(hit_fn, scatter_fn, d_scene0, cam_vals,
     (bwd_decomp.jsonl: the fwd sweep alone is 71% of backward time).
 
     This sweep applies the same regeneration to the backward. Lanes
-    stream their pixel's samples back-to-back, parking each wave's
+    stream their pixels' samples back-to-back, parking each wave's
     pre-bounce state + winner by WAVE index (a scalar row offset — the
     per-lane bounce index never indexes memory, which is what makes
     this SIMD-expressible). When the parking window fills, regeneration
@@ -551,29 +574,73 @@ def _wave_grad_sweep(hit_fn, scatter_fn, d_scene0, cam_vals,
     sweep (same _hit_winner/_winner_bounce replay, same RNG streams);
     only accumulation order differs (float reassociation).
     """
-    shape = fi.shape
+    K = k_pixels
+    multi = K > 1
+    r = ii_blk.shape[1]
+    shape = (1, r)
     budget = float(sample_offset + samples)
+    s_off_f = float(sample_offset)
     zero_row = jnp.zeros(shape, dtype)
     one_row = jnp.ones(shape, dtype)
     zero3 = Vec3.zeros(shape, dtype=dtype)
+    kf_done = float(K)
 
     def to_u32(f):
         return pltpu.bitcast(f.astype(jnp.int32), jnp.uint32)
 
-    def primary_from(cvals, s_u):
+    idsf_blk = pltpu.bitcast(ids_blk, jnp.int32).astype(dtype)  # (K, R)
+
+    def row_of(blk, k_next):
+        """Per-lane row gather: sum_k (k_next == k) * blk[k]."""
+        out = jnp.zeros(shape, dtype)
+        for k in range(K):
+            out = out + jnp.where(k_next == float(k),
+                                  blk[k:k + 1, :], zero_row)
+        return out
+
+    def primary_from(cvals, fi_r, fj_r, pix_u, s_u):
         cam = _camera_from_scalars(cvals, use_defocus)
-        return primary_rays_from_ij(cam, fi, fj, pixel_ids, s_u, key,
+        return primary_rays_from_ij(cam, fi_r, fj_r, pix_u, s_u, key,
                                     dtype)
+
+    # fixed per-lane pixel rows when K == 1 (no pull machinery traced)
+    pix0 = idsf_blk[0:1, :]
+    fi0 = ii_blk[0:1, :]
+    fj0 = jj_blk[0:1, :]
+    g0 = Vec3(g_blk.x[0:1, :], g_blk.y[0:1, :], g_blk.z[0:1, :])
+
+    def unpack(state):
+        if multi:
+            (sample_f, bounce_f, o, d, atten, alive_f,
+             k_f, pix_f, fi_r, fj_r, gx, gy, gz) = state
+            return (sample_f, bounce_f, o, d, atten, alive_f, k_f,
+                    pix_f, fi_r, fj_r, Vec3(gx, gy, gz))
+        sample_f, bounce_f, o, d, atten, alive_f = state
+        return (sample_f, bounce_f, o, d, atten, alive_f, zero_row,
+                pix0, fi0, fj0, g0)
+
+    def pack(sample_f, bounce_f, o, d, atten, alive_f, k_f, pix_f,
+             fi_r, fj_r, g_r):
+        if multi:
+            return (sample_f, bounce_f, o, d, atten, alive_f, k_f,
+                    pix_f, fi_r, fj_r, g_r.x, g_r.y, g_r.z)
+        return (sample_f, bounce_f, o, d, atten, alive_f)
 
     def fwd_phase(state):
         """Park-and-advance until the window fills and live paths drain.
         Returns (W_end, state')."""
-        sample_f, bounce_f, o, d, atten, alive_f = state
+        (sample_f, bounce_f, o, d, atten, alive_f, k_f, pix_f, fi_r,
+         fj_r, g_r) = unpack(state)
 
         # round-start regeneration: lanes idled by the previous round's
-        # drain pull their next sample
-        regen0 = (alive_f < 0.5) & (sample_f < budget)
-        o_n, d_n = primary_from(cam_vals, to_u32(sample_f))
+        # drain pull their next sample (their pixel rows are already
+        # loaded — pulls happen at death below)
+        has_work = sample_f < budget
+        if multi:
+            has_work = has_work & (k_f < kf_done)
+        regen0 = (alive_f < 0.5) & has_work
+        o_n, d_n = primary_from(cam_vals, fi_r, fj_r, to_u32(pix_f),
+                                to_u32(sample_f))
         o = vec.where(regen0, o_n, o)
         d = vec.where(regen0, d_n, d)
         atten = vec.where(regen0, Vec3(one_row, one_row, one_row), atten)
@@ -582,19 +649,22 @@ def _wave_grad_sweep(hit_fn, scatter_fn, d_scene0, cam_vals,
 
         def cond(c):
             w = c[0]
-            alive_f = c[6]
-            return (w < window + max_depth) & (jnp.max(alive_f) > 0.5)
+            alive_c = c[6]                      # pack index 5 (+1 for w)
+            return (w < window + max_depth) & (jnp.max(alive_c) > 0.5)
 
         def body(c):
-            w, sample_f, bounce_f, o, d, atten, alive_f = c
+            w = c[0]
+            (sample_f, bounce_f, o, d, atten, alive_f, k_f, pix_f,
+             fi_r, fj_r, g_r) = unpack(c[1:])
             active = alive_f > 0.5
             hit_raw, wc, wr, walb, wfuzz, wior, wmat, sid = hit_fn(o, d)
             hit = hit_raw & active
             s_u = to_u32(sample_f)
             b_u = to_u32(bounce_f)
+            pix_u = to_u32(pix_f)
             (o2, d2, at2, al2), _ = _winner_bounce(
                 wc, wr, walb, wfuzz, wior, wmat, hit,
-                o, d, atten, alive_f, pixel_ids, s_u, b_u, key, dtype,
+                o, d, atten, alive_f, pix_u, s_u, b_u, key, dtype,
                 rr_start=rr_start,
             )
             # scattering at the depth cap exits black (camera.h:126-127)
@@ -608,27 +678,55 @@ def _wave_grad_sweep(hit_fn, scatter_fn, d_scene0, cam_vals,
                 o, d, atten, alive_f, hit.astype(dtype),
                 wc, wr, walb, wfuzz, wior, wmat, sid,
                 dies_f, sample_f, bounce_f,
+                *((pix_f, fi_r, fj_r, g_r) if multi else (None,) * 4),
             )
 
             # advance: continue, regenerate (window permitting), or idle
             continues = active & (al3 > 0.5)
             sample_next = sample_f + jnp.where(dies, one_row, zero_row)
+            if multi:
+                # pixel complete -> advance k and load the next pixel's
+                # rows (bookkeeping only; the regeneration itself is
+                # still window-gated)
+                complete = dies & (sample_next >= budget)
+                k_next = k_f + jnp.where(complete, one_row, zero_row)
+                pull = complete & (k_next < kf_done)
+                pix_f = jnp.where(pull, row_of(idsf_blk, k_next), pix_f)
+                fi_r = jnp.where(pull, row_of(ii_blk, k_next), fi_r)
+                fj_r = jnp.where(pull, row_of(jj_blk, k_next), fj_r)
+                g_r = Vec3(
+                    jnp.where(pull, row_of(g_blk.x, k_next), g_r.x),
+                    jnp.where(pull, row_of(g_blk.y, k_next), g_r.y),
+                    jnp.where(pull, row_of(g_blk.z, k_next), g_r.z),
+                )
+                k_f = k_next
+                sample3 = jnp.where(
+                    complete, jnp.full(shape, s_off_f, dtype),
+                    jnp.where(dies, sample_next, sample_f),
+                )
+                work = (sample3 < budget) & (k_f < kf_done)
+            else:
+                sample3 = jnp.where(dies, sample_next, sample_f)
+                work = sample3 < budget
             pull_ok = (w + 1) < window
-            regen = dies & (sample_next < budget) & pull_ok
+            regen = dies & work & pull_ok
             o3 = vec.where(continues, o2, o)
             d3 = vec.where(continues, d2, d)
             at3 = vec.where(continues, at2, atten)
-            o_n, d_n = primary_from(cam_vals, to_u32(sample_next))
+            o_n, d_n = primary_from(cam_vals, fi_r, fj_r, to_u32(pix_f),
+                                    to_u32(sample3))
             o3 = vec.where(regen, o_n, o3)
             d3 = vec.where(regen, d_n, d3)
             at3 = vec.where(regen, Vec3(one_row, one_row, one_row), at3)
             bounce3 = jnp.where(continues, bounce_f + 1.0,
                                 jnp.where(regen, zero_row, bounce_f))
             alive3 = jnp.where(continues | regen, 1.0, 0.0).astype(dtype)
-            sample3 = jnp.where(dies, sample_next, sample_f)
-            return (w + 1, sample3, bounce3, o3, d3, at3, alive3)
+            return (w + 1,) + pack(sample3, bounce3, o3, d3, at3,
+                                   alive3, k_f, pix_f, fi_r, fj_r, g_r)
 
-        init = (jnp.int32(0), sample_f, bounce_f, o, d, atten, alive_f)
+        init = (jnp.int32(0),) + pack(sample_f, bounce_f, o, d, atten,
+                                      alive_f, k_f, pix_f, fi_r, fj_r,
+                                      g_r)
         out = lax.while_loop(cond, body, init)
         return out[0], out[1:]
 
@@ -647,9 +745,17 @@ def _wave_grad_sweep(hit_fn, scatter_fn, d_scene0, cam_vals,
             dies_f = r1(_R_DIES)
             sample_row = r1(_R_SAMPLE)
             bounce_row = r1(_R_BOUNCE)
+            if multi:
+                pix_row = r1(_R_PIX)
+                fi_row = r1(_R_FI)
+                fj_row = r1(_R_FJ)
+                g_here = Vec3(r1(_R_GX), r1(_R_GY), r1(_R_GZ))
+            else:
+                pix_row, fi_row, fj_row, g_here = pix0, fi0, fj0, g0
             hit = hit_f > 0.5
             s_u = to_u32(sample_row)
             b_u = to_u32(bounce_row)
+            pix_u = to_u32(pix_row)
 
             # died-here rows end their path's chain: the incoming state
             # cotangent is zero (radiance flows in through ``g`` at every
@@ -663,7 +769,7 @@ def _wave_grad_sweep(hit_fn, scatter_fn, d_scene0, cam_vals,
             def f(wc_, wr_, walb_, wfuzz_, wior_, o_, d_, at_, al_):
                 return _winner_bounce(
                     wc_, wr_, walb_, wfuzz_, wior_, wmat, hit,
-                    o_, d_, at_, al_, pixel_ids, s_u, b_u, key, dtype,
+                    o_, d_, at_, al_, pix_u, s_u, b_u, key, dtype,
                     rr_start=rr_start,
                 )
 
@@ -671,7 +777,7 @@ def _wave_grad_sweep(hit_fn, scatter_fn, d_scene0, cam_vals,
                                o, d, atten, alive_f)
             (d_wc, d_wr, d_walb, d_wfuzz, d_wior,
              d_o, d_d, d_at, d_al) = vjp_f(
-                ((ct_o_in, ct_d_in, ct_at_in, ct_al_in), g)
+                ((ct_o_in, ct_d_in, ct_at_in, ct_al_in), g_here)
             )
 
             # winner cotangents -> (16, R) rows (scene-matrix col order)
@@ -694,7 +800,7 @@ def _wave_grad_sweep(hit_fn, scatter_fn, d_scene0, cam_vals,
             start = (bounce_row < 0.5) & (alive_f > 0.5)
 
             def prim(cvals):
-                return primary_from(cvals, s_u)
+                return primary_from(cvals, fi_row, fj_row, pix_u, s_u)
 
             _, vjp_p = jax.vjp(prim, cam_vals)
             ct_o_m = vec.where(start, d_o, zero3)
@@ -713,30 +819,36 @@ def _wave_grad_sweep(hit_fn, scatter_fn, d_scene0, cam_vals,
         out = lax.fori_loop(0, w_end, body, init)
         return out[0], out[1]
 
+    plen = 13 if multi else 6
+
     def outer_cond(c):
-        sample_f, alive_f = c[0], c[5]
-        return (jnp.max(jnp.where(sample_f < budget, 1.0, 0.0)) > 0.5) | (
+        (sample_f, _b, _o, _d, _at, alive_f, k_f, _p, _fi, _fj,
+         _g) = unpack(c[:plen])
+        work = sample_f < budget
+        if multi:
+            work = work & (k_f < kf_done)
+        return (jnp.max(jnp.where(work, 1.0, 0.0)) > 0.5) | (
             jnp.max(alive_f) > 0.5
         )
 
     def outer_body(c):
-        state = c[:6]
-        d_scene, d_cam = c[6], c[7]
+        state = c[:plen]
+        d_scene, d_cam = c[plen], c[plen + 1]
         w_end, state2 = fwd_phase(state)
         d_scene, d_cam = rev_phase(w_end, (d_scene, d_cam))
-        return state2 + (d_scene, d_cam)
+        return tuple(state2) + (d_scene, d_cam)
 
     zero_cam = tuple(jnp.zeros((), dtype) for _ in range(_N_CAM))
-    init = (
-        jnp.full(shape, float(sample_offset), dtype),   # sample_f
+    init = pack(
+        jnp.full(shape, s_off_f, dtype),                # sample_f
         zero_row,                                       # bounce_f
         zero3, zero3,                                   # o, d
         Vec3.full(shape, 1.0, 1.0, 1.0, dtype=dtype),   # atten
         zero_row,                                       # alive_f
-        d_scene0, zero_cam,
-    )
+        zero_row, pix0, fi0, fj0, g0,                   # k/pixel rows
+    ) + (d_scene0, zero_cam)
     final = lax.while_loop(outer_cond, outer_body, init)
-    return final[6], final[7]
+    return final[plen], final[plen + 1]
 
 
 def _vmem_wave_bindings(scene_mat, cx, cy, cz, rc, active_col, dtype):
@@ -762,6 +874,7 @@ def _grad_tile_kernel_wave(
     dscene_ref, dcam_ref, st_ref,
     *, samples: int, max_depth: int, seed: int, dtype,
     sample_offset: int = 0, window: int = 32, rr_start=None,
+    k_pixels: int = 1,
 ):
     """Wave-reversed regenerating gradient kernel (see _wave_grad_sweep)."""
     key = rtrng.key_from_seed(seed)
@@ -769,6 +882,7 @@ def _grad_tile_kernel_wave(
      cam_vals, use_defocus) = _read_tile_refs(
         ids_ref, ii_ref, jj_ref, scene_ref, cam_ref
     )
+    # with k_pixels > 1 these are (K, R) blocks (BlockSpec (1, K, R))
     g = Vec3(gr_ref[0, :, :], gg_ref[0, :, :], gb_ref[0, :, :])
     hit_fn, scatter_fn, d_scene0 = _vmem_wave_bindings(
         scene_mat, cx, cy, cz, rc, active_col, dtype
@@ -778,6 +892,7 @@ def _grad_tile_kernel_wave(
         pixel_ids, fi, fj, g, key, st_ref,
         samples=samples, max_depth=max_depth, dtype=dtype,
         sample_offset=sample_offset, window=window, rr_start=rr_start,
+        k_pixels=k_pixels,
     )
     _write_grad_outputs(dscene_ref, dcam_ref, d_scene, d_cam, dtype)
 
@@ -1061,32 +1176,38 @@ def _scatter_matmul(one_hot: jnp.ndarray, d_rows: jnp.ndarray):
 
 
 def _prepare_grad_inputs(scene, cam_cfg, rows3, img_width, img_height,
-                         ray_tile, pixel_order, mesh, dtype):
+                         ray_tile, pixel_order, mesh, dtype, kpl=1):
     """Shared host-side setup for both grad entry points: tile-shaped
     lane->pixel maps, the (per-lane-permuted) payload rows (upstream
     cotangent or target image), and the packed scene/camera with the
-    slot-id column stamped (the winner gather fetches sids for free)."""
+    slot-id column stamped (the winner gather fetches sids for free).
+    ``kpl`` pixels per lane -> (n_tiles, kpl, ray_tile) tile blocks
+    (the wave sweep's multi-pixel lanes; mirrors the forward's
+    _lane_setup)."""
     cam = initialize(cam_cfg, img_width, img_height)
     num_pixels = img_width * img_height
     n_shards = (
         int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
     )
-    padded = _round_up(num_pixels, ray_tile * n_shards)
-    n_tiles = padded // ray_tile
+    padded = _round_up(num_pixels, kpl * ray_tile * n_shards)
+    n_tiles = padded // (kpl * ray_tile)
+    if kpl > 1 and padded >= (1 << 24):
+        # multi-pixel lanes carry the current pixel id as f32
+        raise ValueError("pixels_per_lane > 1 supports images < 16M pixels")
 
     ids = _order_ids(pixel_order, padded)
     ii = (ids % jnp.uint32(img_width)).astype(dtype)
     jj = (ids // jnp.uint32(img_width)).astype(dtype)
-    ids2 = ids.reshape(n_tiles, 1, ray_tile)
-    ii2 = ii.reshape(n_tiles, 1, ray_tile)
-    jj2 = jj.reshape(n_tiles, 1, ray_tile)
+    ids2 = ids.reshape(n_tiles, kpl, ray_tile)
+    ii2 = ii.reshape(n_tiles, kpl, ray_tile)
+    jj2 = jj.reshape(n_tiles, kpl, ray_tile)
 
     flat = rows3.reshape(num_pixels, 3).astype(dtype)
     pad = jnp.zeros((padded, 3), dtype).at[:num_pixels].set(flat)
     if pixel_order is not None:
         pad = pad[ids.astype(jnp.int32)]       # lane i's pixel is ids[i]
     rows = tuple(
-        pad[:, k].reshape(n_tiles, 1, ray_tile) for k in range(3)
+        pad[:, k].reshape(n_tiles, kpl, ray_tile) for k in range(3)
     )
 
     scene_mat = pack_scene_matrix(scene, dtype)
@@ -1118,6 +1239,7 @@ def render_pallas_grads(
     sweep: str = "wave",
     window: int = 0,
     rr_start=None,
+    pixels_per_lane: int = 1,
 ):
     """Cotangents (d_scene_matrix (N,16), d_camera_row (1,24)) for an
     upstream cotangent ``g_acc`` (H, W, 3) expressed in the ACCUMULATED
@@ -1145,13 +1267,21 @@ def render_pallas_grads(
     ``rr_start``: differentiate the Russian-roulette estimator from that
     bounce (must match the forward render's rr_start — identical RNG
     streams make the replayed survival decisions bitwise the forward's).
-    RR shortens paths, so the backward speeds up with the forward."""
+    RR shortens paths, so the backward speeds up with the forward.
+
+    ``pixels_per_lane`` (wave sweep only): K pixels per lane, worked
+    sequentially — the forward kernel's multi-pixel lanes applied to
+    the backward: averages the per-lane total-work statistic that sets
+    each window drain's tail. Same gradients (streams key on pixel id;
+    assignment is bookkeeping) up to reassociation."""
     if sweep not in ("wave", "sample"):
         raise ValueError("sweep must be 'wave' or 'sample'")
+    if pixels_per_lane > 1 and sweep != "wave":
+        raise ValueError("pixels_per_lane > 1 requires sweep='wave'")
     (ids, ids2, ii2, jj2, (gr, gg, gb), scene_mat, cam_row, n_spheres,
      num_pixels, padded, n_tiles) = _prepare_grad_inputs(
         scene, cam_cfg, g_acc, img_width, img_height, ray_tile,
-        pixel_order, mesh, dtype,
+        pixel_order, mesh, dtype, kpl=pixels_per_lane,
     )
 
     if sweep == "wave":
@@ -1174,6 +1304,7 @@ def render_pallas_grads(
             sample_offset=sample_offset,
             window=window,
             rr_start=rr_start,
+            k_pixels=pixels_per_lane,
         )
     else:
         scratch_waves = max_depth
@@ -1189,7 +1320,8 @@ def render_pallas_grads(
 
     def run(ids_arr, ii_arr, jj_arr, g_r, g_g, g_b, scene_m, cam_r):
         tiles = ids_arr.shape[0]
-        row_spec = pl.BlockSpec((1, 1, ray_tile), lambda i: (i, 0, 0),
+        row_spec = pl.BlockSpec((1, pixels_per_lane, ray_tile),
+                                lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)
         acc_spec = lambda shape: pl.BlockSpec(
             shape, lambda i: (0, 0), memory_space=pltpu.VMEM

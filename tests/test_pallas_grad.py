@@ -189,6 +189,43 @@ def test_wave_sweep_matches_sample_sweep(mixed_scene, default_camera):
 
 
 @pytest.mark.slow
+def test_multi_pixel_lane_grads_match(mixed_scene, default_camera):
+    """Multi-pixel lanes on the wave backward (round 3): K pixels per
+    lane, worked sequentially, must reproduce K=1 gradients to
+    reassociation (streams key on pixel id; assignment is bookkeeping).
+    window=3 forces pixel pulls to span drain rounds; rr checks the
+    replayed RR streams ride the parked pixel ids."""
+    from raytracingincuda_tpu.ops.pallas_backward import (
+        render_pallas_grads,
+    )
+
+    g = _weight_image()
+    base = render_pallas_grads(
+        mixed_scene, default_camera, g, W, H, SPP, DEPTH,
+        ray_tile=128, interpret=True,
+    )
+    for k, window in ((2, 0), (4, 3)):
+        got = render_pallas_grads(
+            mixed_scene, default_camera, g, W, H, SPP, DEPTH,
+            ray_tile=64, interpret=True, pixels_per_lane=k,
+            window=window,
+        )
+        for leaf in jax.tree_util.tree_leaves(got):
+            assert np.isfinite(np.asarray(leaf)).all()
+        _assert_tree_close(base, got, rtol=1e-4, atol=5e-7)
+
+    base_rr = render_pallas_grads(
+        mixed_scene, default_camera, g, W, H, SPP, DEPTH,
+        ray_tile=128, interpret=True, rr_start=1,
+    )
+    got_rr = render_pallas_grads(
+        mixed_scene, default_camera, g, W, H, SPP, DEPTH,
+        ray_tile=64, interpret=True, pixels_per_lane=2, rr_start=1,
+    )
+    _assert_tree_close(base_rr, got_rr, rtol=1e-4, atol=5e-7)
+
+
+@pytest.mark.slow
 def test_rr_grads_match_oracle(mixed_scene, default_camera):
     """Russian-roulette estimator gradients (round 3): the backward
     replays the forward's DRAW_RR streams bitwise, so grads through the
