@@ -1239,7 +1239,7 @@ def render_pallas_grads(
     sweep: str = "wave",
     window: int = 0,
     rr_start=None,
-    pixels_per_lane: int = 1,
+    pixels_per_lane=None,
 ):
     """Cotangents (d_scene_matrix (N,16), d_camera_row (1,24)) for an
     upstream cotangent ``g_acc`` (H, W, 3) expressed in the ACCUMULATED
@@ -1273,9 +1273,25 @@ def render_pallas_grads(
     sequentially — the forward kernel's multi-pixel lanes applied to
     the backward: averages the per-lane total-work statistic that sets
     each window drain's tail. Same gradients (streams key on pixel id;
-    assignment is bookkeeping) up to reassociation."""
+    assignment is bookkeeping) up to reassociation. None = auto:
+    K=16 — the measured knee (640x384x16spp rt512: d8 311 -> 206 ms,
+    d25 428 -> 249, bwd_wave.jsonl K-ladder) — shrunk for images too
+    small to fill K*ray_tile lanes per shard."""
     if sweep not in ("wave", "sample"):
         raise ValueError("sweep must be 'wave' or 'sample'")
+    if pixels_per_lane is None:
+        if sweep == "wave":
+            n_shards = (
+                int(np.prod(list(mesh.shape.values())))
+                if mesh is not None else 1
+            )
+            per = max(1, (img_width * img_height)
+                      // (ray_tile * n_shards))
+            pixels_per_lane = 1
+            while pixels_per_lane < 16 and pixels_per_lane * 2 <= per:
+                pixels_per_lane *= 2
+        else:
+            pixels_per_lane = 1
     if pixels_per_lane > 1 and sweep != "wave":
         raise ValueError("pixels_per_lane > 1 requires sweep='wave'")
     (ids, ids2, ii2, jj2, (gr, gg, gb), scene_mat, cam_row, n_spheres,
