@@ -82,7 +82,7 @@ def _stream_grad_kernel(
     samples: int, max_depth: int, seed: int, dtype, block: int,
     n_blocks: int, n_groups: int, mse: bool = False,
     num_pixels: int = 0, sweep: str = "sample", window: int = 32,
-    rr_start=None,
+    rr_start=None, k_pixels: int = 1,
 ):
     """``mse=False``: gr/gg/gb rows are the upstream cotangent g_acc;
     loss output stays 0. ``mse=True`` (the FUSED train step): gr/gg/gb
@@ -363,7 +363,7 @@ def _stream_grad_kernel(
             hit_fn, scatter_fn, jnp.zeros((), dtype), cam_vals,
             use_defocus, pixel_ids, fi, fj, g, key, st_ref,
             samples=samples, max_depth=max_depth, dtype=dtype,
-            window=window, rr_start=rr_start,
+            window=window, rr_start=rr_start, k_pixels=k_pixels,
         )
     else:
         d_cam = lax.fori_loop(0, samples, one_sample, zero_cam)
@@ -391,6 +391,7 @@ def _stream_grad_program(
     sweep: str = "wave",
     window: int = 0,
     rr_start=None,
+    pixels_per_lane=None,
 ):
     """Shared driver for both grad entry points. ``rows3`` (H, W, 3) is
     the upstream cotangent g_acc (mse=False) or the target image
@@ -401,33 +402,54 @@ def _stream_grad_program(
     640x384x4spp: d6 1361 -> 1305 ms, d12 2756 -> 1945, −29%;
     stream_wave.jsonl): wave-reversed regenerating sweep (kernel
     docstring); ``window`` = parked waves per round (0 = auto by the
-    same ~10 MB scratch budget as the VMEM backward)."""
+    same ~10 MB scratch budget as the VMEM backward).
+
+    ``pixels_per_lane`` (wave grads only; None = auto K=16 shrunk for
+    small images, 1 when mse): multi-pixel lanes — worth even more
+    here than on the VMEM backward, since every drain-tail wave is a
+    full O(N) HBM block walk."""
     if sweep not in ("wave", "sample"):
         raise ValueError("sweep must be 'wave' or 'sample'")
+    num_pixels = img_width * img_height
+    n_shards = (
+        int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
+    )
+    if pixels_per_lane is None:
+        if sweep == "wave" and not mse:
+            per = max(1, num_pixels // (ray_tile * n_shards))
+            pixels_per_lane = 1
+            while pixels_per_lane < 16 and pixels_per_lane * 2 <= per:
+                pixels_per_lane *= 2
+        else:
+            pixels_per_lane = 1
+    kpl = pixels_per_lane
+    if kpl > 1 and (sweep != "wave" or mse):
+        raise ValueError(
+            "pixels_per_lane > 1 requires sweep='wave' (grads path; the "
+            "fused mse render pass is single-pixel-lane)"
+        )
     if sweep == "wave" and not window:
         budget_waves = int(10e6 // (_ST_ROWS * ray_tile * 4))
         window = max(8, budget_waves - max_depth)
     scratch_waves = window + max_depth if sweep == "wave" else max_depth
     cam = initialize(cam_cfg, img_width, img_height)
-    num_pixels = img_width * img_height
-    n_shards = (
-        int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
-    )
-    padded = _round_up(num_pixels, ray_tile * n_shards)
-    n_tiles = padded // ray_tile
+    padded = _round_up(num_pixels, kpl * ray_tile * n_shards)
+    n_tiles = padded // (kpl * ray_tile)
+    if kpl > 1 and padded >= (1 << 24):
+        raise ValueError("pixels_per_lane > 1 supports images < 16M pixels")
 
     ids = jnp.arange(padded, dtype=jnp.uint32)
     ii = (ids % jnp.uint32(img_width)).astype(dtype)
     jj = (ids // jnp.uint32(img_width)).astype(dtype)
-    ids2 = ids.reshape(n_tiles, 1, ray_tile)
-    ii2 = ii.reshape(n_tiles, 1, ray_tile)
-    jj2 = jj.reshape(n_tiles, 1, ray_tile)
+    ids2 = ids.reshape(n_tiles, kpl, ray_tile)
+    ii2 = ii.reshape(n_tiles, kpl, ray_tile)
+    jj2 = jj.reshape(n_tiles, kpl, ray_tile)
 
     g_flat = rows3.reshape(num_pixels, 3).astype(dtype)
     g_pad = jnp.zeros((padded, 3), dtype).at[:num_pixels].set(g_flat)
-    gr = g_pad[:, 0].reshape(n_tiles, 1, ray_tile)
-    gg = g_pad[:, 1].reshape(n_tiles, 1, ray_tile)
-    gb = g_pad[:, 2].reshape(n_tiles, 1, ray_tile)
+    gr = g_pad[:, 0].reshape(n_tiles, kpl, ray_tile)
+    gg = g_pad[:, 1].reshape(n_tiles, kpl, ray_tile)
+    gb = g_pad[:, 2].reshape(n_tiles, kpl, ray_tile)
 
     cam_row = pack_camera(cam, dtype)
     block = stream.block
@@ -461,12 +483,13 @@ def _stream_grad_program(
         sweep=sweep,
         window=window,
         rr_start=rr_start,
+        k_pixels=kpl,
     )
 
     def run(ids_arr, ii_arr, jj_arr, g_r, g_g, g_b, scene_m, bounds_m,
             cam_r):
         tiles = ids_arr.shape[0]
-        row_spec = pl.BlockSpec((1, 1, ray_tile), lambda i: (i, 0, 0),
+        row_spec = pl.BlockSpec((1, kpl, ray_tile), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)
         return pl.pallas_call(
             kernel,

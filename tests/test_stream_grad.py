@@ -49,12 +49,13 @@ def _weight():
 
 
 def _stream_grads(scene, cam, *, block=128, ray_tile=128, mesh=None,
-                  sweep="sample", window=0):
+                  sweep="sample", window=0, pixels_per_lane=None):
     w = _weight()
     stream = prepare_stream_scene(scene, block=block)
     d_stream, d_cr = render_pallas_stream_grads(
         stream, cam, w / SPP, W, H, SPP, DEPTH, ray_tile=ray_tile,
         interpret=True, mesh=mesh, sweep=sweep, window=window,
+        pixels_per_lane=pixels_per_lane,
     )
     d_sm = stream_grads_to_scene_mat(d_stream, stream, scene.num_slots)
     return chain_to_params(d_sm, d_cr, scene.params, cam,
@@ -157,6 +158,19 @@ def test_wave_sweep_multi_block(default_camera):
     # atol floor: near-zero camera leaves see a couple reassociation
     # ulps over 90 spheres' worth of scatter sums
     _assert_tree_close(base, wave, rtol=1e-4, atol=2e-6)
+
+
+@pytest.mark.slow
+def test_multi_pixel_lane_stream_grads(mixed_scene, default_camera):
+    """Multi-pixel lanes on the STREAM wave backward: K pixels per lane
+    must reproduce K=1 gradients to reassociation (the shared sweep's
+    parked pixel rows route RNG streams and cotangents correctly
+    through the block walk)."""
+    base = _stream_grads(mixed_scene, default_camera, sweep="wave",
+                         pixels_per_lane=1)
+    got = _stream_grads(mixed_scene, default_camera, sweep="wave",
+                        ray_tile=64, pixels_per_lane=4, window=3)
+    _assert_tree_close(base, got, rtol=1e-4, atol=5e-7)
 
 
 @pytest.mark.slow
