@@ -185,6 +185,7 @@ def make_train_step(
                 park_residuals=kw.get("park_residuals"),
                 sweep=kw.get("sweep"), window=kw.get("window", 0),
                 rr_start=kw.get("rr_start"),
+                pixels_per_lane=kw.get("pixels_per_lane"),
             )
             d_params, _d_cam = chain_to_params(
                 d_sm, d_cr, state.params, cam_cfg, mat_type, active,

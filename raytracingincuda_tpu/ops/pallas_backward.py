@@ -903,7 +903,7 @@ def _fused_tile_kernel(
     dscene_ref, dcam_ref, *scratch,
     samples: int, max_depth: int, seed: int, dtype, gamma: bool,
     num_pixels: int, park_all: bool = False, sweep: str = "sample",
-    window: int = 32, rr_start=None,
+    window: int = 32, rr_start=None, k_pixels: int = 1,
 ):
     """Fused MSE train step: ONE kernel computes the rendered tile, the
     MSE-vs-target loss contribution, AND the scene/camera cotangents.
@@ -926,13 +926,23 @@ def _fused_tile_kernel(
     ``sweep`` (when not park_all): 'wave' runs sweep 3 as the
     wave-reversed regenerating sweep (_wave_grad_sweep — removes the
     per-sample lane-max tail; the win grows with depth), 'sample' the
-    original per-sample re-trace."""
+    original per-sample re-trace.
+
+    ``k_pixels`` (wave sweep, not park_all): multi-pixel lanes for BOTH
+    the regenerating render (per-pixel flush into a (3K, R) accumulator
+    scratch, like the forward's _regen_body_multi) and the grad sweep.
+    Per-pixel radiance is bit-identical to K=1 (per-lane accumulation
+    order unchanged; flushes add complete-pixel sums)."""
     key = rtrng.key_from_seed(seed)
+    acc_ref = None
     if park_all:
         st_ref, bexit_ref = scratch
     else:
-        (st_ref,) = scratch
         bexit_ref = None
+        if k_pixels > 1:
+            st_ref, acc_ref = scratch
+        else:
+            (st_ref,) = scratch
     (pixel_ids, fi, fj, scene_mat, cx, cy, cz, rc, active_col,
      cam_vals, use_defocus) = _read_tile_refs(
         ids_ref, ii_ref, jj_ref, scene_ref, cam_ref
@@ -1047,12 +1057,129 @@ def _fused_tile_kernel(
                 Vec3.zeros(shape, dtype=dtype))
         return lax.while_loop(cond, body, init)[6]
 
+    def regen_render_multi():
+        """K-pixel regenerating render (the forward's _regen_body_multi
+        recurrence with the shared winner-replay bounce): lanes work K
+        pixels sequentially, flushing each completed pixel's radiance
+        into the (3K, R) accumulator scratch. Per-pixel sums are
+        bit-identical to K=1 (same per-lane accumulation order)."""
+        K = k_pixels
+        r = pixel_ids.shape[1]
+        rshape = (1, r)
+        zero_row = jnp.zeros(rshape, dtype)
+        one_row = jnp.ones(rshape, dtype)
+        zero3r = Vec3.zeros(rshape, dtype=dtype)
+        kf_done = float(K)
+        budget_f = float(samples)
+        idsf_blk = pltpu.bitcast(pixel_ids, jnp.int32).astype(dtype)
+
+        def to_u32(f):
+            return pltpu.bitcast(f.astype(jnp.int32), jnp.uint32)
+
+        def row_of(blk, k_next):
+            out = jnp.zeros(rshape, dtype)
+            for k in range(K):
+                out = out + jnp.where(k_next == float(k),
+                                      blk[k:k + 1, :], zero_row)
+            return out
+
+        acc_ref[:, :] = jnp.zeros((3 * K, r), dtype)
+
+        def cond(c):
+            sample_f, k_f, alive_f = c[0], c[2], c[9]
+            work = (k_f < kf_done) & (sample_f < budget_f)
+            return (jnp.max(jnp.where(work, 1.0, 0.0)) > 0.5) | (
+                jnp.max(alive_f) > 0.5
+            )
+
+        def body(c):
+            (sample_f, bounce_f, k_f, pix_f, fi_r, fj_r, o, d, atten,
+             alive_f, acc3) = c
+            has_work = (k_f < kf_done) & (sample_f < budget_f)
+            regen = (alive_f < 0.5) & has_work
+            o_n, d_n = primary_rays_from_ij(
+                cam, fi_r, fj_r, to_u32(pix_f), to_u32(sample_f), key,
+                dtype,
+            )
+            o = vec.where(regen, o_n, o)
+            d = vec.where(regen, d_n, d)
+            atten = vec.where(regen, Vec3(one_row, one_row, one_row),
+                              atten)
+            bounce_f = jnp.where(regen, zero_row, bounce_f)
+            alive_f = jnp.where(regen, one_row, alive_f)
+            active = alive_f > 0.5
+
+            hit_raw, wc, wr, walb, wfuzz, wior, wmat, sid = _hit_winner(
+                scene_mat, cx, cy, cz, rc, active_col, o, d
+            )
+            hit = hit_raw & active
+            (o2, d2, at2, al2), contrib = _winner_bounce(
+                wc, wr, walb, wfuzz, wior, wmat, hit,
+                o, d, atten, alive_f, to_u32(pix_f), to_u32(sample_f),
+                to_u32(bounce_f), key, dtype, rr_start=rr_start,
+            )
+            acc3 = acc3 + contrib
+            at_cap = (al2 > 0.5) & (bounce_f >= (max_depth - 1))
+            al3 = jnp.where(at_cap, 0.0, al2).astype(dtype)
+            dies = active & (al3 < 0.5)
+            continues = active & (al3 > 0.5)
+            sample_next = sample_f + jnp.where(dies, one_row, zero_row)
+            complete = dies & (sample_next >= budget_f)
+
+            # flush completed pixels' radiance into their (K, R) rows
+            def mk_flush(val):
+                return jnp.concatenate(
+                    [jnp.where(complete & (k_f == float(k)), val,
+                               zero_row) for k in range(K)],
+                    axis=0,
+                )
+
+            acc_ref[0:K, :] = acc_ref[0:K, :] + mk_flush(acc3.x)
+            acc_ref[K:2 * K, :] = acc_ref[K:2 * K, :] + mk_flush(acc3.y)
+            acc_ref[2 * K:3 * K, :] = (acc_ref[2 * K:3 * K, :]
+                                       + mk_flush(acc3.z))
+            acc3 = vec.where(complete, zero3r, acc3)
+
+            k_next = k_f + jnp.where(complete, one_row, zero_row)
+            pull = complete & (k_next < kf_done)
+            pix_f = jnp.where(pull, row_of(idsf_blk, k_next), pix_f)
+            fi_r = jnp.where(pull, row_of(fi, k_next), fi_r)
+            fj_r = jnp.where(pull, row_of(fj, k_next), fj_r)
+            k_f = k_next
+            sample3 = jnp.where(
+                complete, zero_row,
+                jnp.where(dies, sample_next, sample_f),
+            )
+            o3 = vec.where(continues, o2, o)
+            d3 = vec.where(continues, d2, d)
+            at3 = vec.where(continues, at2, atten)
+            bounce3 = jnp.where(continues, bounce_f + 1.0, bounce_f)
+            alive3 = jnp.where(continues, 1.0, 0.0).astype(dtype)
+            return (sample3, bounce3, k_f, pix_f, fi_r, fj_r,
+                    o3, d3, at3, alive3, acc3)
+
+        init = (
+            jnp.zeros(rshape, dtype), jnp.zeros(rshape, dtype),
+            jnp.zeros(rshape, dtype),
+            idsf_blk[0:1, :], fi[0:1, :], fj[0:1, :],
+            Vec3.zeros(rshape, dtype=dtype),
+            Vec3.zeros(rshape, dtype=dtype),
+            Vec3.full(rshape, 1.0, 1.0, 1.0, dtype=dtype),
+            jnp.zeros(rshape, dtype),
+            Vec3.zeros(rshape, dtype=dtype),
+        )
+        lax.while_loop(cond, body, init)
+        return Vec3(acc_ref[0:K, :], acc_ref[K:2 * K, :],
+                    acc_ref[2 * K:3 * K, :])
+
     if park_all:
         # parking needs per-(sample, bounce) residual rows — keep the
         # per-sample loop (its lane-max tail is what the parked reverse
         # avoids re-tracing anyway)
         acc = lax.fori_loop(0, samples, one_sample_fwd,
                             Vec3.zeros(shape, dtype=dtype))
+    elif k_pixels > 1:
+        acc = regen_render_multi()
     else:
         acc = regen_render()
 
@@ -1125,7 +1252,7 @@ def _fused_tile_kernel(
             hit_fn, scatter_fn, d_scene0, cam_vals, use_defocus,
             pixel_ids, fi, fj, g, key, st_ref,
             samples=samples, max_depth=max_depth, dtype=dtype,
-            window=window, rr_start=rr_start,
+            window=window, rr_start=rr_start, k_pixels=k_pixels,
         )
     else:
         d_scene, d_cam = _tile_grad_sweep(
@@ -1425,6 +1552,7 @@ def mse_train_pallas(
     sweep=None,
     window: int = 0,
     rr_start=None,
+    pixels_per_lane=None,
 ):
     """Fused MSE train step: ONE Mosaic kernel returning
     ``(loss, image, d_scene_matrix, d_camera_row)`` against a target
@@ -1444,18 +1572,21 @@ def mse_train_pallas(
     winner residuals in sweep 1 so the grad sweep is reverse-only —
     removes the fused kernel's second forward trace. Needs a
     (samples * max_depth * 32, ray_tile) VMEM scratch, so it only fits
-    shallow-depth/low-spp steps (auto gate: residuals <= 6 MB and the
-    scene's (N, R) scan working set small); identical values either
-    way. An explicit ``park_residuals=True`` that cannot fit the 16 MB
-    scoped-VMEM limit raises instead of crashing the compile service.
+    shallow-depth/low-spp steps. Auto gate: residuals <= 6 MB AND the
+    step is in parking's measured win region — depth <= 6, or a frame
+    too small for the wave sweep's multi-pixel lanes (K < 8). With K16
+    lanes the wave sweep wins from d8 up (fused_wave.jsonl,
+    640x384x16spp: d4 park 120 vs wave 144; d8 183 vs 153; d12 225 vs
+    154 ms). Identical values either way. An explicit
+    ``park_residuals=True`` that cannot fit the 16 MB scoped-VMEM
+    limit raises instead of crashing the compile service.
 
-    ``ray_tile=None`` selects tile and parking jointly: a parked step
-    at a smaller tile beats the rt1024 re-tracing step whenever parking
-    fits (fused_park.jsonl, 16spp: d4 119 vs 142, d8 181 vs 234, d12
-    rt256 225 vs 316 ms), so auto walks rt1024 -> rt256 looking for a
-    parking fit and falls back to rt512 + the wave sweep (the
-    standalone wave backward's measured knee, which also bounds the
-    wave residual scratch under the scoped-VMEM budget).
+    ``ray_tile=None`` selects tile and parking jointly: when parking is
+    preferred (see above) auto walks rt1024 -> rt256 looking for a
+    parking fit (fused_park.jsonl, 16spp: d4 119 vs 142 ms); otherwise
+    rt512 + the wave sweep (the standalone wave backward's measured
+    knee, which also bounds the wave residual scratch under the
+    scoped-VMEM budget).
 
     ``sweep`` (None = auto): when parking does not fit, sweep 3 runs as
     the wave-reversed regenerating sweep ('wave', _wave_grad_sweep) —
@@ -1473,20 +1604,34 @@ def mse_train_pallas(
     # 10 MB of the 16 MB scoped-VMEM budget for residuals + scan temps
     # (measured fit: d8/16spp/rt512 = 9.0 MB compiles and runs)
     _AUTO_BUDGET = 10 * 2**20
+    # Parking beats the wave sweep only at shallow depth now that the
+    # wave sweep has multi-pixel lanes (fused_wave.jsonl, 640x384x16spp:
+    # d4 park 120 vs waveK16 144; d8 183 vs 153; d12 225 vs 154 ms) —
+    # and only when the image has enough pixels per lane for K>=8
+    # (small frames keep K small, where parking's old wins stand:
+    # fused_park.jsonl d8 181 vs waveK1 234).
+    n_shards = (
+        int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
+    )
+    _per512 = max(1, (img_width * img_height) // (512 * n_shards))
+    _k_est = 1
+    while _k_est < 16 and _k_est * 2 <= _per512:
+        _k_est *= 2
+    prefer_park = max_depth <= 6 or _k_est < 8
     if ray_tile is None:
-        # parking fit first (wins <= d12); otherwise rt512 — the wave
-        # sweep's measured knee on the standalone grad kernel
-        # (rt512/w128 312 ms vs rt1024/w32 365, bwd_wave.jsonl), which
-        # also halves the wave residual scratch and the (N, R) scan
-        # working set under the 16 MB scoped-VMEM budget
+        # rt512 is the wave sweep's measured knee on the standalone
+        # grad kernel (rt512/w128 312 ms vs rt1024/w32 365,
+        # bwd_wave.jsonl), which also halves the wave residual scratch
+        # and the (N, R) scan working set under the 16 MB scoped-VMEM
+        # budget
         ray_tile = 512
-        if park_residuals is None:
+        if park_residuals is None and prefer_park:
             for rt in (1024, 512, 256):
                 if _park_fits(rt, _AUTO_BUDGET):
                     ray_tile, park_residuals = rt, True
                     break
     if park_residuals is None:
-        park_residuals = _park_fits(ray_tile, _AUTO_BUDGET)
+        park_residuals = prefer_park and _park_fits(ray_tile, _AUTO_BUDGET)
     elif park_residuals and not _park_fits(ray_tile, 14 * 2**20):
         raise ValueError(
             f"park_residuals=True needs a ({samples_per_pixel}*"
@@ -1502,10 +1647,26 @@ def mse_train_pallas(
         # same scratch budget as render_pallas_grads' auto window
         budget_waves = int(10e6 // (_ST_ROWS * ray_tile * 4))
         window = max(8, budget_waves - max_depth)
+    if pixels_per_lane is None:
+        if sweep == "wave" and not park_residuals:
+            n_sh = (
+                int(np.prod(list(mesh.shape.values())))
+                if mesh is not None else 1
+            )
+            per = max(1, (img_width * img_height) // (ray_tile * n_sh))
+            pixels_per_lane = 1
+            while pixels_per_lane < 16 and pixels_per_lane * 2 <= per:
+                pixels_per_lane *= 2
+        else:
+            pixels_per_lane = 1
+    if pixels_per_lane > 1 and (park_residuals or sweep != "wave"):
+        raise ValueError(
+            "pixels_per_lane > 1 requires sweep='wave' without parking"
+        )
     (ids, ids2, ii2, jj2, (tr, tg, tb), scene_mat, cam_row, n_spheres,
      num_pixels, padded, n_tiles) = _prepare_grad_inputs(
         scene, cam_cfg, target, img_width, img_height, ray_tile,
-        pixel_order, mesh, dtype,
+        pixel_order, mesh, dtype, kpl=pixels_per_lane,
     )
 
     kernel = functools.partial(
@@ -1520,16 +1681,20 @@ def mse_train_pallas(
         sweep=sweep,
         window=window,
         rr_start=rr_start,
+        k_pixels=pixels_per_lane,
     )
 
     def run(ids_arr, ii_arr, jj_arr, t_r, t_g, t_b, scene_m, cam_r):
         tiles = ids_arr.shape[0]
-        row_spec = pl.BlockSpec((1, 1, ray_tile), lambda i: (i, 0, 0),
+        row_spec = pl.BlockSpec((1, pixels_per_lane, ray_tile),
+                                lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)
         acc_spec = lambda shape: pl.BlockSpec(
             shape, lambda i: (0, 0), memory_space=pltpu.VMEM
         )
-        row_shape = jax.ShapeDtypeStruct((tiles, 1, ray_tile), dtype)
+        row_shape = jax.ShapeDtypeStruct(
+            (tiles, pixels_per_lane, ray_tile), dtype
+        )
         return pl.pallas_call(
             kernel,
             grid=(tiles,),
@@ -1566,7 +1731,10 @@ def mse_train_pallas(
                 else [pltpu.VMEM(
                     ((window + max_depth if sweep == "wave" else max_depth)
                      * _ST_ROWS, ray_tile), dtype,
-                )]
+                )] + (
+                    [pltpu.VMEM((3 * pixels_per_lane, ray_tile), dtype)]
+                    if pixels_per_lane > 1 else []
+                )
             ),
             cost_estimate=pl.CostEstimate(
                 # parked: one forward + reverse; else sweeps 1+3 both
@@ -1639,6 +1807,7 @@ def make_mse_train(
     sweep=None,
     window: int = 0,
     rr_start=None,
+    pixels_per_lane=None,
 ):
     """User-facing fused train step builder.
 
@@ -1660,6 +1829,7 @@ def make_mse_train(
             ray_tile=ray_tile, pixel_order=pixel_order, mesh=mesh,
             interpret=interpret, park_residuals=park_residuals,
             sweep=sweep, window=window, rr_start=rr_start,
+            pixels_per_lane=pixels_per_lane,
         )
         d_params, d_cam = chain_to_params(
             d_sm, d_cr, params, cam_cfg, mat_type, active,

@@ -358,6 +358,30 @@ def test_fused_wave_sweep_matches_sample(mixed_scene, default_camera):
 
 
 @pytest.mark.slow
+def test_fused_multi_pixel_lane(mixed_scene, default_camera):
+    """Fused train step with multi-pixel lanes: the K-pixel regen
+    render flushes complete-pixel sums (bit-identical image to K=1),
+    and the grad sweep rides the shared K machinery (reassociation)."""
+    from raytracingincuda_tpu.ops.pallas_backward import mse_train_pallas
+
+    rng = np.random.default_rng(9)
+    target = jnp.asarray(rng.random((H, W, 3)), jnp.float32)
+    base = mse_train_pallas(
+        mixed_scene, default_camera, target, W, H, SPP, DEPTH,
+        ray_tile=128, interpret=True, park_residuals=False,
+        sweep="wave", pixels_per_lane=1,
+    )
+    got = mse_train_pallas(
+        mixed_scene, default_camera, target, W, H, SPP, DEPTH,
+        ray_tile=64, interpret=True, park_residuals=False,
+        sweep="wave", pixels_per_lane=4,
+    )
+    np.testing.assert_array_equal(np.asarray(base[1]), np.asarray(got[1]))
+    np.testing.assert_allclose(float(base[0]), float(got[0]), rtol=1e-6)
+    _assert_tree_close(base[2:], got[2:], rtol=1e-4, atol=5e-7)
+
+
+@pytest.mark.slow
 def test_sharded_grads_match(mixed_scene, default_camera):
     """Mesh path: pixel tiles sharded over 8 virtual devices; scene/camera
     cotangents all-reduced with psum inside shard_map."""
