@@ -226,7 +226,7 @@ def make_stream_train(
     trainable=None,
     seed: int = 1227,
     lane_group: int = 0,
-    fused: bool = False,
+    fused: bool = True,
     mesh=None,
     interpret: Optional[bool] = None,
 ):
@@ -235,16 +235,17 @@ def make_stream_train(
     Returns (init_fn, step_fn); step_fn(state, cam_cfg, mat_type,
     active, target) -> (state, loss), like make_train_step.
 
-    ``fused=False`` (default): forward render and gradient sweep as
-    separate Mosaic kernels (one kernel per program under the compile
-    service, UPSTREAM_ISSUES.md #3), composed eagerly — measured FASTER
-    (2452 vs 2682 ms/step at 10k spheres 640x384x4spp/d6,
-    stream_fused.jsonl): the regen forward terminates dead lanes early
-    while the fused kernel's render pass walks the full spp x depth,
-    and tunnel dispatch between two async jit calls is negligible.
-    ``fused=True``: the whole value_and_grad + optimizer update is ONE
-    jitted program around mse_train_stream — for embedding the step in
-    a larger jit; identical losses and gradients.
+    ``fused=True`` (default): the whole value_and_grad + optimizer
+    update is ONE jitted program around mse_train_stream. It became
+    the faster option once the fused render pass gained regeneration
+    plus multi-pixel lanes (round 3): 1611 vs 1860 ms/step at 10k
+    spheres 640x384x4spp/d6 (stream_wave.jsonl train10k rows; round 2
+    had the opposite order — the old fused render walked the full
+    spp x depth per lane while the two-program forward regenerated).
+    ``fused=False``: forward render and gradient sweep as separate
+    Mosaic kernels (one kernel per program under the compile service,
+    UPSTREAM_ISSUES.md #3), composed eagerly; identical losses and
+    gradients up to reduce association.
 
     The Morton permutation and block assignment are FROZEN from the
     ``stream`` argument (prepare_stream_scene); each step rebuilds the

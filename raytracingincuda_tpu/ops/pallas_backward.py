@@ -851,6 +851,132 @@ def _wave_grad_sweep(hit_fn, scatter_fn, d_scene0, cam_vals,
     return final[plen], final[plen + 1]
 
 
+def _regen_render_k(
+    hit_fn, cam, pixel_ids, fi, fj, key, acc_ref,
+    *, samples: int, max_depth: int, dtype, rr_start=None,
+    k_pixels: int,
+):
+    """K-pixel regenerating render pass shared by the fused train
+    kernels (the forward kernel's _regen_body_multi recurrence with the
+    winner-replay bounce): lanes work K pixels sequentially, flushing
+    each completed pixel's radiance into the (3K, R) ``acc_ref`` VMEM
+    scratch. Per-pixel sums are bit-identical to K=1 (the per-lane
+    accumulation order is unchanged; flushes add complete-pixel sums).
+
+    ``hit_fn(o, d) -> (hit, wc, wr, walb, wfuzz, wior, wmat, sid)`` is
+    the same closest-hit binding convention as _wave_grad_sweep — the
+    VMEM (N, R) scan or the streaming HBM block walk. ``pixel_ids``,
+    ``fi``, ``fj`` are the tile's (K, R) pixel blocks. Returns the
+    (K, R) radiance Vec3 (views of acc_ref)."""
+    K = k_pixels
+    r = pixel_ids.shape[1]
+    rshape = (1, r)
+    zero_row = jnp.zeros(rshape, dtype)
+    one_row = jnp.ones(rshape, dtype)
+    zero3r = Vec3.zeros(rshape, dtype=dtype)
+    kf_done = float(K)
+    budget_f = float(samples)
+    idsf_blk = pltpu.bitcast(pixel_ids, jnp.int32).astype(dtype)
+
+    def to_u32(f):
+        return pltpu.bitcast(f.astype(jnp.int32), jnp.uint32)
+
+    def row_of(blk, k_next):
+        out = jnp.zeros(rshape, dtype)
+        for k in range(K):
+            out = out + jnp.where(k_next == float(k),
+                                  blk[k:k + 1, :], zero_row)
+        return out
+
+    acc_ref[:, :] = jnp.zeros((3 * K, r), dtype)
+
+    def cond(c):
+        sample_f, k_f, alive_f = c[0], c[2], c[9]
+        work = (k_f < kf_done) & (sample_f < budget_f)
+        return (jnp.max(jnp.where(work, 1.0, 0.0)) > 0.5) | (
+            jnp.max(alive_f) > 0.5
+        )
+
+    def body(c):
+        (sample_f, bounce_f, k_f, pix_f, fi_r, fj_r, o, d, atten,
+         alive_f, acc3) = c
+        has_work = (k_f < kf_done) & (sample_f < budget_f)
+        regen = (alive_f < 0.5) & has_work
+        o_n, d_n = primary_rays_from_ij(
+            cam, fi_r, fj_r, to_u32(pix_f), to_u32(sample_f), key,
+            dtype,
+        )
+        o = vec.where(regen, o_n, o)
+        d = vec.where(regen, d_n, d)
+        atten = vec.where(regen, Vec3(one_row, one_row, one_row),
+                          atten)
+        bounce_f = jnp.where(regen, zero_row, bounce_f)
+        alive_f = jnp.where(regen, one_row, alive_f)
+        active = alive_f > 0.5
+
+        hit_raw, wc, wr, walb, wfuzz, wior, wmat, _sid = hit_fn(o, d)
+        hit = hit_raw & active
+        (o2, d2, at2, al2), contrib = _winner_bounce(
+            wc, wr, walb, wfuzz, wior, wmat, hit,
+            o, d, atten, alive_f, to_u32(pix_f), to_u32(sample_f),
+            to_u32(bounce_f), key, dtype, rr_start=rr_start,
+        )
+        acc3 = acc3 + contrib
+        # scattering at the depth cap exits black (camera.h:126-127)
+        at_cap = (al2 > 0.5) & (bounce_f >= (max_depth - 1))
+        al3 = jnp.where(at_cap, 0.0, al2).astype(dtype)
+        dies = active & (al3 < 0.5)
+        continues = active & (al3 > 0.5)
+        sample_next = sample_f + jnp.where(dies, one_row, zero_row)
+        complete = dies & (sample_next >= budget_f)
+
+        # flush completed pixels' radiance into their (K, R) rows
+        def mk_flush(val):
+            return jnp.concatenate(
+                [jnp.where(complete & (k_f == float(k)), val,
+                           zero_row) for k in range(K)],
+                axis=0,
+            )
+
+        acc_ref[0:K, :] = acc_ref[0:K, :] + mk_flush(acc3.x)
+        acc_ref[K:2 * K, :] = acc_ref[K:2 * K, :] + mk_flush(acc3.y)
+        acc_ref[2 * K:3 * K, :] = (acc_ref[2 * K:3 * K, :]
+                                   + mk_flush(acc3.z))
+        acc3 = vec.where(complete, zero3r, acc3)
+
+        k_next = k_f + jnp.where(complete, one_row, zero_row)
+        pull = complete & (k_next < kf_done)
+        pix_f = jnp.where(pull, row_of(idsf_blk, k_next), pix_f)
+        fi_r = jnp.where(pull, row_of(fi, k_next), fi_r)
+        fj_r = jnp.where(pull, row_of(fj, k_next), fj_r)
+        k_f = k_next
+        sample3 = jnp.where(
+            complete, zero_row,
+            jnp.where(dies, sample_next, sample_f),
+        )
+        o3 = vec.where(continues, o2, o)
+        d3 = vec.where(continues, d2, d)
+        at3 = vec.where(continues, at2, atten)
+        bounce3 = jnp.where(continues, bounce_f + 1.0, bounce_f)
+        alive3 = jnp.where(continues, 1.0, 0.0).astype(dtype)
+        return (sample3, bounce3, k_f, pix_f, fi_r, fj_r,
+                o3, d3, at3, alive3, acc3)
+
+    init = (
+        jnp.zeros(rshape, dtype), jnp.zeros(rshape, dtype),
+        jnp.zeros(rshape, dtype),
+        idsf_blk[0:1, :], fi[0:1, :], fj[0:1, :],
+        Vec3.zeros(rshape, dtype=dtype),
+        Vec3.zeros(rshape, dtype=dtype),
+        Vec3.full(rshape, 1.0, 1.0, 1.0, dtype=dtype),
+        jnp.zeros(rshape, dtype),
+        Vec3.zeros(rshape, dtype=dtype),
+    )
+    lax.while_loop(cond, body, init)
+    return Vec3(acc_ref[0:K, :], acc_ref[K:2 * K, :],
+                acc_ref[2 * K:3 * K, :])
+
+
 def _vmem_wave_bindings(scene_mat, cx, cy, cz, rc, active_col, dtype):
     """(hit_fn, scatter_fn, d_scene0) for _wave_grad_sweep over a
     VMEM-resident scene: the full (N, R) hit scan and the carried
@@ -1057,121 +1183,6 @@ def _fused_tile_kernel(
                 Vec3.zeros(shape, dtype=dtype))
         return lax.while_loop(cond, body, init)[6]
 
-    def regen_render_multi():
-        """K-pixel regenerating render (the forward's _regen_body_multi
-        recurrence with the shared winner-replay bounce): lanes work K
-        pixels sequentially, flushing each completed pixel's radiance
-        into the (3K, R) accumulator scratch. Per-pixel sums are
-        bit-identical to K=1 (same per-lane accumulation order)."""
-        K = k_pixels
-        r = pixel_ids.shape[1]
-        rshape = (1, r)
-        zero_row = jnp.zeros(rshape, dtype)
-        one_row = jnp.ones(rshape, dtype)
-        zero3r = Vec3.zeros(rshape, dtype=dtype)
-        kf_done = float(K)
-        budget_f = float(samples)
-        idsf_blk = pltpu.bitcast(pixel_ids, jnp.int32).astype(dtype)
-
-        def to_u32(f):
-            return pltpu.bitcast(f.astype(jnp.int32), jnp.uint32)
-
-        def row_of(blk, k_next):
-            out = jnp.zeros(rshape, dtype)
-            for k in range(K):
-                out = out + jnp.where(k_next == float(k),
-                                      blk[k:k + 1, :], zero_row)
-            return out
-
-        acc_ref[:, :] = jnp.zeros((3 * K, r), dtype)
-
-        def cond(c):
-            sample_f, k_f, alive_f = c[0], c[2], c[9]
-            work = (k_f < kf_done) & (sample_f < budget_f)
-            return (jnp.max(jnp.where(work, 1.0, 0.0)) > 0.5) | (
-                jnp.max(alive_f) > 0.5
-            )
-
-        def body(c):
-            (sample_f, bounce_f, k_f, pix_f, fi_r, fj_r, o, d, atten,
-             alive_f, acc3) = c
-            has_work = (k_f < kf_done) & (sample_f < budget_f)
-            regen = (alive_f < 0.5) & has_work
-            o_n, d_n = primary_rays_from_ij(
-                cam, fi_r, fj_r, to_u32(pix_f), to_u32(sample_f), key,
-                dtype,
-            )
-            o = vec.where(regen, o_n, o)
-            d = vec.where(regen, d_n, d)
-            atten = vec.where(regen, Vec3(one_row, one_row, one_row),
-                              atten)
-            bounce_f = jnp.where(regen, zero_row, bounce_f)
-            alive_f = jnp.where(regen, one_row, alive_f)
-            active = alive_f > 0.5
-
-            hit_raw, wc, wr, walb, wfuzz, wior, wmat, sid = _hit_winner(
-                scene_mat, cx, cy, cz, rc, active_col, o, d
-            )
-            hit = hit_raw & active
-            (o2, d2, at2, al2), contrib = _winner_bounce(
-                wc, wr, walb, wfuzz, wior, wmat, hit,
-                o, d, atten, alive_f, to_u32(pix_f), to_u32(sample_f),
-                to_u32(bounce_f), key, dtype, rr_start=rr_start,
-            )
-            acc3 = acc3 + contrib
-            at_cap = (al2 > 0.5) & (bounce_f >= (max_depth - 1))
-            al3 = jnp.where(at_cap, 0.0, al2).astype(dtype)
-            dies = active & (al3 < 0.5)
-            continues = active & (al3 > 0.5)
-            sample_next = sample_f + jnp.where(dies, one_row, zero_row)
-            complete = dies & (sample_next >= budget_f)
-
-            # flush completed pixels' radiance into their (K, R) rows
-            def mk_flush(val):
-                return jnp.concatenate(
-                    [jnp.where(complete & (k_f == float(k)), val,
-                               zero_row) for k in range(K)],
-                    axis=0,
-                )
-
-            acc_ref[0:K, :] = acc_ref[0:K, :] + mk_flush(acc3.x)
-            acc_ref[K:2 * K, :] = acc_ref[K:2 * K, :] + mk_flush(acc3.y)
-            acc_ref[2 * K:3 * K, :] = (acc_ref[2 * K:3 * K, :]
-                                       + mk_flush(acc3.z))
-            acc3 = vec.where(complete, zero3r, acc3)
-
-            k_next = k_f + jnp.where(complete, one_row, zero_row)
-            pull = complete & (k_next < kf_done)
-            pix_f = jnp.where(pull, row_of(idsf_blk, k_next), pix_f)
-            fi_r = jnp.where(pull, row_of(fi, k_next), fi_r)
-            fj_r = jnp.where(pull, row_of(fj, k_next), fj_r)
-            k_f = k_next
-            sample3 = jnp.where(
-                complete, zero_row,
-                jnp.where(dies, sample_next, sample_f),
-            )
-            o3 = vec.where(continues, o2, o)
-            d3 = vec.where(continues, d2, d)
-            at3 = vec.where(continues, at2, atten)
-            bounce3 = jnp.where(continues, bounce_f + 1.0, bounce_f)
-            alive3 = jnp.where(continues, 1.0, 0.0).astype(dtype)
-            return (sample3, bounce3, k_f, pix_f, fi_r, fj_r,
-                    o3, d3, at3, alive3, acc3)
-
-        init = (
-            jnp.zeros(rshape, dtype), jnp.zeros(rshape, dtype),
-            jnp.zeros(rshape, dtype),
-            idsf_blk[0:1, :], fi[0:1, :], fj[0:1, :],
-            Vec3.zeros(rshape, dtype=dtype),
-            Vec3.zeros(rshape, dtype=dtype),
-            Vec3.full(rshape, 1.0, 1.0, 1.0, dtype=dtype),
-            jnp.zeros(rshape, dtype),
-            Vec3.zeros(rshape, dtype=dtype),
-        )
-        lax.while_loop(cond, body, init)
-        return Vec3(acc_ref[0:K, :], acc_ref[K:2 * K, :],
-                    acc_ref[2 * K:3 * K, :])
-
     if park_all:
         # parking needs per-(sample, bounce) residual rows — keep the
         # per-sample loop (its lane-max tail is what the parked reverse
@@ -1179,7 +1190,15 @@ def _fused_tile_kernel(
         acc = lax.fori_loop(0, samples, one_sample_fwd,
                             Vec3.zeros(shape, dtype=dtype))
     elif k_pixels > 1:
-        acc = regen_render_multi()
+        # K-pixel regenerating render (shared with the stream fused
+        # kernel), flushing complete-pixel sums into the (3K, R) scratch
+        acc = _regen_render_k(
+            lambda o, d: _hit_winner(scene_mat, cx, cy, cz, rc,
+                                     active_col, o, d),
+            cam, pixel_ids, fi, fj, key, acc_ref,
+            samples=samples, max_depth=max_depth, dtype=dtype,
+            rr_start=rr_start, k_pixels=k_pixels,
+        )
     else:
         acc = regen_render()
 

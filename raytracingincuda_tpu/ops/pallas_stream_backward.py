@@ -51,6 +51,7 @@ from .pallas_backward import (
     _ST_ROWS,
     _camera_from_scalars,
     _pack_residual,
+    _regen_render_k,
     _scatter_matmul,
     _unpack_residual,
     _wave_grad_sweep,
@@ -109,6 +110,9 @@ def _stream_grad_kernel(
     t_refs = list(scratch[1:1 + n_groups])
     p_refs = list(scratch[1 + n_groups:1 + 2 * n_groups])
     st_ref = scratch[1 + 2 * n_groups]
+    acc_ref = (
+        scratch[2 + 2 * n_groups] if (mse and k_pixels > 1) else None
+    )
     key = rtrng.key_from_seed(seed)
     pixel_ids = ids_ref[0, :, :]
     fi = ii_ref[0, :, :]
@@ -134,7 +138,9 @@ def _stream_grad_kernel(
     if mse:
         # ---- render pass: accumulate radiance, derive the cotangent.
         # REGENERATING (round 3, mirrors pallas_backward's fused
-        # regen_render): lanes stream their samples back-to-back, so the
+        # regen_render; K-pixel lanes via the shared _regen_render_k
+        # when k_pixels > 1): lanes stream their samples back-to-back,
+        # so the
         # per-sample lane-MAX path tail — each wave here a full O(N) HBM
         # block walk — disappears. Per-lane accumulation order equals
         # the per-sample loop's (samples sequential, path order; idle
@@ -192,14 +198,29 @@ def _stream_grad_kernel(
             return (sample3, bounce3, o3, d3, at3, alive3,
                     ax + contrib.x, ay + contrib.y, az + contrib.z)
 
-        zero = jnp.zeros(shape, dtype)
-        rinit = (zero, zero,
-                 Vec3.zeros(shape, dtype=dtype),
-                 Vec3.zeros(shape, dtype=dtype),
-                 Vec3.full(shape, 1.0, 1.0, 1.0, dtype=dtype),
-                 zero, zero, zero, zero)
-        rfin = lax.while_loop(rcond, rbody, rinit)
-        acc = (rfin[6], rfin[7], rfin[8])
+        if k_pixels > 1:
+            # K-pixel regenerating render (shared with the VMEM fused
+            # kernel): per-pixel radiance bit-identical to K=1
+            def hit_fn_r(o, d):
+                (hit, _t, wc, wr, walb, wfuzz, wior, wmat,
+                 sid) = hit_stream(o, d)
+                return hit, wc, wr, walb, wfuzz, wior, wmat, sid
+
+            acc_v = _regen_render_k(
+                hit_fn_r, cam_primal, pixel_ids, fi, fj, key, acc_ref,
+                samples=samples, max_depth=max_depth, dtype=dtype,
+                rr_start=rr_start, k_pixels=k_pixels,
+            )
+            acc = (acc_v.x, acc_v.y, acc_v.z)
+        else:
+            zero = jnp.zeros(shape, dtype)
+            rinit = (zero, zero,
+                     Vec3.zeros(shape, dtype=dtype),
+                     Vec3.zeros(shape, dtype=dtype),
+                     Vec3.full(shape, 1.0, 1.0, 1.0, dtype=dtype),
+                     zero, zero, zero, zero)
+            rfin = lax.while_loop(rcond, rbody, rinit)
+            acc = (rfin[6], rfin[7], rfin[8])
         inv_spp = 1.0 / samples
         img = Vec3(acc[0] * inv_spp, acc[1] * inv_spp, acc[2] * inv_spp)
         valid = (pixel_ids < jnp.uint32(num_pixels)).astype(dtype)
@@ -404,8 +425,10 @@ def _stream_grad_program(
     docstring); ``window`` = parked waves per round (0 = auto by the
     same ~10 MB scratch budget as the VMEM backward).
 
-    ``pixels_per_lane`` (wave grads only; None = auto K=16 shrunk for
-    small images, 1 when mse): multi-pixel lanes — worth even more
+    ``pixels_per_lane`` (wave sweep only; None = auto K=32 shrunk for
+    small images): multi-pixel lanes for both the fused render pass
+    (per-pixel flush into a (3K, R) accumulator, bit-identical
+    per-pixel radiance to K=1) and the grad sweep — worth even more
     here than on the VMEM backward, since every drain-tail wave is a
     full O(N) HBM block walk."""
     if sweep not in ("wave", "sample"):
@@ -415,18 +438,22 @@ def _stream_grad_program(
         int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
     )
     if pixels_per_lane is None:
-        if sweep == "wave" and not mse:
+        if sweep == "wave":
+            # K=32 is the stream knee (matching the forward kernel's),
+            # not the VMEM backward's 16: every drain-tail wave here is
+            # an O(N) block walk (stream_wave.jsonl 10k@640x384x4spp:
+            # grads d12 K16 1047 -> K32 1014 ms, fused d12 1947 -> 1868)
             per = max(1, num_pixels // (ray_tile * n_shards))
             pixels_per_lane = 1
-            while pixels_per_lane < 16 and pixels_per_lane * 2 <= per:
+            while pixels_per_lane < 32 and pixels_per_lane * 2 <= per:
                 pixels_per_lane *= 2
         else:
             pixels_per_lane = 1
     kpl = pixels_per_lane
-    if kpl > 1 and (sweep != "wave" or mse):
+    if kpl > 1 and sweep != "wave":
         raise ValueError(
-            "pixels_per_lane > 1 requires sweep='wave' (grads path; the "
-            "fused mse render pass is single-pixel-lane)"
+            "pixels_per_lane > 1 requires sweep='wave' (the per-sample "
+            "sweep has no multi-pixel machinery)"
         )
     if sweep == "wave" and not window:
         budget_waves = int(10e6 // (_ST_ROWS * ray_tile * 4))
@@ -528,6 +555,10 @@ def _stream_grad_program(
                 + [pltpu.VMEM((STREAM_COLS, g_size), dtype)] * n_groups
                 + [pltpu.VMEM((scratch_waves * _ST_ROWS, ray_tile),
                               dtype)]
+                + (
+                    [pltpu.VMEM((3 * kpl, ray_tile), dtype)]
+                    if (mse and kpl > 1) else []
+                )
             ),
             cost_estimate=pl.CostEstimate(
                 flops=int(2 * samples_per_pixel * max_depth * padded

@@ -96,6 +96,38 @@ def test_fused_matches_two_program(small_scene):
 
 
 @pytest.mark.slow
+def test_stream_fused_multi_pixel_lane(small_scene):
+    """Stream fused train step with multi-pixel lanes: the shared
+    K-pixel regen render flushes complete-pixel sums (per-pixel
+    radiance bit-identical to K=1, so the loss matches to reduce
+    association) and the grad sweep rides the shared K machinery
+    (grads equal up to reassociation)."""
+    from raytracingincuda_tpu.ops.pallas_stream_backward import (
+        mse_train_stream,
+    )
+
+    cam = CameraConfig.reference_default()
+    stream = prepare_stream_scene(small_scene, block=32)
+    target = render_pallas_stream(
+        stream, cam, W, H, SPP, DEPTH, gamma=False, ray_tile=128,
+        interpret=True,
+    ) * 0.9
+    base = mse_train_stream(
+        stream, cam, target, W, H, SPP, DEPTH, ray_tile=128,
+        interpret=True, pixels_per_lane=1,
+    )
+    got = mse_train_stream(
+        stream, cam, target, W, H, SPP, DEPTH, ray_tile=64,
+        interpret=True, pixels_per_lane=4,
+    )
+    np.testing.assert_allclose(float(got[0]), float(base[0]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(base[1]),
+                               rtol=1e-4, atol=5e-7)
+    np.testing.assert_allclose(np.asarray(got[2]), np.asarray(base[2]),
+                               rtol=1e-4, atol=5e-7)
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("fused", [False, True])
 def test_stream_train_recovers_albedo(small_scene, fused):
     cam = CameraConfig.reference_default()
