@@ -56,6 +56,7 @@ def _free_port() -> int:
 def run_probe(procs: int = 2, devices_per_proc: int = 4, scene_id: int = 2,
               width: int = 160, height: int = 96, samples: int = 4,
               bounces: int = 8, impl: str = "oracle", grads: bool = False,
+              train: bool = False,
               workdir: str | None = None, timeout_s: int = 600) -> dict:
     """Run the multi-host flow; returns the result record (raises on any
     failure). Importable so tests can call it directly."""
@@ -76,6 +77,8 @@ def run_probe(procs: int = 2, devices_per_proc: int = 4, scene_id: int = 2,
            "--impl", impl, "--outdir", workdir]
     if grads:
         cmd.append("--grads")
+    if train:
+        cmd.append("--train")
 
     t0 = time.perf_counter()
     children = []
@@ -191,6 +194,41 @@ def run_probe(procs: int = 2, devices_per_proc: int = 4, scene_id: int = 2,
         assert all(g["loss"] == gs[0]["loss"] for g in gs), gs
         record["grads"] = gs[0]
 
+    # 5. fused Pallas train-step leg: the shard_map psum path across
+    #    hosts. Bit-exact across processes (one global program), and
+    #    allclose to a single-process fused step (two XLA programs ->
+    #    the documented ~2e-7 cross-program camera-row float channel).
+    if train:
+        trs = [st["train"] for st in statuses]
+        assert all(t == trs[0] for t in trs), trs
+        from raytracingincuda_tpu.models.camera import CameraConfig as CC
+        from raytracingincuda_tpu.models.scene import build_scene as bs
+        from raytracingincuda_tpu.ops.pallas_backward import (
+            mse_train_pallas,
+        )
+        import jax.numpy as jnp
+        import numpy as _np
+
+        tgt = jnp.zeros((height, width, 3), jnp.float32)
+        spp_t, d_t = min(samples, 2), min(bounces, 4)
+        loss1, _i1, dsm1, dcr1 = mse_train_pallas(
+            bs(scene_id), CC.reference_default(), tgt, width, height,
+            spp_t, d_t, interpret=True,
+        )
+        # measured 1.8e-5 relative at 160x96x2spp/d4: the camera-row
+        # cross-program channel flips knife-edge hits at tiny spp, and
+        # the 8-shard psum reassociates the loss sum
+        rel = abs(trs[0]["loss"] - float(loss1)) / max(
+            abs(float(loss1)), 1e-12
+        )
+        assert rel < 1e-3, (trs[0], float(loss1))
+        n1 = float(jnp.linalg.norm(dsm1))
+        assert abs(trs[0]["d_scene_norm"] - n1) <= 1e-3 * max(n1, 1.0), (
+            trs[0], n1,
+        )
+        record["train"] = dict(trs[0], single_proc_loss=float(loss1),
+                               single_proc_d_scene_norm=n1)
+
     return record
 
 
@@ -217,6 +255,7 @@ def main() -> int:
             scene_id=args.scene_id, width=args.width, height=args.height,
             samples=args.samples, bounces=args.bounces, impl=impl,
             grads=args.grads and impl == "oracle",
+            train=impl == "pallas",
         )
     print(json.dumps(records, indent=2))
     with open(args.out, "w") as f:

@@ -56,6 +56,10 @@ def main() -> int:
     ap.add_argument("--grads", action="store_true",
                     help="also compute scene-parameter gradients over the "
                          "global mesh (the cross-host all-reduce path)")
+    ap.add_argument("--train", action="store_true",
+                    help="also run the FUSED Pallas train step "
+                         "(mse_train_pallas, interpret) over the global "
+                         "mesh — the shard_map psum path across hosts")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -147,6 +151,30 @@ def main() -> int:
         ) ** 0.5
         status["grads"] = {"loss": float(loss),
                            "scene_grad_norm": round(gnorm, 10)}
+
+    if args.train:
+        # The fused Pallas train step over the SAME multi-process mesh:
+        # one shard_map program computes loss + image + scene/camera
+        # cotangents, psum'd across all hosts' devices (interpret-mode
+        # Mosaic on CPU). Every process must see bit-identical results
+        # (same global program, replicated outputs).
+        from raytracingincuda_tpu.ops.pallas_backward import (
+            mse_train_pallas,
+        )
+
+        target = jnp.zeros((args.height, args.width, 3), jnp.float32)
+        spp_t, d_t = min(args.samples, 2), min(args.bounces, 4)
+        loss_t, _img_t, d_sm, d_cr = jax.jit(
+            lambda s, c, t: mse_train_pallas(
+                s, c, t, args.width, args.height, spp_t, d_t,
+                mesh=meshlib.make_mesh(0), interpret=True,
+            )
+        )(scene, cam, target)
+        status["train"] = {
+            "loss": float(loss_t),
+            "d_scene_norm": round(float(jnp.linalg.norm(d_sm)), 10),
+            "d_cam_norm": round(float(jnp.linalg.norm(d_cr)), 10),
+        }
 
     with open(os.path.join(args.outdir, f"status_p{pid}.json"), "w") as f:
         json.dump(status, f)

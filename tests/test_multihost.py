@@ -37,7 +37,11 @@ def test_multihost_oracle_render_stitch_grads(tmp_path):
 
 
 def test_multihost_pallas_shard_map(tmp_path):
-    rec = run_probe(impl="pallas", grads=False,
+    """Render AND the fused Pallas train step (shard_map psum across
+    both processes): cross-process bit-identity is asserted inside
+    run_probe, plus closeness to a single-process fused step."""
+    rec = run_probe(impl="pallas", grads=False, train=True,
                     workdir=str(tmp_path / "pallas"), **TINY)
     assert rec["ppm_identical"]
     assert rec["float_maxdiff_vs_single"] == 0.0
+    assert rec["train"]["d_scene_norm"] > 0.0
