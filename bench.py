@@ -97,9 +97,14 @@ def measure_stage() -> None:
     from raytracingincuda_tpu.config import RenderConfig
     from raytracingincuda_tpu.models.camera import CameraConfig
     from raytracingincuda_tpu.models.scene import build_scene
-    from raytracingincuda_tpu.utils.timing import force
+    from raytracingincuda_tpu.utils.timing import force, measure_calibration
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
+    # day calibration FIRST (VERDICT r3 weak #4): the tunnel RTT floor and
+    # the device-day MXU clock ride the JSON so cross-round comparisons
+    # are auditable against transport/clock drift
+    calib = measure_calibration()
+    print(f"calibration: {calib}", file=sys.stderr)
     scene = jax.device_put(build_scene(SCENE_ID))
     cam = CameraConfig.reference_default()
     base = dict(scene_id=SCENE_ID, width=WIDTH, height=HEIGHT,
@@ -126,6 +131,7 @@ def measure_stage() -> None:
         "vs_baseline": round(BASELINE_RENDER_MS / rr_ms, 3),
         "parity_ms": round(parity_ms, 2),
         "parity_vs_baseline": round(BASELINE_RENDER_MS / parity_ms, 3),
+        **calib,
     }))
 
 

@@ -69,6 +69,12 @@ def main() -> int:
                     help="force a jax platform (e.g. cpu for the f64 "
                          "precision-comparison configs; the env "
                          "force-registers a TPU plugin otherwise)")
+    ap.add_argument("--max_floor_ms", type=float, default=None,
+                    help="refuse to sweep if the measured noop "
+                         "dispatch+force RTT floor exceeds this (wall "
+                         "numbers for sub-100 ms renders are RTT-hostage "
+                         "— the floor varies 3..30 ms by day; refresh "
+                         "wall CSVs only under a low floor, e.g. 5)")
     ap.add_argument("--pipeline", type=int, default=1,
                     help="renders per timed run, dispatched back-to-back "
                          "and forced once (time/N). N>1 amortizes the "
@@ -98,6 +104,26 @@ def main() -> int:
         import jax.numpy as jnp
 
         device_dtype = jnp.float32
+
+    # Day calibration: measured FIRST, gated, and committed as a sidecar
+    # (<out>.calib.json) so every CSV carries the transport/clock context
+    # it was taken under (VERDICT r3: the committed small-row wall number
+    # was a good-RTT-day artifact with nothing recording that)
+    import json
+
+    from raytracingincuda_tpu.utils.timing import measure_calibration
+
+    calib = measure_calibration()
+    print(f"calibration: {calib}", file=sys.stderr)
+    if (args.max_floor_ms is not None
+            and calib["rtt_floor_ms"] > args.max_floor_ms):
+        print(
+            f"REFUSING to sweep: noop RTT floor {calib['rtt_floor_ms']} ms"
+            f" > --max_floor_ms {args.max_floor_ms} — wall numbers taken "
+            "now would be transport-dominated; retry when the tunnel is "
+            "quiet", file=sys.stderr,
+        )
+        return 3
 
     resolutions = QUICK_RESOLUTIONS if args.quick else RESOLUTIONS
     if args.resolutions:
@@ -150,7 +176,14 @@ def main() -> int:
         wcsv = csv.writer(f)
         wcsv.writerow(CSV_COLUMNS)
         wcsv.writerows(rows)
-    print(f"wrote {len(rows)} rows to {args.out}", file=sys.stderr)
+    with open(args.out + ".calib.json", "w") as f:
+        json.dump({**calib, "backend": jax.default_backend(),
+                   "impl": args.impl, "dtype": args.dtype,
+                   "layout": args.layout, "pipeline": args.pipeline,
+                   "ts": time.time()}, f)
+        f.write("\n")
+    print(f"wrote {len(rows)} rows to {args.out} "
+          f"(+ {args.out}.calib.json)", file=sys.stderr)
     return 0
 
 

@@ -55,6 +55,12 @@ def make_loss_fn(
     pixel_order=None,
     mesh=None,
     interpret: Optional[bool] = None,
+    rr_start=None,
+    ray_tile: Optional[int] = None,
+    bwd_ray_tile: Optional[int] = None,
+    sweep: Optional[str] = None,
+    window: int = 0,
+    pixels_per_lane: Optional[int] = None,
 ):
     """loss(params, cam_cfg, statics, target) -> scalar.
 
@@ -62,14 +68,32 @@ def make_loss_fn(
     sqrt-gamma has unbounded slope at zero and black pixels are common
     (absorbed rays return exact 0, camera.h:117).
 
-    ``impl='pallas'`` uses the Pallas kernel for the forward pass with the
-    oracle recompute-VJP backward (ops/pallas_kernel.make_diff_render).
+    ``impl='pallas'`` uses the Pallas kernel for the forward pass with
+    the winner-replay Pallas backward (ops/pallas_kernel.
+    make_diff_render). ``rr_start`` selects the Russian-roulette
+    estimator for BOTH impls; ``ray_tile`` / ``bwd_ray_tile`` /
+    ``sweep`` / ``window`` / ``pixels_per_lane`` are the Pallas kernel
+    knobs (forward tile; backward tile / sweep family / parked-wave
+    window / K-pixel lanes) — rejected with an error under
+    impl='oracle', which has no tiles to tune.
     """
+    if impl != "pallas":
+        _unsupported = {
+            "ray_tile": ray_tile, "bwd_ray_tile": bwd_ray_tile,
+            "sweep": sweep, "window": window or None,
+            "pixels_per_lane": pixels_per_lane,
+        }
+        _set = [k for k, v in _unsupported.items() if v is not None]
+        if _set:
+            raise ValueError(
+                f"impl={impl!r} does not support {_set} — these tune the "
+                "Pallas kernels; use impl='pallas' or impl='fused'"
+            )
 
     def loss_fn(params: SceneParams, cam_cfg: CameraConfig,
                 mat_type, active, target):
         if impl == "pallas":
-            from .pallas_kernel import make_diff_render
+            from .pallas_kernel import DEFAULT_RAY_TILE, make_diff_render
 
             interp = (jax.default_backend() == "cpu"
                       if interpret is None else interpret)
@@ -80,6 +104,11 @@ def make_loss_fn(
                 mesh=mesh, interpret=interp,
                 oracle_chunk_pixels=chunk_pixels,
                 oracle_pixel_sharding=pixel_sharding,
+                rr_start=rr_start,
+                ray_tile=ray_tile or DEFAULT_RAY_TILE,
+                bwd_ray_tile=bwd_ray_tile,
+                bwd_sweep=sweep, bwd_window=window,
+                bwd_pixels_per_lane=pixels_per_lane,
             )
             img = f(params, cam_cfg)
         else:
@@ -89,6 +118,7 @@ def make_loss_fn(
                 samples_per_pixel, max_depth,
                 seed=seed, dtype=dtype, chunk_pixels=chunk_pixels,
                 pixel_sharding=pixel_sharding, gamma=gamma, remat=remat,
+                rr_start=rr_start,
             )
         return image_mse(img, target)
 
@@ -199,6 +229,11 @@ def make_train_step(
 
         return init_fn, fused_step
 
+    if kw.pop("park_residuals", None) is not None:
+        raise ValueError(
+            "park_residuals tunes the fused MSE kernel only — use "
+            "impl='fused' (the custom_vjp paths have no residual parking)"
+        )
     loss_fn = make_loss_fn(
         img_width, img_height, samples_per_pixel, max_depth, **kw
     )

@@ -1322,7 +1322,8 @@ def _scatter_matmul(one_hot: jnp.ndarray, d_rows: jnp.ndarray):
 
 
 def _prepare_grad_inputs(scene, cam_cfg, rows3, img_width, img_height,
-                         ray_tile, pixel_order, mesh, dtype, kpl=1):
+                         ray_tile, pixel_order, mesh, dtype, kpl=1,
+                         wave_ids=False):
     """Shared host-side setup for both grad entry points: tile-shaped
     lane->pixel maps, the (per-lane-permuted) payload rows (upstream
     cotangent or target image), and the packed scene/camera with the
@@ -1337,9 +1338,15 @@ def _prepare_grad_inputs(scene, cam_cfg, rows3, img_width, img_height,
     )
     padded = _round_up(num_pixels, kpl * ray_tile * n_shards)
     n_tiles = padded // (kpl * ray_tile)
-    if kpl > 1 and padded >= (1 << 24):
-        # multi-pixel lanes carry the current pixel id as f32
-        raise ValueError("pixels_per_lane > 1 supports images < 16M pixels")
+    if (kpl > 1 or wave_ids) and padded >= (1 << 24):
+        # multi-pixel lanes AND the wave sweep (any K) carry the current
+        # pixel id as f32 — ids >= 2^24 would round silently and desync
+        # the counter-based RNG streams
+        raise ValueError(
+            "pixels_per_lane > 1 and sweep='wave' support images with "
+            "< 16M (padded) pixels only — pixel ids ride lanes as f32; "
+            "use sweep='sample' with pixels_per_lane=1 for larger images"
+        )
 
     ids = _order_ids(pixel_order, padded)
     ii = (ids % jnp.uint32(img_width)).astype(dtype)
@@ -1425,6 +1432,7 @@ def render_pallas_grads(
     small to fill K*ray_tile lanes per shard."""
     if sweep not in ("wave", "sample"):
         raise ValueError("sweep must be 'wave' or 'sample'")
+    rr_start = rtrng.validate_rr_start(rr_start)
     if pixels_per_lane is None:
         if sweep == "wave":
             n_shards = (
@@ -1444,6 +1452,7 @@ def render_pallas_grads(
      num_pixels, padded, n_tiles) = _prepare_grad_inputs(
         scene, cam_cfg, g_acc, img_width, img_height, ray_tile,
         pixel_order, mesh, dtype, kpl=pixels_per_lane,
+        wave_ids=(sweep == "wave"),
     )
 
     if sweep == "wave":
@@ -1632,9 +1641,14 @@ def mse_train_pallas(
     n_shards = (
         int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
     )
-    _per512 = max(1, (img_width * img_height) // (512 * n_shards))
+    # K estimate for the park-vs-wave gate uses the tile the wave sweep
+    # would actually run at: the caller's explicit ray_tile, else the
+    # auto default 512 — so the gate and the pixels_per_lane chosen
+    # below always agree
+    _rt_est = ray_tile if ray_tile is not None else 512
+    _per_tile = max(1, (img_width * img_height) // (_rt_est * n_shards))
     _k_est = 1
-    while _k_est < 16 and _k_est * 2 <= _per512:
+    while _k_est < 16 and _k_est * 2 <= _per_tile:
         _k_est *= 2
     prefer_park = max_depth <= 6 or _k_est < 8
     if ray_tile is None:
@@ -1662,6 +1676,7 @@ def mse_train_pallas(
         sweep = "sample" if park_residuals else "wave"
     if sweep not in ("wave", "sample"):
         raise ValueError("sweep must be 'wave' or 'sample'")
+    rr_start = rtrng.validate_rr_start(rr_start)
     if sweep == "wave" and not park_residuals and not window:
         # same scratch budget as render_pallas_grads' auto window
         budget_waves = int(10e6 // (_ST_ROWS * ray_tile * 4))
@@ -1686,6 +1701,7 @@ def mse_train_pallas(
      num_pixels, padded, n_tiles) = _prepare_grad_inputs(
         scene, cam_cfg, target, img_width, img_height, ray_tile,
         pixel_order, mesh, dtype, kpl=pixels_per_lane,
+        wave_ids=(sweep == "wave" and not park_residuals),
     )
 
     kernel = functools.partial(

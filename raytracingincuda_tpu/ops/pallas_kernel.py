@@ -1107,6 +1107,7 @@ def render_pallas(
         )
     rtrng.validate_stream_ids(sample_offset + samples_per_pixel,
                               max_depth)
+    rr_start = rtrng.validate_rr_start(rr_start)
     cam = initialize(cam_cfg, img_width, img_height)
 
     n_shards = int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
@@ -1366,6 +1367,9 @@ def make_diff_render(
     interpret: bool = False,
     backward: str = "pallas",
     rr_start=None,
+    bwd_sweep: Optional[str] = None,
+    bwd_window: int = 0,
+    bwd_pixels_per_lane: Optional[int] = None,
 ):
     """Differentiable renderer with the Pallas kernel as the forward pass.
 
@@ -1381,6 +1385,12 @@ def make_diff_render(
     per-sample sweep preferred 1024, bwd_winner.jsonl). Lower it
     explicitly for sphere-heavy scenes where the forward sweep's (N, R)
     hit-scan working set presses the 16 MB VMEM limit.
+
+    ``bwd_sweep`` / ``bwd_window`` / ``bwd_pixels_per_lane``: passed to
+    render_pallas_grads as sweep / window / pixels_per_lane (None/0 =
+    that function's autos) — the wave-sweep tuning knobs, exposed so the
+    non-fused custom_vjp path accepts the same training options as the
+    fused kernel (ops/grad.make_train_step routes them).
 
     ``pixel_order``: optional frozen difficulty permutation (see
     measure_difficulty/difficulty_order) applied to BOTH the forward
@@ -1465,6 +1475,8 @@ def make_diff_render(
             samples_per_pixel, max_depth, seed=seed,
             ray_tile=bwd_ray_tile or 512, pixel_order=pixel_order,
             mesh=mesh, interpret=interpret, rr_start=rr_start,
+            sweep=bwd_sweep or "wave", window=bwd_window,
+            pixels_per_lane=bwd_pixels_per_lane,
         )
         return chain_to_params(
             d_sm, d_cr, params, cam_cfg, mat_type, active,

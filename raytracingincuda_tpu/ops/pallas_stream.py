@@ -534,6 +534,7 @@ def render_pallas_stream(
     packed matrix is <= 2 MB (4096 rows). Bit-identical either way."""
     rtrng.validate_stream_ids(sample_offset + samples_per_pixel,
                               max_depth)
+    rr_start = rtrng.validate_rr_start(rr_start)
     cam = initialize(cam_cfg, img_width, img_height)
     kpl = pixels_per_lane
     n_shards = (

@@ -433,6 +433,7 @@ def _stream_grad_program(
     full O(N) HBM block walk."""
     if sweep not in ("wave", "sample"):
         raise ValueError("sweep must be 'wave' or 'sample'")
+    rr_start = rtrng.validate_rr_start(rr_start)
     num_pixels = img_width * img_height
     n_shards = (
         int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
@@ -462,8 +463,14 @@ def _stream_grad_program(
     cam = initialize(cam_cfg, img_width, img_height)
     padded = _round_up(num_pixels, kpl * ray_tile * n_shards)
     n_tiles = padded // (kpl * ray_tile)
-    if kpl > 1 and padded >= (1 << 24):
-        raise ValueError("pixels_per_lane > 1 supports images < 16M pixels")
+    if (kpl > 1 or sweep == "wave") and padded >= (1 << 24):
+        # the wave sweep (any K) carries pixel ids as f32 — ids >= 2^24
+        # would round silently and desync the RNG streams
+        raise ValueError(
+            "pixels_per_lane > 1 and sweep='wave' support images with "
+            "< 16M (padded) pixels only — pixel ids ride lanes as f32; "
+            "use sweep='sample' with pixels_per_lane=1 for larger images"
+        )
 
     ids = jnp.arange(padded, dtype=jnp.uint32)
     ii = (ids % jnp.uint32(img_width)).astype(dtype)

@@ -171,3 +171,25 @@ def validate_stream_ids(max_sample_id_exclusive: int,
             f"max_depth {max_depth} exceeds the bounce counter field "
             f"({MAX_BOUNCE}); bounce streams would alias the next sample"
         )
+
+
+def validate_rr_start(rr_start):
+    """Host-side check that ``rr_start`` is a non-negative integer (or
+    None); returns it as a python int. Forward kernels/oracle test the
+    RR zone as ``bounce_f >= float(rr_start)`` while the backward
+    kernels replay it in the integer domain (``b_u >= uint32(rr_start)``
+    — Mosaic cannot lower uint32->f32 casts); a non-integer rr_start
+    would make the two disagree by one bounce and silently desync the
+    bitwise stream replay. Integer bounces decide identically in both
+    domains, so requiring an int here makes every path agree."""
+    if rr_start is None:
+        return None
+    r = int(rr_start)
+    if r != rr_start or r < 0:
+        raise ValueError(
+            f"rr_start must be a non-negative integer (got {rr_start!r}):"
+            " the backward kernels replay the RR zone test in the integer"
+            " domain and a fractional rr_start would desync the forward's"
+            " float-domain test by one bounce"
+        )
+    return r

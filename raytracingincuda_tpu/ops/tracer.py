@@ -266,6 +266,7 @@ def render(
     """
     rtrng.validate_stream_ids(sample_offset + samples_per_pixel,
                               max_depth)
+    rr_start = rtrng.validate_rr_start(rr_start)
     key = rtrng.key_from_seed(seed)
     cam = initialize(cam_cfg, img_width, img_height)
 

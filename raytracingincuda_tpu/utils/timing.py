@@ -31,3 +31,59 @@ def time_fn(fn: Callable, *args, runs: int = 3) -> Tuple[float, float]:
         chk = force(fn(*args))
         best = min(best, (time.perf_counter() - t0) * 1e3)
     return best, chk
+
+
+def measure_calibration(mxu: bool = True, runs: int = 10) -> dict:
+    """Day-calibration record to commit BESIDE wall-clock artifacts.
+
+    Wall numbers on the tunneled device are hostage to two day-varying
+    quantities (VERDICT r3 weak #4): the tunnel RTT (noop
+    dispatch+force floor measured 3 ms on one day, 25.6 ms on another —
+    `results/smallrow.jsonl`) and the device-day kernel clock (the same
+    commit measured 312 vs 444 ms across days — verify skill, round-3
+    session 2). Committing this record with every sweep/bench makes
+    cross-round comparisons auditable against that drift.
+
+      rtt_floor_ms   min over ``runs`` of a cached noop jit
+                     dispatch + force() roundtrip — the wall-clock tax
+                     every sub-100 ms render pays on this transport
+      mxu_tflops_bf16 / mxu_clock_ghz
+                     chained 1024^2 bf16 matmul peak and the implied
+                     single-MXU clock (128x128 MACs/cycle) — the
+                     device-day frequency reference (roofline.py
+                     measures the fuller 2048^2 version)
+    """
+    f = jax.jit(lambda v: (v * 2 + 1).sum())
+    x = jnp.arange(8.0)
+    float(f(x))  # compile
+    floors = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        float(f(x))
+        floors.append((time.perf_counter() - t0) * 1e3)
+    rec = {"rtt_floor_ms": round(min(floors), 2)}
+    if mxu and jax.default_backend() != "cpu":
+        from jax import lax
+
+        n, chain = 1024, 64
+        a = (jnp.eye(n, dtype=jnp.float32) * 1.0000001).astype(jnp.bfloat16)
+        b = (jnp.ones((n, n), jnp.float32) / n).astype(jnp.bfloat16)
+
+        def fn(a, b):
+            return lax.fori_loop(
+                0, chain,
+                lambda i, c: jnp.dot(a, c).astype(jnp.bfloat16), b,
+            )
+
+        jf = jax.jit(fn)
+        force(jf(a, b))
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            force(jf(a, b))
+            ts.append(time.perf_counter() - t0)
+        tflops = 2 * n**3 * chain / min(ts) / 1e12
+        rec["mxu_tflops_bf16"] = round(tflops, 2)
+        rec["mxu_clock_ghz"] = round(tflops * 1e12 / (128 * 128 * 2) / 1e9,
+                                     3)
+    return rec

@@ -391,3 +391,92 @@ def test_sharded_grads_match(mixed_scene, default_camera):
     gm = _grads(mixed_scene, default_camera, mesh=m, ray_tile=128)
     g1 = _grads(mixed_scene, default_camera, ray_tile=128)
     _assert_tree_close(gm, g1, rtol=1e-4, atol=1e-6)
+
+
+def test_rr_start_must_be_integer(mixed_scene, default_camera):
+    """ADVICE r3: the backward replays the RR zone test in the integer
+    domain while the forward compares in float — a fractional rr_start
+    would desync them by one bounce. Every entry point rejects it."""
+    from raytracingincuda_tpu.ops.pallas_backward import (
+        mse_train_pallas, render_pallas_grads,
+    )
+    from raytracingincuda_tpu.ops.pallas_kernel import render_pallas
+
+    g = jnp.zeros((H, W, 3), jnp.float32)
+    with pytest.raises(ValueError, match="rr_start"):
+        render_pallas_grads(
+            mixed_scene, default_camera, g, W, H, SPP, DEPTH,
+            ray_tile=128, interpret=True, rr_start=2.5,
+        )
+    with pytest.raises(ValueError, match="rr_start"):
+        mse_train_pallas(
+            mixed_scene, default_camera, g, W, H, SPP, DEPTH,
+            ray_tile=128, interpret=True, rr_start=1.5,
+        )
+    with pytest.raises(ValueError, match="rr_start"):
+        render_pallas(
+            mixed_scene, default_camera, W, H, SPP, DEPTH,
+            ray_tile=128, interpret=True, rr_start=0.5,
+        )
+    with pytest.raises(ValueError, match="rr_start"):
+        tracer.render(
+            mixed_scene, default_camera, W, H, SPP, DEPTH, rr_start=-1,
+        )
+    # integral floats are fine (== their int)
+    render_pallas_grads(
+        mixed_scene, default_camera, g, W, H, SPP, DEPTH,
+        ray_tile=128, interpret=True, rr_start=2.0,
+    )
+
+
+def test_wave_sweep_rejects_huge_images(mixed_scene, default_camera):
+    """ADVICE r3 (medium): the wave sweep carries pixel ids as f32 for
+    ANY pixels_per_lane — >= 2^24 padded pixels must be rejected even at
+    an explicit K=1 (ids would round silently, desyncing RNG streams)."""
+    from raytracingincuda_tpu.ops.pallas_backward import (
+        render_pallas_grads,
+    )
+
+    w, h = 4096, 4096                       # 16.7M pixels >= 2^24
+    g = np.zeros((h, w, 3), np.float32)     # never touched: raises first
+    with pytest.raises(ValueError, match="16M"):
+        render_pallas_grads(
+            mixed_scene, default_camera, g, w, h, SPP, DEPTH,
+            ray_tile=512, interpret=True, sweep="wave",
+            pixels_per_lane=1,
+        )
+
+
+def test_train_step_kwargs_non_fused(mixed_scene, default_camera):
+    """ADVICE r3: make_train_step's rr/sweep kwargs must reach the
+    non-fused impls instead of TypeError-ing — impl='pallas' trains the
+    RR estimator through the custom_vjp path."""
+    from raytracingincuda_tpu.ops.grad import make_train_step
+
+    target = jnp.zeros((H, W, 3), jnp.float32)
+    init_fn, step_fn = make_train_step(
+        W, H, SPP, DEPTH, impl="pallas", interpret=True, rr_start=2,
+        ray_tile=128, bwd_ray_tile=128, sweep="wave",
+        pixels_per_lane=2, learning_rate=1e-3,
+    )
+    state = init_fn(mixed_scene.params)
+    state, loss = step_fn(state, default_camera, mixed_scene.mat_type,
+                          mixed_scene.active, target)
+    assert np.isfinite(float(loss))
+    leaves = jax.tree_util.tree_leaves(state.params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+    # oracle rejects pallas-only tuning knobs with a clear error...
+    with pytest.raises(ValueError, match="impl='pallas'"):
+        make_train_step(W, H, SPP, DEPTH, impl="oracle", sweep="wave")
+    with pytest.raises(ValueError, match="fused"):
+        make_train_step(W, H, SPP, DEPTH, impl="pallas",
+                        park_residuals=True)
+    # ...but accepts rr_start (the oracle supports the RR estimator)
+    init_fn, step_fn = make_train_step(
+        W, H, SPP, DEPTH, impl="oracle", rr_start=2, learning_rate=1e-3,
+    )
+    state = init_fn(mixed_scene.params)
+    _, loss = step_fn(state, default_camera, mixed_scene.mat_type,
+                      mixed_scene.active, target)
+    assert np.isfinite(float(loss))
