@@ -213,11 +213,21 @@ def simulate_tile(scene, cam, pixel_ids, fi, fj, spp, depth, streams,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=10_000)
+    ap.add_argument("--scene_id", type=int, default=0,
+                    help="0 = build_random_scene(--n); 1-3 = the "
+                         "reference scenes (sizes the VMEM-kernel cull "
+                         "question: is 488 spheres above break-even?)")
     ap.add_argument("--spp", type=int, default=4)
     ap.add_argument("--depth", type=int, default=6)
     ap.add_argument("--tiles", type=int, default=6)
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--height", type=int, default=384)
+    ap.add_argument("--sorted", action="store_true",
+                    help="assign lanes pixels in the PRODUCTION "
+                         "difficulty order (measure_difficulty d8/s6 "
+                         "prepass) instead of raster ids — sorted tiles "
+                         "mix pixels from across the image, changing "
+                         "block-cull coverage")
     ap.add_argument("--out", default="benchmarks/results/cull_stats.jsonl")
     args = ap.parse_args()
 
@@ -227,9 +237,14 @@ def main():
             f.write(json.dumps(rec) + "\n")
         print(rec, flush=True)
 
-    scene = build_random_scene(args.n, seed=3)
-    cam = initialize(CameraConfig.reference_default(), args.width,
-                     args.height)
+    if args.scene_id:
+        from raytracingincuda_tpu.models.scene import build_scene
+
+        scene = build_scene(args.scene_id)
+    else:
+        scene = build_random_scene(args.n, seed=3)
+    cam_config = CameraConfig.reference_default()
+    cam = initialize(cam_config, args.width, args.height)
     # (block, group, order): order 'scan' = Morton index order (the
     # kernel today), 'camdist' = blocks sorted by centroid distance to
     # the camera origin (front-to-back for primaries; free at runtime).
@@ -237,12 +252,23 @@ def main():
     # RAYS within the wave before grouping — the in-kernel ray-binning
     # candidate (MXU one-hot permutation): 'sortoct' = direction octant,
     # 'sortcell' = direction octant + coarse origin cell.
-    configs = [
-        (256, 512, "scan"), (256, 256, "scan"),
-        (256, 256, "sortoct"), (256, 128, "sortoct"),
-        (256, 256, "sortcell"), (256, 128, "sortcell"),
-        (128, 128, "sortcell"),
-    ]
+    if args.scene_id:
+        # VMEM-kernel sizing (488-sphere reference scenes): small Morton
+        # blocks, whole-tile (512) or vreg-group (128) skip granularity,
+        # scan vs front-to-back block order
+        configs = [
+            (32, 512, "scan"), (32, 512, "camdist"),
+            (64, 512, "scan"), (64, 512, "camdist"),
+            (128, 512, "scan"), (128, 512, "camdist"),
+            (32, 128, "camdist"), (64, 128, "camdist"),
+        ]
+    else:
+        configs = [
+            (256, 512, "scan"), (256, 256, "scan"),
+            (256, 256, "sortoct"), (256, 128, "sortoct"),
+            (256, 256, "sortcell"), (256, 128, "sortcell"),
+            (128, 128, "sortcell"),
+        ]
     streams = {b: prepare_stream_scene(scene, block=b)
                for b in sorted({b for b, _, _ in configs})}
     mats = {b: np.asarray(s.scene_mat) for b, s in streams.items()}
@@ -257,14 +283,36 @@ def main():
     ray_tile = 512
     n_tiles_total = (args.width * args.height) // ray_tile
     tile_ids = np.linspace(0, n_tiles_total - 1, args.tiles).astype(int)
-    log({"event": "start", "n": args.n, "tiles": tile_ids.tolist(),
-         "configs": configs})
+    order = None
+    if args.sorted:
+        import jax as _jax
+        import functools as _ft
+
+        from raytracingincuda_tpu.ops.pallas_kernel import (
+            difficulty_order, measure_difficulty,
+        )
+
+        t0 = time.time()
+        seg = _jax.jit(_ft.partial(
+            measure_difficulty, img_width=args.width,
+            img_height=args.height, probe_depth=8, probe_samples=6,
+            interpret=True,
+        ))(scene, cam_config)
+        order = np.asarray(difficulty_order(seg, 8, 6))
+        log({"event": "order_ready", "secs": round(time.time() - t0, 1)})
+    log({"event": "start", "n": args.n,
+         "scene_id": args.scene_id, "sorted": bool(args.sorted),
+         "size": f"{args.width}x{args.height}",
+         "spp": args.spp, "depth": args.depth,
+         "tiles": tile_ids.tolist(), "configs": configs})
 
     agg = {f"b{b}_g{g}_{o}": [0, 0, 0] for b, g, o in configs}
     per_bounce = {}
     for ti in tile_ids:
         ids = np.arange(ti * ray_tile, (ti + 1) * ray_tile,
                         dtype=np.uint32)
+        if order is not None:
+            ids = order[ids].astype(np.uint32)  # lane i owns order[i]
         fi = (ids % args.width).astype(np.float32)
         fj = (ids // args.width).astype(np.float32)
         waves = simulate_tile(scene, cam, ids, fi, fj, args.spp,
@@ -297,7 +345,7 @@ def main():
                 agg[keyname][0] += p
                 agg[keyname][1] += tot
                 agg[keyname][2] += wl
-                if (b, g, om) == (256, 512, "scan"):
+                if (b, g, om) == configs[0]:
                     bkey = int(round(mb))
                     e = per_bounce.setdefault(bkey, [0, 0])
                     e[0] += p
@@ -310,7 +358,7 @@ def main():
         log({"case": k, "processed_frac": round(p / tot, 4),
              "winner_frac": round(wl / tot, 4),
              "note": "frac of block-groups computed (vs winner lower bound)"})
-    log({"case": "per_mean_bounce_b256_g512",
+    log({"case": f"per_mean_bounce_b{configs[0][0]}_g{configs[0][1]}",
          "frac": {k: round(v[0] / v[1], 4)
                   for k, v in sorted(per_bounce.items())}})
     log({"event": "done"})

@@ -124,7 +124,8 @@ def _auto_block(n_act: int, block: int) -> int:
 
 def prepare_stream_scene(
     scene: Scene, block: int = DEFAULT_BLOCK, sort: bool = True,
-    dtype=jnp.float32, pad_pairs: bool = True,
+    dtype=jnp.float32, pad_pairs: bool = True, dense: bool = False,
+    camdist_from=None,
 ) -> StreamScene:
     """Sort spheres spatially, pad to an even number of blocks, compute
     per-block conservative bounding spheres. Inactive slots get far-away
@@ -138,11 +139,34 @@ def prepare_stream_scene(
     small-scene path) pass False and size ``block`` to the whole scene:
     a one-block walk is just the (N, R) batch with zero per-block merge
     overhead — the walk exists for the DMA pipeline, which residency
-    removes."""
+    removes.
+
+    ``dense``: pack the 16-column attribute matrix instead of the
+    128-lane stream layout. Only legal for VMEM-RESIDENT use (the HBM
+    DMA path needs 128-aligned minor-dim slices): this is the culled
+    closest-hit for the PRODUCTION small-scene path — same per-sphere
+    math as the VMEM kernel's (N, R) batch, with 8x less winner-gather
+    MXU work than the 128-column layout.
+
+    ``camdist_from``: optional (3,) point (the camera center). Blocks
+    are reordered front-to-back by (centroid distance - bound radius)
+    AFTER Morton sorting: the sequential walk's running t_best then
+    tightens on near blocks first, so far blocks cull harder
+    (cull_stats_scene1.jsonl: 488 spheres b32, production sorted tiles
+    — camdist 0.67 of block-waves processed vs scan 0.75). Pure
+    speed: winner merge is order-exact except measure-zero cross-block
+    exact-t ties (resolve to the earlier block, like the oracle's
+    argmin picks the lower slot)."""
     if dtype != jnp.float32:
         raise NotImplementedError(
             "stream scenes are f32-only (the packed HBM matrix and the "
             "kernel's DMA buffers are float32)"
+        )
+    if dense and pad_pairs:
+        raise ValueError(
+            "dense (16-column) stream scenes are VMEM-resident-only — "
+            "pass pad_pairs=False (the HBM DMA path needs the 128-lane "
+            "layout)"
         )
     mat = np.asarray(pack_scene_matrix(scene, dtype))
     active = mat[:, COL_ACTIVE] > 0.5
@@ -161,10 +185,9 @@ def prepare_stream_scene(
 
     block = _auto_block(n_act, block)
     n_pad = _round_up(max(n_act, 1), (2 if pad_pairs else 1) * block)
-    out = np.zeros((n_pad, STREAM_COLS), np.float32)
+    cols = NUM_COLS if dense else STREAM_COLS
+    out = np.zeros((n_pad, cols), np.float32)
     out[:n_act, :NUM_COLS] = act_mat
-    # stream-slot ids ride along with the winner gather (backward scatter)
-    out[:, STREAM_COL_SID] = np.arange(n_pad, dtype=np.float32)
     # inactive padding: radius 0, active 0 (never hit); centers at origin
     nb = n_pad // block
     bounds = np.zeros((nb, 8), np.float32)
@@ -182,6 +205,21 @@ def prepare_stream_scene(
         rb = np.sqrt(((c - ctr) ** 2).sum(1)).max() + np.abs(r).max()
         bounds[b, 0:3] = ctr
         bounds[b, 3] = rb * 1.0001 + 1e-4          # conservative slack
+
+    # bounds col 4 = the block's first matrix ROW: the walk reads its
+    # block offset from the bounds table instead of deriving it from the
+    # loop index, so reordering BOUNDS ROWS alone reorders the visit —
+    # the matrix layout (and the actives-first perm convention the
+    # gradient scatter relies on) never moves
+    bounds[:, 4] = np.arange(nb, dtype=np.float32) * block
+    if camdist_from is not None and nb > 1:
+        p = np.asarray(camdist_from, np.float64).reshape(3)
+        dist = np.sqrt(((bounds[:, 0:3] - p) ** 2).sum(1)) - bounds[:, 3]
+        dist = np.where(bounds[:, 3] > 0.0, dist, np.inf)  # empties last
+        bounds = bounds[np.argsort(dist, kind="stable")]
+
+    # stream-slot ids ride along with the winner gather (backward scatter)
+    out[:, STREAM_COL_SID] = np.arange(n_pad, dtype=np.float32)
     return StreamScene(
         scene_mat=jnp.asarray(out), bounds=jnp.asarray(bounds), block=block,
         perm=jnp.asarray(act_idx, jnp.int32),
@@ -229,6 +267,9 @@ def build_stream_arrays(scene: Scene, perm: jnp.ndarray, block: int,
     rb = jnp.where(any_act, (dmax + rmax) * 1.0001 + 1e-4, 0.0)
     bounds = (
         jnp.zeros((nb, 8), dtype).at[:, 0:3].set(ctr).at[:, 3].set(rb)
+        # col 4 = block's first matrix row (see prepare_stream_scene);
+        # the frozen-perm rebuild keeps the Morton visit order
+        .at[:, 4].set(jnp.arange(nb, dtype=dtype) * block)
     )
     return out, bounds
 
@@ -344,14 +385,21 @@ def _hit_world_stream(scene_hbm, bounds_ref, bufs, sems, o: Vec3, d: Vec3,
         ddo_g = lambda g: row(g, 7)
         o2_g = lambda g: row(g, 8)
 
+    def _block_off(b):
+        # bounds row b carries its block's first matrix row in col 4
+        # (prepare_stream_scene/build_stream_arrays stamp it): the visit
+        # ORDER is whatever order the bounds rows are in — front-to-back
+        # camdist ordering is a host-side bounds reorder, no matrix move
+        return bounds_ref[b, 4].astype(jnp.int32)
+
     def start_copy(buf, sem, b):
         pltpu.make_async_copy(
-            scene_hbm.at[pl.ds(b * block, block), :], buf, sem
+            scene_hbm.at[pl.ds(_block_off(b), block), :], buf, sem
         ).start()
 
     def wait_copy(buf, sem, b):
         pltpu.make_async_copy(
-            scene_hbm.at[pl.ds(b * block, block), :], buf, sem
+            scene_hbm.at[pl.ds(_block_off(b), block), :], buf, sem
         ).wait()
 
     def process_block(buf, b):
@@ -368,7 +416,7 @@ def _hit_world_stream(scene_hbm, bounds_ref, bufs, sems, o: Vec3, d: Vec3,
                 bx, by, bz, br, o_g(g), d_g(g), a_g(g), t_cur))
             def _(g=g, t_cur=t_cur):
                 if resident:
-                    blk = scene_hbm[pl.ds(b * block, block), :]
+                    blk = scene_hbm[pl.ds(_block_off(b), block), :]
                 else:
                     blk = buf[:, :]
                 cx = blk[:, COL_CX:COL_CX + 1]
@@ -396,11 +444,12 @@ def _hit_world_stream(scene_hbm, bounds_ref, bufs, sems, o: Vec3, d: Vec3,
                 )
 
     # preamble: block 0 into buf0 (streamed); reset the best-hit scratch
+    cols = scene_hbm.shape[1]        # 128 (stream) or 16 (dense resident)
     if not resident:
         start_copy(buf0, sem0, jnp.int32(0))
     for g in range(n_groups):
         t_refs[g][0:1, :] = jnp.full((1, g_size), T_MISS, dtype)
-        p_refs[g][:, :] = jnp.zeros((STREAM_COLS, g_size), dtype)
+        p_refs[g][:, :] = jnp.zeros((cols, g_size), dtype)
 
     if resident:
         def body(b, carry):
@@ -552,6 +601,11 @@ def render_pallas_stream(
     nb_pad = stream.bounds.shape[0]
     if resident is None:
         resident = stream.scene_mat.nbytes <= 2 * 2**20
+    if stream.scene_mat.shape[1] != STREAM_COLS and not resident:
+        raise ValueError(
+            "dense (16-column) stream scenes are VMEM-resident only — "
+            "the HBM DMA path needs 128-aligned minor-dim slices"
+        )
     if not resident and n_blocks % 2 != 0:
         # the double-buffered DMA walks block PAIRS; an odd count would
         # silently drop the last block from every hit test
@@ -633,7 +687,8 @@ def render_pallas_stream(
                 )
                 + [pltpu.VMEM((_RAY_ROWS * n_groups, g_size), dtype)]
                 + [pltpu.VMEM((1, g_size), dtype)] * n_groups
-                + [pltpu.VMEM((STREAM_COLS, g_size), dtype)] * n_groups
+                + [pltpu.VMEM((scene_m.shape[1], g_size), dtype)]
+                * n_groups
             ),
             cost_estimate=pl.CostEstimate(
                 flops=int(samples_per_pixel * max_depth * padded

@@ -490,6 +490,12 @@ def _stream_grad_program(
     n_blocks = stream.n_blocks
     n_total = n_blocks * block
     nb_pad = stream.bounds.shape[0]
+    if stream.scene_mat.shape[1] != STREAM_COLS:
+        raise ValueError(
+            "the stream backward walks scenes over the HBM DMA path, "
+            "which needs the 128-lane layout — dense (16-column) stream "
+            "scenes are forward/resident-only"
+        )
     if n_blocks % 2 != 0:
         raise ValueError(
             f"stream scene must have an even block count, got {n_blocks}"

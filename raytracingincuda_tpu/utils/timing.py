@@ -65,7 +65,12 @@ def measure_calibration(mxu: bool = True, runs: int = 10) -> dict:
     if mxu and jax.default_backend() != "cpu":
         from jax import lax
 
-        n, chain = 1024, 64
+        # the chain must dwarf the RTT floor or the measurement reads the
+        # transport, not the MXU (a 1024^2 x64 chain is ~4 ms of matmul
+        # against a ~30 ms floor — measured 4.9 "TF/s" on a 35 TF/s part);
+        # 2048^2 x256 is ~250 ms of matmul, and the measured floor is
+        # subtracted besides
+        n, chain = 2048, 256
         a = (jnp.eye(n, dtype=jnp.float32) * 1.0000001).astype(jnp.bfloat16)
         b = (jnp.ones((n, n), jnp.float32) / n).astype(jnp.bfloat16)
 
@@ -78,11 +83,12 @@ def measure_calibration(mxu: bool = True, runs: int = 10) -> dict:
         jf = jax.jit(fn)
         force(jf(a, b))
         ts = []
-        for _ in range(5):
+        for _ in range(3):
             t0 = time.perf_counter()
             force(jf(a, b))
             ts.append(time.perf_counter() - t0)
-        tflops = 2 * n**3 * chain / min(ts) / 1e12
+        dt = max(min(ts) - rec["rtt_floor_ms"] * 1e-3, 1e-9)
+        tflops = 2 * n**3 * chain / dt / 1e12
         rec["mxu_tflops_bf16"] = round(tflops, 2)
         rec["mxu_clock_ghz"] = round(tflops * 1e12 / (128 * 128 * 2) / 1e9,
                                      3)

@@ -210,3 +210,44 @@ def test_auto_block_for_huge_scenes():
         b = _auto_block(n, 256)
         n_pad = ((max(n, 1) + 2 * b - 1) // (2 * b)) * 2 * b
         assert n_pad // b <= _MAX_BLOCKS
+
+
+def test_dense_resident_cull_matches_vmem(default_camera):
+    """The culled VMEM closest-hit (dense 16-column resident walk:
+    Morton blocks + camdist bounds order + running-t_best bound culling)
+    is bit-identical to the straight (N, R) scan — culling only skips
+    blocks that provably cannot improve any lane, and the per-block
+    numerator-domain min merge is exact."""
+    from raytracingincuda_tpu.models.camera import initialize
+    from raytracingincuda_tpu.models.scene import build_scene
+    from raytracingincuda_tpu.ops.pallas_kernel import render_pallas
+    from raytracingincuda_tpu.ops.pallas_stream import (
+        prepare_stream_scene, render_pallas_stream,
+    )
+
+    scene = build_scene(1)
+    W, H, SPP, D = 64, 40, 2, 8
+    base = np.asarray(
+        render_pallas(scene, default_camera, W, H, SPP, D, interpret=True)
+    )
+    cc = initialize(default_camera, W, H).center
+    campt = [float(cc.x), float(cc.y), float(cc.z)]
+    for block, group in [(32, 0), (64, 0), (32, 128)]:
+        st = prepare_stream_scene(scene, block=block, pad_pairs=False,
+                                  dense=True, camdist_from=campt)
+        img = np.asarray(render_pallas_stream(
+            st, default_camera, W, H, SPP, D, interpret=True,
+            resident=True, lane_group=group, ray_tile=256,
+        ))
+        np.testing.assert_array_equal(img, base, err_msg=f"b{block}g{group}")
+
+    # dense scenes are resident-only: the HBM DMA path must refuse
+    import pytest
+
+    st = prepare_stream_scene(scene, block=32, pad_pairs=False,
+                              dense=True)
+    with pytest.raises(ValueError, match="resident"):
+        render_pallas_stream(st, default_camera, W, H, 1, 2,
+                             interpret=True, resident=False)
+    with pytest.raises(ValueError, match="resident"):
+        prepare_stream_scene(scene, block=32, dense=True)
