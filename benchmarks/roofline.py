@@ -95,13 +95,41 @@ def count_jaxpr_ops(fn, *args):
     return flops, trans, iops
 
 
-def vpu_peak_microbench(iters=512, shape=(64, 1024), lanes=4, unroll=64):
+def rtt_floor_s(runs: int = 10) -> float:
+    """Measured noop dispatch+force floor — subtracted from every
+    microbench below. Round-3's committed peaks did NOT subtract it and
+    their workloads were a few ms of compute under a ~25 ms floor: the
+    'MXU 35.3 TF/s single-MXU part / 1.08 GHz clock' numbers were
+    transport readings, not silicon (RTT-robust re-measurement:
+    ~180-195 TF/s bf16 — a full v5e chip). Round 4 fixes both the
+    workload sizes and the subtraction."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda v: (v * 2 + 1).sum())
+    x = jnp.arange(8.0)
+    float(f(x))
+    ts = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        float(f(x))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def vpu_peak_microbench(iters=4096, shape=(64, 1024), lanes=8, unroll=64,
+                        floor_s=0.0):
     """Measured f32 VPU FLOP/s: `lanes` independent chains of `unroll`
     straight-line FMAs per fori iteration over a VMEM-resident tile.
     The unroll matters: a bare fori body spills its carry to VMEM every
     iteration and measures VMEM bandwidth, not ALU throughput (first
     version read 0.4 TFLOP/s while the render kernel itself measured
-    1.9). Total in-kernel work also swamps the ~25 ms dispatch RTT."""
+    1.9). `lanes` sets the ILP available to the scheduler — sweep it
+    (main does 4/8/16) and take the max: a dependent chain alone
+    measures FMA latency, not issue throughput. Total work must dwarf
+    the dispatch RTT (and `floor_s` is subtracted besides): the
+    round-3 run's 17 GFLOP body was ~8 ms of compute under a ~25 ms
+    floor and read 0.51 TF/s."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -139,14 +167,17 @@ def vpu_peak_microbench(iters=512, shape=(64, 1024), lanes=4, unroll=64):
         t0 = time.perf_counter()
         force(fn(x))
         ts.append(time.perf_counter() - t0)
-    dt = min(ts)
+    dt = max(min(ts) - floor_s, 1e-9)
     flops = 2 * int(np.prod(shape)) * iters * lanes * unroll
     return flops / dt
 
 
-def mxu_peak_microbench(n=2048, chain=64, dtype="float32"):
+def mxu_peak_microbench(n=2048, chain=256, dtype="float32", floor_s=0.0):
     """Measured MXU FLOP/s: a chain of dependent square matmuls inside
-    one jit (amortizes the dispatch RTT)."""
+    one jit. The chain must dwarf the dispatch RTT (chain=256 is
+    ~4.4 TFLOP ≈ 25-250 ms of compute) and `floor_s` is subtracted —
+    round-3's chain=64 bf16 run was ~6 ms of compute under a ~25 ms
+    floor and read 35.3 TF/s on what measures as a ~190 TF/s chip."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -168,11 +199,12 @@ def mxu_peak_microbench(n=2048, chain=64, dtype="float32"):
     jf = jax.jit(fn)
     force(jf(a, b))
     ts = []
-    for _ in range(5):
+    for _ in range(3):
         t0 = time.perf_counter()
         force(jf(a, b))
         ts.append(time.perf_counter() - t0)
-    return 2 * n**3 * chain / min(ts)
+    dt = max(min(ts) - floor_s, 1e-9)
+    return 2 * n**3 * chain / dt
 
 
 def wave_time(ray_tile=512, kpl=1, df64=False, s_lo=32, s_hi=256):
@@ -328,11 +360,20 @@ def main() -> int:
     rec = {"backend": jax.default_backend(), "counts_rt512": counts,
            "ts": time.time()}
 
-    rec["vpu_f32_peak_gflops"] = round(vpu_peak_microbench() / 1e9, 1)
+    floor = rtt_floor_s()
+    rec["rtt_floor_ms"] = round(floor * 1e3, 2)
+    # VPU: sweep the ILP knob and keep the best — the measured number is
+    # an achievable-throughput LOWER bound on the true issue ceiling
+    vpu_sweep = {}
+    for lanes in (4, 8, 16):
+        vpu_sweep[lanes] = round(
+            vpu_peak_microbench(lanes=lanes, floor_s=floor) / 1e9, 1)
+    rec["vpu_f32_peak_by_lanes_gflops"] = vpu_sweep
+    rec["vpu_f32_peak_gflops"] = max(vpu_sweep.values())
     rec["mxu_f32_peak_gflops"] = round(mxu_peak_microbench(
-        dtype="float32") / 1e9, 1)
+        dtype="float32", floor_s=floor) / 1e9, 1)
     rec["mxu_bf16_peak_gflops"] = round(mxu_peak_microbench(
-        dtype="bfloat16") / 1e9, 1)
+        dtype="bfloat16", floor_s=floor) / 1e9, 1)
 
     for tag, kw in (("fwd_k1_rt512", dict(ray_tile=512, kpl=1)),
                     ("fwd_k8_rt512", dict(ray_tile=512, kpl=8)),
