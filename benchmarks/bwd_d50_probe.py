@@ -94,10 +94,14 @@ def main() -> int:
     cases = []
 
     # forward-sweep twin (retrace floor) at the backward's tile shape
+    from raytracingincuda_tpu.ops.pallas_backward import _order_ids
+    from raytracingincuda_tpu.ops.pallas_kernel import _round_up
+
     def fwd_twin(rt, k):
+        o = _order_ids(order, _round_up(W * H, k * rt))
         return jax.jit(lambda s, c: render_pallas(
             s, c, W, H, spp, DEPTH, gamma=False, ray_tile=rt,
-            pixels_per_lane=k, pixel_order=order, rr_start=RR))
+            pixels_per_lane=k, pixel_order=o, rr_start=RR))
 
     cases.append(("retrace_floor_rt512_k16",
                   lambda: timed(fwd_twin(512, 16), scene, cam)))
