@@ -68,13 +68,17 @@ def main():
     pre = jax.jit(lambda s, c: measure_difficulty(
         s, c, W, H, probe_depth=8, probe_samples=6))
     order = jax.jit(lambda sg: difficulty_order(sg, 8, 6))(pre(scene, cam))
-    # prepass pads at K=1; the K=8 forward pads to 8*512 multiples
-    order = _order_ids(order, _round_up(W * H, 8 * 512))
     order.block_until_ready()
+    # prepass pads at K=1; the K16 forward pads to 16*1024 multiples
+    # (K16/rt1024 measured 1.779 s vs K8's 1.789 at 100 spp/d50 —
+    # bwd_d50.jsonl fwd_prod rows, round 4). The backward extends the
+    # RAW order to its own (16*512) padding internally — the two
+    # paddings differ, so each consumer gets its own extension.
+    fwd_order = _order_ids(order, _round_up(W * H, 16 * 1024))
 
     fwd = jax.jit(lambda s, c: render_pallas(
-        s, c, W, H, SPP, DEPTH, gamma=False, pixels_per_lane=8,
-        pixel_order=order, rr_start=RR))
+        s, c, W, H, SPP, DEPTH, gamma=False, pixels_per_lane=16,
+        ray_tile=1024, pixel_order=fwd_order, rr_start=RR))
 
     @jax.jit
     def cotangent(img, tgt):

@@ -1656,8 +1656,16 @@ def mse_train_pallas(
         # grad kernel (rt512/w128 312 ms vs rt1024/w32 365,
         # bwd_wave.jsonl), which also halves the wave residual scratch
         # and the (N, R) scan working set under the 16 MB scoped-VMEM
-        # budget
+        # budget. At HEADLINE scale with shallow-enough depth the knee
+        # moves: 1280x768x100spp/d25 measured fused rt1024 5.505 s vs
+        # rt512 5.734 (fused_headline.jsonl, round 4) — big frames have
+        # no tile-count shortage and the larger tile amortizes per-wave
+        # fixed work; deep configs (d50) keep rt512 (the rt1024 window
+        # shrinks to ~26 waves under the 10 MB scratch budget and
+        # measured 3.86 vs 3.12 s, bwd_d50.jsonl).
         ray_tile = 512
+        if max_depth <= 28 and img_width * img_height >= 500_000:
+            ray_tile = 1024
         if park_residuals is None and prefer_park:
             for rt in (1024, 512, 256):
                 if _park_fits(rt, _AUTO_BUDGET):
