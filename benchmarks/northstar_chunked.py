@@ -11,6 +11,15 @@ Mrays/s including every dispatch.
 
 Usage: northstar_chunked.py [out.jsonl] [depth] [chunk] [bwd_ray_tile]
                             [rr_start]
+
+``chunk == 0`` (round 4): run the FULL-PARK fused step instead — ONE
+dispatch computing render + loss + all gradients with the backward
+reverse-only from the HBM-parked waves (mse_train_pallas
+park_residuals auto -> 'hbm'; ~15 s on-device at d50/500spp, safely
+under the ~100 s worker ceiling). Same 500-spp estimator: the fused
+kernel's cotangent comes from its own (bit-identical) 500-spp render.
+Measured 28.3 Mrays/s vs the chunked two-program path's 16.8
+(hbm_park.jsonl).
 Depth 50 notes: the backward residual scratch is (depth*32, ray_tile)
 f32 — 6.6 MB at rt1024/d50, pressing the 16 MB VMEM cap together with
 the forward sweep's (N, R) hit scan, so d50 drops to rt512 (3.3 MB)
@@ -75,6 +84,33 @@ def main():
     # RAW order to its own (16*512) padding internally — the two
     # paddings differ, so each consumer gets its own extension.
     fwd_order = _order_ids(order, _round_up(W * H, 16 * 1024))
+
+    if CHUNK == 0:
+        # fused full-park single dispatch (render + loss + grads)
+        from raytracingincuda_tpu.ops.pallas_backward import (
+            mse_train_pallas,
+        )
+        from raytracingincuda_tpu.utils.timing import measure_calibration
+
+        log({"event": "calib", **measure_calibration()})
+        step = jax.jit(lambda p, c, t: mse_train_pallas(
+            Scene(p, scene.mat_type, scene.active), c, t, W, H, SPP,
+            DEPTH, pixel_order=order, rr_start=RR))
+        out = step(scene.params, cam, target)
+        force((out[0],) + out[2:])         # compile + complete
+        log({"event": "compiled"})
+        t0 = time.perf_counter()
+        out = step(scene.params, cam, target)
+        force((out[0],) + out[2:])
+        total = time.perf_counter() - t0
+        mrays = W * H * SPP / total / 1e6
+        log({"case": f"fwdbwd_{SPP}spp_d{DEPTH}_fusedhbm"
+                     + (f"_rr{RR}" if RR is not None else ""),
+             "s": round(total, 2), "mrays_s": round(mrays, 2),
+             "grad_finite": bool(jnp.isfinite(out[2]).all()
+                                 & jnp.isfinite(out[3]).all())})
+        log({"event": "done"})
+        return
 
     fwd = jax.jit(lambda s, c: render_pallas(
         s, c, W, H, SPP, DEPTH, gamma=False, pixels_per_lane=16,

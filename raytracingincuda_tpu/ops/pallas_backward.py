@@ -977,6 +977,329 @@ def _regen_render_k(
                 acc_ref[2 * K:3 * K, :])
 
 
+def _hbm_park_render(
+    hit_fn, cam, pixel_ids, fi, fj, key, acc_ref, park_ref,
+    stage0, stage1, sem0, sem1,
+    *, samples: int, max_depth: int, dtype, rr_start=None,
+    k_pixels: int,
+):
+    """Phase A of the FULL-PARK fused step: the K-pixel regenerating
+    render (_regen_render_k's exact recurrence — bit-identical radiance)
+    that ALSO parks every wave's pre-bounce state + winner rows to the
+    HBM ``park_ref`` through a two-slot VMEM staging ring
+    (double-buffered DMA: wave w waits the copy issued at wave w-2 on
+    its slot, writes, and starts its own copy — DMA latency hides
+    behind the ~4-9 us wave).
+
+    Parked layout = _wave_pack_residual with the lane's CURRENT K index
+    in the _R_GX slot (the g rows cannot be parked here — the upstream
+    cotangent does not exist until the whole tile's render completes;
+    the reverse re-selects g by the parked k instead).
+
+    Mosaic cannot allocate HBM scratch ("only vmem, smem,
+    semaphore_mem"), so ``park_ref`` is an extra kernel OUTPUT with
+    memory_space=ANY that all grid steps share (sequential grid =
+    sound reuse; its returned value is dropped by the host wrapper).
+    Capacity must be the TRUE bound K*samples*max_depth waves: each
+    lane advances one (pixel, sample, bounce) per wave, so a tile can
+    never park more.
+
+    Returns (acc Vec3 of (K, R) views, w_end int32)."""
+    K = k_pixels
+    r = pixel_ids.shape[1]
+    rshape = (1, r)
+    zero_row = jnp.zeros(rshape, dtype)
+    one_row = jnp.ones(rshape, dtype)
+    zero3r = Vec3.zeros(rshape, dtype=dtype)
+    kf_done = float(K)
+    budget_f = float(samples)
+    idsf_blk = pltpu.bitcast(pixel_ids, jnp.int32).astype(dtype)
+
+    def to_u32(f):
+        return pltpu.bitcast(f.astype(jnp.int32), jnp.uint32)
+
+    def row_of(blk, k_next):
+        out = jnp.zeros(rshape, dtype)
+        for k in range(K):
+            out = out + jnp.where(k_next == float(k),
+                                  blk[k:k + 1, :], zero_row)
+        return out
+
+    def _hbm_slot(v):
+        return park_ref.at[
+            pl.ds(pl.multiple_of(v * _ST_ROWS, _ST_ROWS), _ST_ROWS), :
+        ]
+
+    def _park_copy(v, start):
+        # slot parity picks the staging buffer + its semaphore
+        @pl.when(v % 2 == 0)
+        def _():
+            cp = pltpu.make_async_copy(stage0, _hbm_slot(v), sem0)
+            cp.start() if start else cp.wait()
+
+        @pl.when(v % 2 == 1)
+        def _():
+            cp = pltpu.make_async_copy(stage1, _hbm_slot(v), sem1)
+            cp.start() if start else cp.wait()
+
+    acc_ref[:, :] = jnp.zeros((3 * K, r), dtype)
+
+    def cond(c):
+        sample_f, k_f, alive_f = c[1], c[3], c[10]
+        work = (k_f < kf_done) & (sample_f < budget_f)
+        return (jnp.max(jnp.where(work, 1.0, 0.0)) > 0.5) | (
+            jnp.max(alive_f) > 0.5
+        )
+
+    def body(c):
+        (w, sample_f, bounce_f, k_f, pix_f, fi_r, fj_r, o, d, atten,
+         alive_f, acc3) = c
+        has_work = (k_f < kf_done) & (sample_f < budget_f)
+        regen = (alive_f < 0.5) & has_work
+        o_n, d_n = primary_rays_from_ij(
+            cam, fi_r, fj_r, to_u32(pix_f), to_u32(sample_f), key,
+            dtype,
+        )
+        o = vec.where(regen, o_n, o)
+        d = vec.where(regen, d_n, d)
+        atten = vec.where(regen, Vec3(one_row, one_row, one_row),
+                          atten)
+        bounce_f = jnp.where(regen, zero_row, bounce_f)
+        alive_f = jnp.where(regen, one_row, alive_f)
+        active = alive_f > 0.5
+
+        hit_raw, wc, wr, walb, wfuzz, wior, wmat, sid = hit_fn(o, d)
+        hit = hit_raw & active
+        (o2, d2, at2, al2), contrib = _winner_bounce(
+            wc, wr, walb, wfuzz, wior, wmat, hit,
+            o, d, atten, alive_f, to_u32(pix_f), to_u32(sample_f),
+            to_u32(bounce_f), key, dtype, rr_start=rr_start,
+        )
+        acc3 = acc3 + contrib
+        # scattering at the depth cap exits black (camera.h:126-127)
+        at_cap = (al2 > 0.5) & (bounce_f >= (max_depth - 1))
+        al3 = jnp.where(at_cap, 0.0, al2).astype(dtype)
+        dies = active & (al3 < 0.5)
+        dies_f = jnp.where(dies, 1.0, 0.0).astype(dtype)
+        continues = active & (al3 > 0.5)
+
+        # park this wave: wait the slot's previous copy, stage, start
+        blk = _wave_pack_residual(
+            o, d, atten, alive_f, hit.astype(dtype),
+            wc, wr, walb, wfuzz, wior, wmat, sid,
+            dies_f, sample_f, bounce_f,
+            pix_f, fi_r, fj_r, Vec3(k_f, zero_row, zero_row),
+        )
+
+        @pl.when(w >= 2)
+        def _():
+            _park_copy(w - 2, start=False)
+
+        @pl.when(w % 2 == 0)
+        def _():
+            stage0[:, :] = blk
+
+        @pl.when(w % 2 == 1)
+        def _():
+            stage1[:, :] = blk
+
+        _park_copy(w, start=True)
+
+        sample_next = sample_f + jnp.where(dies, one_row, zero_row)
+        complete = dies & (sample_next >= budget_f)
+
+        # flush completed pixels' radiance into their (K, R) rows
+        def mk_flush(val):
+            return jnp.concatenate(
+                [jnp.where(complete & (k_f == float(k)), val,
+                           zero_row) for k in range(K)],
+                axis=0,
+            )
+
+        acc_ref[0:K, :] = acc_ref[0:K, :] + mk_flush(acc3.x)
+        acc_ref[K:2 * K, :] = acc_ref[K:2 * K, :] + mk_flush(acc3.y)
+        acc_ref[2 * K:3 * K, :] = (acc_ref[2 * K:3 * K, :]
+                                   + mk_flush(acc3.z))
+        acc3 = vec.where(complete, zero3r, acc3)
+
+        k_next = k_f + jnp.where(complete, one_row, zero_row)
+        pull = complete & (k_next < kf_done)
+        pix_f = jnp.where(pull, row_of(idsf_blk, k_next), pix_f)
+        fi_r = jnp.where(pull, row_of(fi, k_next), fi_r)
+        fj_r = jnp.where(pull, row_of(fj, k_next), fj_r)
+        k_f = k_next
+        sample3 = jnp.where(
+            complete, zero_row,
+            jnp.where(dies, sample_next, sample_f),
+        )
+        o3 = vec.where(continues, o2, o)
+        d3 = vec.where(continues, d2, d)
+        at3 = vec.where(continues, at2, atten)
+        bounce3 = jnp.where(continues, bounce_f + 1.0, bounce_f)
+        alive3 = jnp.where(continues, 1.0, 0.0).astype(dtype)
+        return (w + 1, sample3, bounce3, k_f, pix_f, fi_r, fj_r,
+                o3, d3, at3, alive3, acc3)
+
+    init = (
+        jnp.int32(0),
+        jnp.zeros(rshape, dtype), jnp.zeros(rshape, dtype),
+        jnp.zeros(rshape, dtype),
+        idsf_blk[0:1, :], fi[0:1, :], fj[0:1, :],
+        Vec3.zeros(rshape, dtype=dtype),
+        Vec3.zeros(rshape, dtype=dtype),
+        Vec3.full(rshape, 1.0, 1.0, 1.0, dtype=dtype),
+        jnp.zeros(rshape, dtype),
+        Vec3.zeros(rshape, dtype=dtype),
+    )
+    w_end = lax.while_loop(cond, body, init)[0]
+
+    # drain the (up to two) outstanding park copies, oldest first
+    @pl.when(w_end >= 2)
+    def _():
+        _park_copy(w_end - 2, start=False)
+
+    @pl.when(w_end >= 1)
+    def _():
+        _park_copy(w_end - 1, start=False)
+
+    acc = Vec3(acc_ref[0:K, :], acc_ref[K:2 * K, :],
+               acc_ref[2 * K:3 * K, :])
+    return acc, w_end
+
+
+def _hbm_reverse(
+    scatter_fn, d_scene0, cam_vals, use_defocus, g_blk, key, w_end,
+    park_ref, stage0, stage1, sem0, sem1,
+    *, max_depth: int, dtype, rr_start=None, k_pixels: int,
+):
+    """Phase B of the full-park fused step: walk the parked waves
+    w_end-1 .. 0 straight from HBM (two-slot prefetch: wave w's copy was
+    started one iteration earlier; w-1's copy starts before w is
+    processed). Reverse math is _wave_grad_sweep.rev_phase's, with the
+    upstream cotangent re-selected per wave from the parked K index
+    (row _R_GX) against the (K, R) cotangent block ``g_blk`` computed
+    after the render. Returns (d_scene, d_cam 18-tuple)."""
+    K = k_pixels
+    r = g_blk.x.shape[1]
+    shape = (1, r)
+    zero_row = jnp.zeros(shape, dtype)
+    zero3 = Vec3.zeros(shape, dtype=dtype)
+
+    def to_u32(f):
+        return pltpu.bitcast(f.astype(jnp.int32), jnp.uint32)
+
+    def _hbm_slot(v):
+        return park_ref.at[
+            pl.ds(pl.multiple_of(v * _ST_ROWS, _ST_ROWS), _ST_ROWS), :
+        ]
+
+    def _fetch(v, start):
+        @pl.when(v % 2 == 0)
+        def _():
+            cp = pltpu.make_async_copy(_hbm_slot(v), stage0, sem0)
+            cp.start() if start else cp.wait()
+
+        @pl.when(v % 2 == 1)
+        def _():
+            cp = pltpu.make_async_copy(_hbm_slot(v), stage1, sem1)
+            cp.start() if start else cp.wait()
+
+    def row_of(blk_v, k_row):
+        out = jnp.zeros(shape, dtype)
+        for k in range(K):
+            out = out + jnp.where(k_row == float(k),
+                                  blk_v[k:k + 1, :], zero_row)
+        return out
+
+    def primary_from(cvals, fi_r, fj_r, pix_u, s_u):
+        cam = _camera_from_scalars(cvals, use_defocus)
+        return primary_rays_from_ij(cam, fi_r, fj_r, pix_u, s_u, key,
+                                    dtype)
+
+    @pl.when(w_end >= 1)
+    def _():
+        _fetch(w_end - 1, start=True)
+
+    def body(i, c):
+        d_scene, d_cam, ct_o, ct_d, ct_at, ct_al = c
+        w = w_end - 1 - i
+        _fetch(w, start=False)
+        blk = jnp.where((w % 2) == 0, stage0[:, :], stage1[:, :])
+
+        @pl.when(w >= 1)
+        def _():
+            _fetch(w - 1, start=True)
+
+        (o, d, atten, alive_f, hit_f, wc, wr, walb, wfuzz, wior,
+         wmat, sid) = _unpack_residual(blk)
+        r1 = lambda k: blk[k:k + 1, :]
+        dies_f = r1(_R_DIES)
+        sample_row = r1(_R_SAMPLE)
+        bounce_row = r1(_R_BOUNCE)
+        pix_row = r1(_R_PIX)
+        fi_row = r1(_R_FI)
+        fj_row = r1(_R_FJ)
+        k_row = r1(_R_GX)          # K index parked in the g.x slot
+        g_here = Vec3(row_of(g_blk.x, k_row), row_of(g_blk.y, k_row),
+                      row_of(g_blk.z, k_row))
+        hit = hit_f > 0.5
+        s_u = to_u32(sample_row)
+        b_u = to_u32(bounce_row)
+        pix_u = to_u32(pix_row)
+
+        ended = dies_f > 0.5
+        ct_o_in = vec.where(ended, zero3, ct_o)
+        ct_d_in = vec.where(ended, zero3, ct_d)
+        ct_at_in = vec.where(ended, zero3, ct_at)
+        ct_al_in = jnp.where(ended, zero_row, ct_al)
+
+        def f(wc_, wr_, walb_, wfuzz_, wior_, o_, d_, at_, al_):
+            return _winner_bounce(
+                wc_, wr_, walb_, wfuzz_, wior_, wmat, hit,
+                o_, d_, at_, al_, pix_u, s_u, b_u, key, dtype,
+                rr_start=rr_start,
+            )
+
+        _, vjp_f = jax.vjp(f, wc, wr, walb, wfuzz, wior,
+                           o, d, atten, alive_f)
+        (d_wc, d_wr, d_walb, d_wfuzz, d_wior,
+         d_o, d_d, d_at, d_al) = vjp_f(
+            ((ct_o_in, ct_d_in, ct_at_in, ct_al_in), g_here)
+        )
+
+        d_rows = jnp.concatenate(
+            [d_wc.x, d_wc.y, d_wc.z, d_wr,
+             d_walb.x, d_walb.y, d_walb.z, d_wfuzz, d_wior]
+            + [zero_row] * (NUM_COLS - 9),
+            axis=0,
+        )
+        valid = hit & (alive_f > 0.5)
+        sid_v = jnp.where(valid, sid, -1.0)
+        d_scene = scatter_fn(d_rows, sid_v, d_scene)
+
+        start = (bounce_row < 0.5) & (alive_f > 0.5)
+
+        def prim(cvals):
+            return primary_from(cvals, fi_row, fj_row, pix_u, s_u)
+
+        _, vjp_p = jax.vjp(prim, cam_vals)
+        ct_o_m = vec.where(start, d_o, zero3)
+        ct_d_m = vec.where(start, d_d, zero3)
+        (d_cam_vals,) = vjp_p((ct_o_m, ct_d_m))
+        d_cam = tuple(d_cam[k] + d_cam_vals[k] for k in range(_N_CAM))
+
+        ct_o2 = vec.where(start, zero3, d_o)
+        ct_d2 = vec.where(start, zero3, d_d)
+        ct_at2 = vec.where(start, zero3, d_at)
+        ct_al2 = jnp.where(start, zero_row, d_al)
+        return (d_scene, d_cam, ct_o2, ct_d2, ct_at2, ct_al2)
+
+    zero_cam = tuple(jnp.zeros((), dtype) for _ in range(_N_CAM))
+    init = (d_scene0, zero_cam, zero3, zero3, zero3, zero_row)
+    out = lax.fori_loop(0, w_end, body, init)
+    return out[0], out[1]
+
+
 def _vmem_wave_bindings(scene_mat, cx, cy, cz, rc, active_col, dtype):
     """(hit_fn, scatter_fn, d_scene0) for _wave_grad_sweep over a
     VMEM-resident scene: the full (N, R) hit scan and the carried
@@ -1030,6 +1353,7 @@ def _fused_tile_kernel(
     samples: int, max_depth: int, seed: int, dtype, gamma: bool,
     num_pixels: int, park_all: bool = False, sweep: str = "sample",
     window: int = 32, rr_start=None, k_pixels: int = 1,
+    park: str = "",
 ):
     """Fused MSE train step: ONE kernel computes the rendered tile, the
     MSE-vs-target loss contribution, AND the scene/camera cotangents.
@@ -1058,10 +1382,27 @@ def _fused_tile_kernel(
     the regenerating render (per-pixel flush into a (3K, R) accumulator
     scratch, like the forward's _regen_body_multi) and the grad sweep.
     Per-pixel radiance is bit-identical to K=1 (per-lane accumulation
-    order unchanged; flushes add complete-pixel sums)."""
+    order unchanged; flushes add complete-pixel sums).
+
+    ``park`` = 'hbm': FULL parking at any scale — the render sweep
+    parks every wave to an HBM buffer (extra ANY-space output, sized at
+    the true K*samples*max_depth bound) through a double-buffered DMA
+    staging ring, and the grad sweep is REVERSE-ONLY straight from HBM
+    (_hbm_park_render/_hbm_reverse). Removes the fused kernel's
+    re-trace entirely: cost = render+park + reverse instead of render +
+    re-trace + reverse. The upstream cotangent g still needs the
+    finished tile image, which is exactly why the reverse can only
+    start after the render — parked rows carry the lane's K index and
+    the reverse re-selects its g row from the post-render (K, R)
+    cotangent block."""
     key = rtrng.key_from_seed(seed)
+    park_hbm = park == "hbm"
     acc_ref = None
-    if park_all:
+    park_ref = stage0 = stage1 = sem0 = sem1 = None
+    if park_hbm:
+        park_ref, acc_ref, stage0, stage1, sem0, sem1 = scratch
+        st_ref = bexit_ref = None
+    elif park_all:
         st_ref, bexit_ref = scratch
     else:
         bexit_ref = None
@@ -1183,7 +1524,17 @@ def _fused_tile_kernel(
                 Vec3.zeros(shape, dtype=dtype))
         return lax.while_loop(cond, body, init)[6]
 
-    if park_all:
+    w_end_hbm = None
+    if park_hbm:
+        acc, w_end_hbm = _hbm_park_render(
+            lambda o, d: _hit_winner(scene_mat, cx, cy, cz, rc,
+                                     active_col, o, d),
+            cam, pixel_ids, fi, fj, key, acc_ref, park_ref,
+            stage0, stage1, sem0, sem1,
+            samples=samples, max_depth=max_depth, dtype=dtype,
+            rr_start=rr_start, k_pixels=k_pixels,
+        )
+    elif park_all:
         # parking needs per-(sample, bounce) residual rows — keep the
         # per-sample loop (its lane-max tail is what the parked reverse
         # avoids re-tracing anyway)
@@ -1233,7 +1584,17 @@ def _fused_tile_kernel(
 
     # ---- sweep 3: reverse vjp sweep (reverse-only from the parked
     # residuals, or the shared re-trace + reverse grad sweep) -----------
-    if park_all:
+    if park_hbm:
+        _hf, scatter_fn, d_scene0 = _vmem_wave_bindings(
+            scene_mat, cx, cy, cz, rc, active_col, dtype
+        )
+        d_scene, d_cam = _hbm_reverse(
+            scatter_fn, d_scene0, cam_vals, use_defocus, g, key,
+            w_end_hbm, park_ref, stage0, stage1, sem0, sem1,
+            max_depth=max_depth, dtype=dtype, rr_start=rr_start,
+            k_pixels=k_pixels,
+        )
+    elif park_all:
         n, cols = scene_mat.shape
         iota_n = lax.broadcasted_iota(jnp.int32, (n, 1), 0).astype(dtype)
 
@@ -1609,6 +1970,14 @@ def mse_train_pallas(
     ``park_residuals=True`` that cannot fit the 16 MB scoped-VMEM
     limit raises instead of crashing the compile service.
 
+    ``park_residuals="hbm"``: FULL parking at any scale — the render
+    sweep parks every wave to an HBM buffer (an extra ANY-space kernel
+    output sized at the true K*samples*max_depth wave bound; ~2.6 GB at
+    the 1280x768x100spp/d25/K16 headline) via double-buffered DMA, and
+    the grad sweep runs REVERSE-ONLY from it: render + reverse instead
+    of render + re-trace + reverse. Same image bit-exactly; gradients
+    equal up to reassociation (test_fused_hbm_park_matches_wave).
+
     ``ray_tile=None`` selects tile and parking jointly: when parking is
     preferred (see above) auto walks rt1024 -> rt256 looking for a
     parking fit (fused_park.jsonl, 16spp: d4 119 vs 142 ms); otherwise
@@ -1624,7 +1993,13 @@ def mse_train_pallas(
     render_pallas_grads). 'sample' forces the original per-sample
     re-trace. Ignored when park_residuals is on (sweep 3 is
     reverse-only from the parked residuals)."""
+    hbm_park = park_residuals == "hbm"
+    if hbm_park:
+        park_residuals = False      # the VMEM-park branches stay off
+
     def _park_fits(rt: int, budget: int) -> bool:
+        if hbm_park:
+            return False
         park_bytes = samples_per_pixel * max_depth * _ST_ROWS * rt * 4
         scan_bytes = scene.num_slots * rt * 4 * 8  # ~8 (N,R) temps
         return park_bytes + scan_bytes <= budget
@@ -1651,6 +2026,41 @@ def mse_train_pallas(
     while _k_est < 16 and _k_est * 2 <= _per_tile:
         _k_est *= 2
     prefer_park = max_depth <= 6 or _k_est < 8
+
+    # FULL-PARK auto (round 4): park every wave to an HBM buffer and run
+    # the grad sweep reverse-only — measured fastest at every scale
+    # (hbm_park.jsonl: 640x384x16spp d4 109 ms vs park_all 118, d6 116
+    # vs 153, d25 116 vs wave 164; headline d25/100spp 3.26 s vs wave
+    # 5.51; north-star d50/500spp 28.3 Mrays/s vs 16.8 two-program).
+    # Picked BEFORE the VMEM-park/wave autos, whenever the TRUE-bound
+    # buffer (K*spp*depth waves — a lane advances one (pixel, sample,
+    # bounce) per wave, so a tile can never park more) fits the HBM
+    # budget, shrinking K to fit (north-star: K16 would need 26 GB; K4
+    # fits and measured best anyway, 28.3 vs K1's 25.3 Mrays/s).
+    _HBM_BUDGET = 8 * 2**30
+    if not hbm_park and park_residuals is None:
+        _rt_hbm = ray_tile
+        if _rt_hbm is None:
+            _rt_hbm = 512
+            if max_depth <= 28 and img_width * img_height >= 500_000:
+                _rt_hbm = 1024
+        _k_hbm = pixels_per_lane
+        if _k_hbm is None:
+            per = max(1, (img_width * img_height)
+                      // (_rt_hbm * n_shards))
+            _k_hbm = 1
+            while _k_hbm < 16 and _k_hbm * 2 <= per:
+                _k_hbm *= 2
+            while (_k_hbm > 1 and _k_hbm * samples_per_pixel * max_depth
+                    * _ST_ROWS * _rt_hbm * 4 > _HBM_BUDGET):
+                _k_hbm //= 2
+        if (_k_hbm * samples_per_pixel * max_depth * _ST_ROWS
+                * _rt_hbm * 4 <= _HBM_BUDGET):
+            hbm_park = True
+            park_residuals = False
+            pixels_per_lane = _k_hbm
+            ray_tile = _rt_hbm
+
     if ray_tile is None:
         # rt512 is the wave sweep's measured knee on the standalone
         # grad kernel (rt512/w128 312 ms vs rt1024/w32 365,
@@ -1699,6 +2109,14 @@ def mse_train_pallas(
             pixels_per_lane = 1
             while pixels_per_lane < 16 and pixels_per_lane * 2 <= per:
                 pixels_per_lane *= 2
+            if hbm_park:
+                # explicit park_residuals='hbm': shrink K so the
+                # true-bound buffer stays allocatable
+                while (pixels_per_lane > 1
+                       and pixels_per_lane * samples_per_pixel
+                       * max_depth * _ST_ROWS * ray_tile * 4
+                       > _HBM_BUDGET):
+                    pixels_per_lane //= 2
         else:
             pixels_per_lane = 1
     if pixels_per_lane > 1 and (park_residuals or sweep != "wave"):
@@ -1725,7 +2143,11 @@ def mse_train_pallas(
         window=window,
         rr_start=rr_start,
         k_pixels=pixels_per_lane,
+        park=("hbm" if hbm_park else ""),
     )
+    # full-park HBM buffer: the TRUE per-tile wave bound (each lane
+    # advances one (pixel, sample, bounce) per wave)
+    hbm_waves = pixels_per_lane * samples_per_pixel * max_depth
 
     def run(ids_arr, ii_arr, jj_arr, t_r, t_g, t_b, scene_m, cam_r):
         tiles = ids_arr.shape[0]
@@ -1755,15 +2177,26 @@ def mse_train_pallas(
                 acc_spec((n_spheres, NUM_COLS)),
                 pl.BlockSpec((1, _CAM_COLS), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
-            ),
+            ) + ((pl.BlockSpec(memory_space=pl.ANY),)
+                 if hbm_park else ()),
             out_shape=(
                 jax.ShapeDtypeStruct((1, 1), dtype),
                 row_shape, row_shape, row_shape,
                 jax.ShapeDtypeStruct((n_spheres, NUM_COLS), dtype),
                 jax.ShapeDtypeStruct((1, _CAM_COLS), dtype),
-            ),
+            ) + ((jax.ShapeDtypeStruct(
+                (hbm_waves * _ST_ROWS, ray_tile), dtype),)
+                if hbm_park else ()),
             scratch_shapes=(
                 [
+                    pltpu.VMEM((3 * pixels_per_lane, ray_tile), dtype),
+                    pltpu.VMEM((_ST_ROWS, ray_tile), dtype),
+                    pltpu.VMEM((_ST_ROWS, ray_tile), dtype),
+                    pltpu.SemaphoreType.DMA,
+                    pltpu.SemaphoreType.DMA,
+                ]
+                if hbm_park
+                else [
                     pltpu.VMEM(
                         (samples_per_pixel * max_depth * _ST_ROWS,
                          ray_tile), dtype,
@@ -1780,15 +2213,17 @@ def mse_train_pallas(
                 )
             ),
             cost_estimate=pl.CostEstimate(
-                # parked: one forward + reverse; else sweeps 1+3 both
-                # trace forward (~1.5x the grad kernel)
+                # parked (vmem or hbm): one forward + reverse; else
+                # sweeps 1+3 both trace forward (~1.5x the grad kernel)
                 flops=int(
-                    (2 if park_residuals else 3) * samples_per_pixel
+                    (2 if park_residuals or hbm_park else 3)
+                    * samples_per_pixel
                     * max_depth * padded * n_spheres * 20
                 ),
                 bytes_accessed=int(padded) * 4 * 16,
                 transcendentals=int(
-                    (2 if park_residuals else 3) * samples_per_pixel
+                    (2 if park_residuals or hbm_park else 3)
+                    * samples_per_pixel
                     * max_depth * padded * 4
                 ),
             ),
@@ -1802,25 +2237,28 @@ def mse_train_pallas(
         axes = tuple(mesh.axis_names)
 
         def run_psum(*args):
-            loss, im_r, im_g, im_b, *grads = run(*args)
+            loss, im_r, im_g, im_b, d_sm, d_cr, *rest = run(*args)
             # loss and scene/camera grads are sums over all pixels ->
             # all-reduce over the mesh (rides ICI); image rows stay
-            # sharded by pixel tile
-            return ((lax.psum(loss, axes), im_r, im_g, im_b)
-                    + tuple(lax.psum(o, axes) for o in grads))
+            # sharded by pixel tile (the hbm park buffer, if present,
+            # stays per-device garbage)
+            return ((lax.psum(loss, axes), im_r, im_g, im_b,
+                     lax.psum(d_sm, axes), lax.psum(d_cr, axes))
+                    + tuple(rest))
 
         sharded = shard_map(
             run_psum, mesh=mesh,
             in_specs=(P(axes), P(axes), P(axes),
                       P(axes), P(axes), P(axes), P(), P()),
-            out_specs=(P(), P(axes), P(axes), P(axes), P(), P()),
+            out_specs=(P(), P(axes), P(axes), P(axes), P(), P())
+            + ((P(axes),) if hbm_park else ()),
             check_vma=False,
         )
         outs = sharded(ids2, ii2, jj2, tr, tg, tb, scene_mat, cam_row)
     else:
         outs = run(ids2, ii2, jj2, tr, tg, tb, scene_mat, cam_row)
 
-    loss, im_r, im_g, im_b, d_sm, d_cr = outs
+    loss, im_r, im_g, im_b, d_sm, d_cr = outs[:6]
     img = jnp.stack(
         [im_r.reshape(padded), im_g.reshape(padded),
          im_b.reshape(padded)], axis=-1,

@@ -173,3 +173,71 @@ def test_fused_park_residuals_identical(tiny_scene, default_camera):
                              2, 4, park_residuals=True, **kw)
     for a, b in zip(outs0, outs1):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_hbm_park_matches_wave(mixed_scene, default_camera):
+    """Round-4 FULL-PARK mode: the render sweep parks every wave to an
+    HBM buffer (ANY-space output + double-buffered DMA staging) and the
+    grad sweep is reverse-only. Image and loss must be BIT-identical to
+    the wave-sweep fused step (same render recurrence); gradients equal
+    up to reassociation (the reverse visits the same waves in the same
+    per-path order; only round boundaries differ)."""
+    from raytracingincuda_tpu.ops.pallas_backward import mse_train_pallas
+
+    rng = np.random.default_rng(5)
+    target = jnp.asarray(rng.random((H, W, 3)), jnp.float32)
+    for kpl in (1, 4):
+        base = mse_train_pallas(
+            mixed_scene, default_camera, target, W, H, SPP, DEPTH,
+            ray_tile=128, interpret=True,
+            park_residuals=False, sweep="wave", pixels_per_lane=kpl,
+        )
+        hbm = mse_train_pallas(
+            mixed_scene, default_camera, target, W, H, SPP, DEPTH,
+            ray_tile=128, interpret=True,
+            park_residuals="hbm", pixels_per_lane=kpl,
+        )
+        np.testing.assert_array_equal(np.asarray(base[1]),
+                                      np.asarray(hbm[1]))
+        np.testing.assert_allclose(float(base[0]), float(hbm[0]),
+                                   rtol=1e-7)
+        for a, b in zip(base[2:], hbm[2:]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=5e-7)
+
+    # rr estimator through the hbm reverse (stream replay bitwise)
+    base = mse_train_pallas(
+        mixed_scene, default_camera, target, W, H, SPP, DEPTH,
+        ray_tile=128, interpret=True, park_residuals=False,
+        sweep="wave", rr_start=2,
+    )
+    hbm = mse_train_pallas(
+        mixed_scene, default_camera, target, W, H, SPP, DEPTH,
+        ray_tile=128, interpret=True, park_residuals="hbm", rr_start=2,
+    )
+    np.testing.assert_array_equal(np.asarray(base[1]), np.asarray(hbm[1]))
+    for a, b in zip(base[2:], hbm[2:]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=5e-7)
+
+
+def test_fused_auto_selects_hbm_park(mixed_scene, default_camera):
+    """The round-4 auto prefers the full-park mode whenever the
+    true-bound buffer fits — the default train step must route there
+    and produce finite grads + the bit-same image as explicit hbm."""
+    from raytracingincuda_tpu.ops.pallas_backward import mse_train_pallas
+
+    rng = np.random.default_rng(6)
+    target = jnp.asarray(rng.random((H, W, 3)), jnp.float32)
+    auto = mse_train_pallas(
+        mixed_scene, default_camera, target, W, H, SPP, DEPTH,
+        ray_tile=128, interpret=True,
+    )
+    explicit = mse_train_pallas(
+        mixed_scene, default_camera, target, W, H, SPP, DEPTH,
+        ray_tile=128, interpret=True, park_residuals="hbm",
+    )
+    np.testing.assert_array_equal(np.asarray(auto[1]),
+                                  np.asarray(explicit[1]))
+    for a, b in zip(auto[2:], explicit[2:]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
