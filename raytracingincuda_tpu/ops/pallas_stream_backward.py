@@ -50,6 +50,8 @@ from .pallas_backward import (
     _N_CAM,
     _ST_ROWS,
     _camera_from_scalars,
+    _hbm_park_render,
+    _hbm_reverse,
     _pack_residual,
     _regen_render_k,
     _scatter_matmul,
@@ -78,12 +80,11 @@ from .vec import Vec3
 def _stream_grad_kernel(
     ids_ref, ii_ref, jj_ref, gr_ref, gg_ref, gb_ref, scene_hbm,
     bounds_ref, cam_ref,
-    loss_ref, dscene_ref, dcam_ref,
-    buf0, buf1, sem0, sem1, *scratch,
+    loss_ref, dscene_ref, dcam_ref, *rest,
     samples: int, max_depth: int, seed: int, dtype, block: int,
     n_blocks: int, n_groups: int, mse: bool = False,
     num_pixels: int = 0, sweep: str = "sample", window: int = 32,
-    rr_start=None, k_pixels: int = 1,
+    rr_start=None, k_pixels: int = 1, park: str = "",
 ):
     """``mse=False``: gr/gg/gb rows are the upstream cotangent g_acc;
     loss output stays 0. ``mse=True`` (the FUSED train step): gr/gg/gb
@@ -105,14 +106,33 @@ def _stream_grad_kernel(
 
     ``rr_start``: differentiate the Russian-roulette estimator from
     that bounce (replays the forward's RR streams bitwise — see
-    pallas_backward._winner_bounce)."""
+    pallas_backward._winner_bounce).
+
+    ``park='hbm'`` (mse only): the FULL-PARK fused step — the render
+    pass parks every wave to the HBM ``park_ref`` output and the grad
+    sweep is REVERSE-ONLY (pallas_backward._hbm_park_render /
+    _hbm_reverse with the stream scatter). Worth even more here than on
+    the VMEM kernel: the removed re-trace was a full O(N) HBM block
+    walk PER WAVE — the reverse never touches the scene at all."""
+    hbm_park = park == "hbm"
+    if hbm_park:
+        park_ref, buf0, buf1, sem0, sem1, *scratch = rest
+    else:
+        park_ref = None
+        buf0, buf1, sem0, sem1, *scratch = rest
     ray_scr = scratch[0]
     t_refs = list(scratch[1:1 + n_groups])
     p_refs = list(scratch[1 + n_groups:1 + 2 * n_groups])
-    st_ref = scratch[1 + 2 * n_groups]
-    acc_ref = (
-        scratch[2 + 2 * n_groups] if (mse and k_pixels > 1) else None
-    )
+    if hbm_park:
+        acc_ref, pstage0, pstage1, psem0, psem1 = (
+            scratch[1 + 2 * n_groups:]
+        )
+        st_ref = None
+    else:
+        st_ref = scratch[1 + 2 * n_groups]
+        acc_ref = (
+            scratch[2 + 2 * n_groups] if (mse and k_pixels > 1) else None
+        )
     key = rtrng.key_from_seed(seed)
     pixel_ids = ids_ref[0, :, :]
     fi = ii_ref[0, :, :]
@@ -198,7 +218,23 @@ def _stream_grad_kernel(
             return (sample3, bounce3, o3, d3, at3, alive3,
                     ax + contrib.x, ay + contrib.y, az + contrib.z)
 
-        if k_pixels > 1:
+        w_end_hbm = None
+        if hbm_park:
+            # FULL-PARK: the render pass parks every wave to HBM; the
+            # reverse below never re-walks the scene
+            def hit_fn_r(o, d):
+                (hit, _t, wc, wr, walb, wfuzz, wior, wmat,
+                 sid) = hit_stream(o, d)
+                return hit, wc, wr, walb, wfuzz, wior, wmat, sid
+
+            acc_v, w_end_hbm = _hbm_park_render(
+                hit_fn_r, cam_primal, pixel_ids, fi, fj, key, acc_ref,
+                park_ref, pstage0, pstage1, psem0, psem1,
+                samples=samples, max_depth=max_depth, dtype=dtype,
+                rr_start=rr_start, k_pixels=k_pixels,
+            )
+            acc = (acc_v.x, acc_v.y, acc_v.z)
+        elif k_pixels > 1:
             # K-pixel regenerating render (shared with the VMEM fused
             # kernel): per-pixel radiance bit-identical to K=1
             def hit_fn_r(o, d):
@@ -366,7 +402,20 @@ def _stream_grad_kernel(
 
     zero_cam = tuple(jnp.zeros((), dtype) for _ in range(_N_CAM))
 
-    if sweep == "wave":
+    if hbm_park:
+        # reverse-only from the parked waves; the stream scatter is the
+        # block-looped accumulator write (dummy scalar carry)
+        def scatter_fn_h(d_rows, sid_v, carry):
+            _scatter_rows(d_rows, sid_v)
+            return carry
+
+        _, d_cam = _hbm_reverse(
+            scatter_fn_h, jnp.zeros((), dtype), cam_vals, use_defocus,
+            g, key, w_end_hbm, park_ref, pstage0, pstage1, psem0, psem1,
+            max_depth=max_depth, dtype=dtype, rr_start=rr_start,
+            k_pixels=k_pixels,
+        )
+    elif sweep == "wave":
         # shared wave-reversed regenerating sweep with stream bindings:
         # the HBM block walk as the closest-hit, the block-looped ref
         # write as the scatter (dummy scalar carry)
@@ -413,11 +462,18 @@ def _stream_grad_program(
     window: int = 0,
     rr_start=None,
     pixels_per_lane=None,
+    park=None,
 ):
     """Shared driver for both grad entry points. ``rows3`` (H, W, 3) is
     the upstream cotangent g_acc (mse=False) or the target image
     (mse=True). Returns (loss (1,1), d_stream_matrix (N, 16) in STREAM
     row order, d_camera_row (1, 24)).
+
+    ``park`` (mse only; None = auto): 'hbm' runs the FULL-PARK fused
+    step — render parks every wave to an HBM buffer, grad sweep is
+    reverse-only (no per-wave O(N) block re-walk). Auto picks it
+    whenever the true-bound K*spp*depth buffer fits 8 GB, shrinking K
+    to fit; pass park=False to force the re-tracing sweep.
 
     ``sweep='wave'`` (default — measured on v5e at 10k spheres
     640x384x4spp: d6 1361 -> 1305 ms, d12 2756 -> 1945, −29%;
@@ -438,6 +494,7 @@ def _stream_grad_program(
     n_shards = (
         int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
     )
+    _HBM_BUDGET = 8 * 2**30
     if pixels_per_lane is None:
         if sweep == "wave":
             # K=32 is the stream knee (matching the forward kernel's),
@@ -450,6 +507,23 @@ def _stream_grad_program(
                 pixels_per_lane *= 2
         else:
             pixels_per_lane = 1
+    if mse and park is None:
+        # full-park auto (round 4, mirrors mse_train_pallas): shrink K
+        # until the true-bound buffer fits, else fall back to re-trace
+        _k = pixels_per_lane
+        while (_k > 1 and _k * samples_per_pixel * max_depth * _ST_ROWS
+                * ray_tile * 4 > _HBM_BUDGET):
+            _k //= 2
+        if (_k * samples_per_pixel * max_depth * _ST_ROWS * ray_tile * 4
+                <= _HBM_BUDGET):
+            park = "hbm"
+            pixels_per_lane = _k
+    hbm_park = park == "hbm"
+    if hbm_park and not mse:
+        raise ValueError(
+            "park='hbm' is the fused (mse) step's mode — the standalone "
+            "grad program has no render pass to park from"
+        )
     kpl = pixels_per_lane
     if kpl > 1 and sweep != "wave":
         raise ValueError(
@@ -524,7 +598,9 @@ def _stream_grad_program(
         window=window,
         rr_start=rr_start,
         k_pixels=kpl,
+        park=("hbm" if hbm_park else ""),
     )
+    hbm_waves = kpl * samples_per_pixel * max_depth
 
     def run(ids_arr, ii_arr, jj_arr, g_r, g_g, g_b, scene_m, bounds_m,
             cam_r):
@@ -550,12 +626,15 @@ def _stream_grad_program(
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, _CAM_COLS), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
-            ),
+            ) + ((pl.BlockSpec(memory_space=pl.ANY),)
+                 if hbm_park else ()),
             out_shape=(
                 jax.ShapeDtypeStruct((1, 1), dtype),
                 jax.ShapeDtypeStruct((n_total, NUM_COLS), dtype),
                 jax.ShapeDtypeStruct((1, _CAM_COLS), dtype),
-            ),
+            ) + ((jax.ShapeDtypeStruct(
+                (hbm_waves * _ST_ROWS, ray_tile), dtype),)
+                if hbm_park else ()),
             scratch_shapes=(
                 [
                     pltpu.VMEM((block, STREAM_COLS), dtype),
@@ -566,11 +645,21 @@ def _stream_grad_program(
                 + [pltpu.VMEM((_RAY_ROWS * n_groups, g_size), dtype)]
                 + [pltpu.VMEM((1, g_size), dtype)] * n_groups
                 + [pltpu.VMEM((STREAM_COLS, g_size), dtype)] * n_groups
-                + [pltpu.VMEM((scratch_waves * _ST_ROWS, ray_tile),
-                              dtype)]
                 + (
-                    [pltpu.VMEM((3 * kpl, ray_tile), dtype)]
-                    if (mse and kpl > 1) else []
+                    [
+                        pltpu.VMEM((3 * kpl, ray_tile), dtype),
+                        pltpu.VMEM((_ST_ROWS, ray_tile), dtype),
+                        pltpu.VMEM((_ST_ROWS, ray_tile), dtype),
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA,
+                    ]
+                    if hbm_park
+                    else [pltpu.VMEM(
+                        (scratch_waves * _ST_ROWS, ray_tile), dtype)]
+                    + (
+                        [pltpu.VMEM((3 * kpl, ray_tile), dtype)]
+                        if (mse and kpl > 1) else []
+                    )
                 )
             ),
             cost_estimate=pl.CostEstimate(
@@ -595,20 +684,22 @@ def _stream_grad_program(
         axes = tuple(mesh.axis_names)
 
         def run_psum(*args):
-            outs = run(*args)
-            return tuple(lax.psum(o, axes) for o in outs)
+            loss, d_stream, d_cam, *rest_o = run(*args)
+            return (lax.psum(loss, axes), lax.psum(d_stream, axes),
+                    lax.psum(d_cam, axes)) + tuple(rest_o)
 
         sharded = shard_map(
             run_psum, mesh=mesh,
             in_specs=(P(axes), P(axes), P(axes),
                       P(axes), P(axes), P(axes), P(), P(), P()),
-            out_specs=(P(), P(), P()),
+            out_specs=(P(), P(), P())
+            + ((P(axes),) if hbm_park else ()),
             check_vma=False,
         )
         return sharded(ids2, ii2, jj2, gr, gg, gb, stream.scene_mat,
-                       stream.bounds, cam_row)
+                       stream.bounds, cam_row)[:3]
     return run(ids2, ii2, jj2, gr, gg, gb, stream.scene_mat,
-               stream.bounds, cam_row)
+               stream.bounds, cam_row)[:3]
 
 
 def render_pallas_stream_grads(

@@ -166,3 +166,53 @@ def test_stream_train_recovers_albedo(small_scene, fused):
     # the perturbed albedo moved toward the truth
     got = float(state.params.albedo.x[1])
     assert abs(got - 0.8) < abs(0.3 - 0.8)
+
+
+def test_stream_fused_hbm_park_matches_retrace(small_scene, default_camera):
+    """Round-4 FULL-PARK on the streaming fused step: the render pass
+    parks every wave to HBM and the grad sweep is reverse-only — no
+    per-wave O(N) block re-walk. Identical loss/cotangents up to
+    reassociation (here bit-equal: one round covers the whole tile),
+    and the auto routes to it whenever the buffer fits."""
+    from raytracingincuda_tpu.ops.pallas_stream_backward import (
+        mse_train_stream,
+    )
+
+    stream = prepare_stream_scene(small_scene, block=32)
+    rng = np.random.default_rng(4)
+    target = jnp.asarray(rng.random((H, W, 3)), jnp.float32)
+    kw = dict(ray_tile=128, interpret=True)
+    base = mse_train_stream(stream, default_camera, target, W, H, SPP,
+                            DEPTH, park=False, **kw)
+    hbm = mse_train_stream(stream, default_camera, target, W, H, SPP,
+                           DEPTH, park="hbm", **kw)
+    auto = mse_train_stream(stream, default_camera, target, W, H, SPP,
+                            DEPTH, **kw)
+    np.testing.assert_allclose(float(base[0]), float(hbm[0]), rtol=1e-7)
+    for a, b in zip(base[1:], hbm[1:]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=5e-7)
+    for a, b in zip(auto, hbm):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # rr estimator through the stream hbm reverse
+    base = mse_train_stream(stream, default_camera, target, W, H, SPP,
+                            DEPTH, park=False, rr_start=2, **kw)
+    hbm = mse_train_stream(stream, default_camera, target, W, H, SPP,
+                           DEPTH, park="hbm", rr_start=2, **kw)
+    np.testing.assert_allclose(float(base[0]), float(hbm[0]), rtol=1e-7)
+    for a, b in zip(base[1:], hbm[1:]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=5e-7)
+
+    # the standalone grad program has no render to park from
+    import pytest
+
+    from raytracingincuda_tpu.ops.pallas_stream_backward import (
+        render_pallas_stream_grads,
+    )
+
+    g = jnp.zeros((H, W, 3), jnp.float32)
+    with pytest.raises(ValueError, match="fused"):
+        render_pallas_stream_grads(stream, default_camera, g, W, H,
+                                   SPP, DEPTH, park="hbm", **kw)
