@@ -1942,10 +1942,20 @@ def mse_train_pallas(
     window: int = 0,
     rr_start=None,
     pixels_per_lane=None,
+    tile_chunk=None,
 ):
     """Fused MSE train step: ONE Mosaic kernel returning
     ``(loss, image, d_scene_matrix, d_camera_row)`` against a target
     image (H, W, 3).
+
+    ``tile_chunk=(start, count)``: process only that static range of
+    ray tiles — the escape hatch for configs where one full-frame
+    dispatch would exceed the ~100 s TPU-worker ceiling
+    (UPSTREAM_ISSUES #10; e.g. the configs[4] shape at 1000 spp).
+    Loss/grads come back as PARTIAL sums over the chunk's tiles
+    (normalizations stay global, so chunk outputs ADD exactly) and the
+    image as raw (count, K, R) lane rows; ``mse_train_pallas_tiled``
+    drives the loop and reassembles. Incompatible with ``mesh``.
 
     loss = mean((render - target)^2) over all pixel channels, with the
     render going through the standard 1/spp + gamma postprocess in-kernel.
@@ -2149,11 +2159,20 @@ def mse_train_pallas(
     # advances one (pixel, sample, bounce) per wave)
     hbm_waves = pixels_per_lane * samples_per_pixel * max_depth
 
+    if tile_chunk is not None and mesh is not None:
+        raise ValueError("tile_chunk is incompatible with mesh")
+
     def run(ids_arr, ii_arr, jj_arr, t_r, t_g, t_b, scene_m, cam_r):
         tiles = ids_arr.shape[0]
+        t0_chunk = 0
+        if tile_chunk is not None:
+            t0_chunk, tiles = tile_chunk
         row_spec = pl.BlockSpec((1, pixels_per_lane, ray_tile),
-                                lambda i: (i, 0, 0),
+                                lambda i: (i + t0_chunk, 0, 0),
                                 memory_space=pltpu.VMEM)
+        out_row_spec = pl.BlockSpec((1, pixels_per_lane, ray_tile),
+                                    lambda i: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)
         acc_spec = lambda shape: pl.BlockSpec(
             shape, lambda i: (0, 0), memory_space=pltpu.VMEM
         )
@@ -2173,7 +2192,7 @@ def mse_train_pallas(
             out_specs=(
                 pl.BlockSpec((1, 1), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
-                row_spec, row_spec, row_spec,
+                out_row_spec, out_row_spec, out_row_spec,
                 acc_spec((n_spheres, NUM_COLS)),
                 pl.BlockSpec((1, _CAM_COLS), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
@@ -2259,6 +2278,9 @@ def mse_train_pallas(
         outs = run(ids2, ii2, jj2, tr, tg, tb, scene_mat, cam_row)
 
     loss, im_r, im_g, im_b, d_sm, d_cr = outs[:6]
+    if tile_chunk is not None:
+        # partial sums + raw lane rows; mse_train_pallas_tiled assembles
+        return loss[0, 0], (im_r, im_g, im_b), d_sm, d_cr
     img = jnp.stack(
         [im_r.reshape(padded), im_g.reshape(padded),
          im_b.reshape(padded)], axis=-1,
@@ -2268,6 +2290,82 @@ def mse_train_pallas(
         img = jnp.zeros_like(img).at[ids.astype(jnp.int32)].set(img)
     img = img[:num_pixels].reshape(img_height, img_width, 3)
     return loss[0, 0], img, d_sm, d_cr
+
+
+def mse_train_pallas_tiled(
+    scene: Scene,
+    cam_cfg: CameraConfig,
+    target: jnp.ndarray,
+    img_width: int,
+    img_height: int,
+    samples_per_pixel: int,
+    max_depth: int,
+    *,
+    n_chunks: int,
+    ray_tile: int = 512,
+    pixels_per_lane: int = 1,
+    pixel_order=None,
+    seed: int = rtrng.DEFAULT_SEED,
+    gamma: bool = True,
+    rr_start=None,
+    park_residuals="hbm",
+    dtype=jnp.float32,
+    interpret=None,
+):
+    """Fused MSE train step split into ``n_chunks`` tile-range
+    dispatches (each its own jitted program, so every dispatch stays
+    under the ~100 s TPU-worker ceiling — the configs[4]-shape escape
+    hatch). Exact: per-chunk losses/cotangents are partial sums with
+    GLOBAL normalizations, so summing chunk outputs reproduces the
+    single-dispatch result; the image is reassembled from raw lane
+    rows. ``ray_tile``/``pixels_per_lane`` are explicit (the chunk
+    split needs the tile count up front). Returns
+    (loss, image (H, W, 3), d_scene_matrix, d_camera_row)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    num_pixels = img_width * img_height
+    padded = _round_up(num_pixels, pixels_per_lane * ray_tile)
+    n_tiles = padded // (pixels_per_lane * ray_tile)
+    bounds = [
+        (n_tiles * c // n_chunks, n_tiles * (c + 1) // n_chunks)
+        for c in range(n_chunks)
+    ]
+    loss = None
+    rows = []
+    d_sm = d_cr = None
+    for (t0, t1) in bounds:
+        if t1 == t0:
+            continue
+        # scene/camera CLOSED OVER, target as the only jit argument:
+        # a traced CameraConfig would re-derive the camera row with
+        # per-program FMA grouping — the known ~2e-7 cross-program
+        # channel that flips knife-edge hits (verify skill)
+        f = jax.jit(lambda t, t0=t0, t1=t1: mse_train_pallas(
+            scene, cam_cfg, t, img_width, img_height,
+            samples_per_pixel, max_depth,
+            seed=seed, gamma=gamma, ray_tile=ray_tile,
+            pixel_order=pixel_order, rr_start=rr_start,
+            park_residuals=park_residuals,
+            pixels_per_lane=pixels_per_lane, dtype=dtype,
+            interpret=interpret,
+            tile_chunk=(t0, t1 - t0),
+        ))
+        lo, (im_r, im_g, im_b), dsm_c, dcr_c = f(target)
+        loss = lo if loss is None else loss + lo
+        rows.append((im_r, im_g, im_b))
+        d_sm = dsm_c if d_sm is None else d_sm + dsm_c
+        d_cr = dcr_c if d_cr is None else d_cr + dcr_c
+
+    ids = _order_ids(pixel_order, padded)
+    img = jnp.stack(
+        [jnp.concatenate([r[k] for r in rows], axis=0).reshape(padded)
+         for k in range(3)],
+        axis=-1,
+    )
+    if pixel_order is not None:
+        img = jnp.zeros_like(img).at[ids.astype(jnp.int32)].set(img)
+    img = img[:num_pixels].reshape(img_height, img_width, 3)
+    return loss, img, d_sm, d_cr
 
 
 def make_mse_train(

@@ -241,3 +241,31 @@ def test_fused_auto_selects_hbm_park(mixed_scene, default_camera):
                                   np.asarray(explicit[1]))
     for a, b in zip(auto[2:], explicit[2:]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_tiled_fused_step_matches_single(mixed_scene, default_camera):
+    """mse_train_pallas_tiled (static tile-range chunking — the
+    >100 s-dispatch escape hatch for configs[4]-scale steps): chunk
+    losses/cotangents are partial sums with global normalizations, so
+    the assembly is exact — image BIT-identical, loss/grads equal up
+    to cross-chunk summation order."""
+    from raytracingincuda_tpu.ops.pallas_backward import (
+        mse_train_pallas, mse_train_pallas_tiled,
+    )
+
+    rng = np.random.default_rng(11)
+    tgt = jnp.asarray(rng.random((H, W, 3)), jnp.float32)
+    base = mse_train_pallas(
+        mixed_scene, default_camera, tgt, W, H, SPP, DEPTH,
+        ray_tile=64, pixels_per_lane=2, interpret=True,
+        park_residuals="hbm",
+    )
+    got = mse_train_pallas_tiled(
+        mixed_scene, default_camera, tgt, W, H, SPP, DEPTH,
+        n_chunks=3, ray_tile=64, pixels_per_lane=2,
+    )
+    np.testing.assert_array_equal(np.asarray(base[1]), np.asarray(got[1]))
+    np.testing.assert_allclose(float(base[0]), float(got[0]), rtol=1e-6)
+    for a, b in zip(base[2:], got[2:]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-9)
