@@ -397,8 +397,39 @@ def make_renderer(cfg: RenderConfig, n_devices: int = 0):
 
         order_cache: dict = {}
 
+        def _camdist_bounds(stream, cam_cfg):
+            # front-to-back block ORDER (a bounds-row reorder only — the
+            # matrix layout never moves; the walk reads each block's row
+            # offset from bounds col 4): the sequential walk's running
+            # t_best then tightens on near blocks first, so far blocks
+            # cull harder. Measured −9% on the 100k-sphere streamed
+            # forward (camdist_stream.jsonl); speed-only up to
+            # measure-zero cross-block exact-t ties. Computed lazily at
+            # first render (prepare has no camera) from the block
+            # bounds; camera-position drift only loosens the ordering,
+            # never correctness.
+            import jax.numpy as jnp
+            import numpy as np
+
+            from .models.camera import initialize as _init
+
+            bn = np.asarray(stream.bounds)
+            if bn.shape[0] <= 1:
+                return stream
+            cc = _init(cam_cfg, cfg.width, cfg.height).center
+            p = np.array([float(cc.x), float(cc.y), float(cc.z)])
+            dist = np.sqrt(((bn[:, 0:3] - p) ** 2).sum(1)) - bn[:, 3]
+            dist = np.where(bn[:, 3] > 0.0, dist, np.inf)
+            border = np.argsort(dist, kind="stable")
+            return stream._replace(
+                bounds=jnp.asarray(bn[border])
+            )
+
         def stream_renderer(scene, cam_cfg):
             ent = stream_get(scene, lambda: _build_stream(scene))
+            if "camdist" not in ent:
+                ent["camdist"] = True
+                ent["stream"] = _camdist_bounds(ent["stream"], cam_cfg)
             stream = ent["stream"]
             if ent["use_order"]:
                 key = tuple(
