@@ -67,10 +67,12 @@ def measure_calibration(mxu: bool = True, runs: int = 10) -> dict:
 
         # the chain must dwarf the RTT floor or the measurement reads the
         # transport, not the MXU (a 1024^2 x64 chain is ~4 ms of matmul
-        # against a ~30 ms floor — measured 4.9 "TF/s" on a 35 TF/s part);
-        # 2048^2 x256 is ~250 ms of matmul, and the measured floor is
-        # subtracted besides
-        n, chain = 2048, 256
+        # against a ~30 ms floor — measured 4.9 "TF/s" on a 35 TF/s
+        # part). 2048^2 x1024 is ~100 ms of matmul at ~180 TF/s, and the
+        # measured floor is subtracted besides — chain=256 (~24 ms body)
+        # still spread 159-213 TF/s across same-day calls from ±3 ms of
+        # floor noise.
+        n, chain = 2048, 1024
         a = (jnp.eye(n, dtype=jnp.float32) * 1.0000001).astype(jnp.bfloat16)
         b = (jnp.ones((n, n), jnp.float32) / n).astype(jnp.bfloat16)
 
