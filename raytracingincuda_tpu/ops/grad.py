@@ -321,10 +321,37 @@ def make_stream_train(
             step=jnp.zeros((), jnp.int32),
         )
 
-    def _stream_of(params, mat_type, active):
+    border_cache: dict = {}
+
+    def _frozen_border(cam_cfg):
+        """Front-to-back block visit order, frozen from the first
+        step's camera (host numpy on the PREPARED bounds; speed-only —
+        camera/geometry drift just loosens the ordering, exactly like
+        the frozen Morton perm). Passed into the jitted step as data,
+        so one compiled program serves any border."""
+        if "b" not in border_cache:
+            import numpy as np
+
+            from ..models.camera import initialize as _init
+
+            bn = np.asarray(stream.bounds)
+            if bn.shape[0] <= 1:
+                border_cache["b"] = jnp.arange(bn.shape[0],
+                                               dtype=jnp.int32)
+            else:
+                cc = _init(cam_cfg, img_width, img_height).center
+                p = np.array([float(cc.x), float(cc.y), float(cc.z)])
+                d = np.sqrt(((bn[:, 0:3] - p) ** 2).sum(1)) - bn[:, 3]
+                d = np.where(bn[:, 3] > 0.0, d, np.inf)
+                border_cache["b"] = jnp.asarray(
+                    np.argsort(d, kind="stable"), jnp.int32
+                )
+        return border_cache["b"]
+
+    def _stream_of(params, mat_type, active, border=None):
         sm, bounds = build_stream_arrays(
             Scene(params=params, mat_type=mat_type, active=active),
-            perm, block, n_pad,
+            perm, block, n_pad, border=border,
         )
         return StreamScene(sm, bounds, block, perm)
 
@@ -335,8 +362,8 @@ def make_stream_train(
     if fused:
         @jax.jit
         def fused_kernel_step(params, mat_type, active, cam_cfg, target,
-                              opt_state):
-            st = _stream_of(params, mat_type, active)
+                              opt_state, border):
+            st = _stream_of(params, mat_type, active, border)
             loss, d_stream, d_cr = mse_train_stream(
                 st, cam_cfg, target, img_width, img_height,
                 samples_per_pixel, max_depth, seed=seed,
@@ -356,18 +383,18 @@ def make_stream_train(
                        mat_type, active, target):
             params, opt_state, loss = fused_kernel_step(
                 state.params, mat_type, active, cam_cfg, target,
-                state.opt_state,
+                state.opt_state, _frozen_border(cam_cfg),
             )
             return TrainState(params, opt_state, state.step + 1), loss
 
         return init_fn, fused_step
 
     @jax.jit
-    def fwd(params, mat_type, active, cam_cfg):
+    def fwd(params, mat_type, active, cam_cfg, border):
         # return the rebuilt stream arrays too: the backward program
         # takes them as inputs instead of rebuilding the O(N) packed
         # matrix + block bounds a second time per step
-        st = _stream_of(params, mat_type, active)
+        st = _stream_of(params, mat_type, active, border)
         img = render_pallas_stream(
             st, cam_cfg,
             img_width, img_height, samples_per_pixel, max_depth,
@@ -401,7 +428,8 @@ def make_stream_train(
 
     def step_fn(state: TrainState, cam_cfg: CameraConfig,
                 mat_type, active, target):
-        img, sm, bounds = fwd(state.params, mat_type, active, cam_cfg)
+        img, sm, bounds = fwd(state.params, mat_type, active, cam_cfg,
+                              _frozen_border(cam_cfg))
         params, opt_state, loss = bwd(
             state.params, sm, bounds, mat_type, active, cam_cfg, img,
             target, state.opt_state,

@@ -227,7 +227,7 @@ def prepare_stream_scene(
 
 
 def build_stream_arrays(scene: Scene, perm: jnp.ndarray, block: int,
-                        n_pad: int, dtype=jnp.float32):
+                        n_pad: int, dtype=jnp.float32, border=None):
     """Device-side, JITTABLE rebuild of (scene_mat, bounds) under a
     FROZEN stream permutation — the inverse-rendering path.
 
@@ -268,9 +268,14 @@ def build_stream_arrays(scene: Scene, perm: jnp.ndarray, block: int,
     bounds = (
         jnp.zeros((nb, 8), dtype).at[:, 0:3].set(ctr).at[:, 3].set(rb)
         # col 4 = block's first matrix row (see prepare_stream_scene);
-        # the frozen-perm rebuild keeps the Morton visit order
+        # the frozen-perm rebuild keeps the Morton visit order unless a
+        # frozen ``border`` permutes the bounds rows (front-to-back from
+        # the training camera — speed-only, like the frozen Morton perm
+        # itself: a stale order only loosens culling)
         .at[:, 4].set(jnp.arange(nb, dtype=dtype) * block)
     )
+    if border is not None:
+        bounds = bounds[jnp.asarray(border, jnp.int32)]
     return out, bounds
 
 
