@@ -269,3 +269,39 @@ def test_tiled_fused_step_matches_single(mixed_scene, default_camera):
     for a, b in zip(base[2:], got[2:]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-9)
+
+
+@pytest.mark.slow
+def test_fused_hbm_park_shape_sweep(mixed_scene, default_camera):
+    """Shape fuzz for the full-park mode: odd sizes (padding tiles),
+    K x ray_tile combos, depth extremes — every case must reproduce
+    the wave-sweep fused step's image bit-exactly with close grads."""
+    from raytracingincuda_tpu.ops.pallas_backward import mse_train_pallas
+
+    rng = np.random.default_rng(21)
+    for (w, h, spp, depth, rt, k) in [
+        (17, 11, 1, 1, 64, 1),       # tiny, heavy padding, depth 1
+        (40, 24, 3, 7, 128, 2),      # odd spp/depth
+        (33, 9, 2, 5, 64, 4),        # K > tiles-worth of pixels? no: 297px
+        (24, 16, 5, 2, 256, 1),      # tile bigger than the image
+    ]:
+        tgt = jnp.asarray(rng.random((h, w, 3)), jnp.float32)
+        base = mse_train_pallas(
+            mixed_scene, default_camera, tgt, w, h, spp, depth,
+            ray_tile=rt, pixels_per_lane=k, interpret=True,
+            park_residuals=False, sweep="wave",
+        )
+        hbm = mse_train_pallas(
+            mixed_scene, default_camera, tgt, w, h, spp, depth,
+            ray_tile=rt, pixels_per_lane=k, interpret=True,
+            park_residuals="hbm",
+        )
+        tag = f"{w}x{h}x{spp}/d{depth}/rt{rt}/K{k}"
+        np.testing.assert_array_equal(
+            np.asarray(base[1]), np.asarray(hbm[1]), err_msg=tag)
+        np.testing.assert_allclose(float(base[0]), float(hbm[0]),
+                                   rtol=1e-6, err_msg=tag)
+        for a, b in zip(base[2:], hbm[2:]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=1e-6,
+                                       err_msg=tag)
