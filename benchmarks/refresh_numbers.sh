@@ -24,3 +24,9 @@ run python benchmarks/fused_wave_probe.py
 run python benchmarks/stream_wave_probe.py
 run python benchmarks/northstar_chunked.py benchmarks/results/northstar_probe.jsonl 50 100 512 2
 echo "all probes done"
+# round 4: full-park fused steps, BASELINE configs rows, camdist stream
+run python benchmarks/northstar_chunked.py benchmarks/results/northstar_probe.jsonl 50 0 512 2
+run python benchmarks/baseline_configs_probe.py
+run python benchmarks/bwd_d50_probe.py
+run python benchmarks/fused_headline_probe.py
+run python benchmarks/roofline.py
