@@ -854,7 +854,7 @@ def _wave_grad_sweep(hit_fn, scatter_fn, d_scene0, cam_vals,
 def _regen_render_k(
     hit_fn, cam, pixel_ids, fi, fj, key, acc_ref,
     *, samples: int, max_depth: int, dtype, rr_start=None,
-    k_pixels: int,
+    k_pixels: int, park_fn=None,
 ):
     """K-pixel regenerating render pass shared by the fused train
     kernels (the forward kernel's _regen_body_multi recurrence with the
@@ -867,7 +867,16 @@ def _regen_render_k(
     the same closest-hit binding convention as _wave_grad_sweep — the
     VMEM (N, R) scan or the streaming HBM block walk. ``pixel_ids``,
     ``fi``, ``fj`` are the tile's (K, R) pixel blocks. Returns the
-    (K, R) radiance Vec3 (views of acc_ref)."""
+    (K, R) radiance Vec3 (views of acc_ref) — plus the wave count when
+    parking (below).
+
+    ``park_fn(w, blk)``: optional per-wave residual parking (the
+    FULL-PARK fused step, _hbm_park_render) — called with the wave
+    index and the packed (32, R) pre-bounce residual rows; a wave
+    counter joins the carry and the function returns (acc, w_end).
+    park_fn=None traces the exact historical recurrence (bit-identity
+    with the non-parked fused render is pinned by
+    test_fused_hbm_park_matches_wave)."""
     K = k_pixels
     r = pixel_ids.shape[1]
     rshape = (1, r)
@@ -877,6 +886,7 @@ def _regen_render_k(
     kf_done = float(K)
     budget_f = float(samples)
     idsf_blk = pltpu.bitcast(pixel_ids, jnp.int32).astype(dtype)
+    parking = park_fn is not None
 
     def to_u32(f):
         return pltpu.bitcast(f.astype(jnp.int32), jnp.uint32)
@@ -891,6 +901,8 @@ def _regen_render_k(
     acc_ref[:, :] = jnp.zeros((3 * K, r), dtype)
 
     def cond(c):
+        if parking:
+            c = c[1:]
         sample_f, k_f, alive_f = c[0], c[2], c[9]
         work = (k_f < kf_done) & (sample_f < budget_f)
         return (jnp.max(jnp.where(work, 1.0, 0.0)) > 0.5) | (
@@ -898,6 +910,8 @@ def _regen_render_k(
         )
 
     def body(c):
+        if parking:
+            w, c = c[0], c[1:]
         (sample_f, bounce_f, k_f, pix_f, fi_r, fj_r, o, d, atten,
          alive_f, acc3) = c
         has_work = (k_f < kf_done) & (sample_f < budget_f)
@@ -914,7 +928,7 @@ def _regen_render_k(
         alive_f = jnp.where(regen, one_row, alive_f)
         active = alive_f > 0.5
 
-        hit_raw, wc, wr, walb, wfuzz, wior, wmat, _sid = hit_fn(o, d)
+        hit_raw, wc, wr, walb, wfuzz, wior, wmat, sid = hit_fn(o, d)
         hit = hit_raw & active
         (o2, d2, at2, al2), contrib = _winner_bounce(
             wc, wr, walb, wfuzz, wior, wmat, hit,
@@ -927,6 +941,16 @@ def _regen_render_k(
         al3 = jnp.where(at_cap, 0.0, al2).astype(dtype)
         dies = active & (al3 < 0.5)
         continues = active & (al3 > 0.5)
+
+        if parking:
+            dies_f = jnp.where(dies, 1.0, 0.0).astype(dtype)
+            park_fn(w, _wave_pack_residual(
+                o, d, atten, alive_f, hit.astype(dtype),
+                wc, wr, walb, wfuzz, wior, wmat, sid,
+                dies_f, sample_f, bounce_f,
+                pix_f, fi_r, fj_r, Vec3(k_f, zero_row, zero_row),
+            ))
+
         sample_next = sample_f + jnp.where(dies, one_row, zero_row)
         complete = dies & (sample_next >= budget_f)
 
@@ -959,8 +983,9 @@ def _regen_render_k(
         at3 = vec.where(continues, at2, atten)
         bounce3 = jnp.where(continues, bounce_f + 1.0, bounce_f)
         alive3 = jnp.where(continues, 1.0, 0.0).astype(dtype)
-        return (sample3, bounce3, k_f, pix_f, fi_r, fj_r,
-                o3, d3, at3, alive3, acc3)
+        out = (sample3, bounce3, k_f, pix_f, fi_r, fj_r,
+               o3, d3, at3, alive3, acc3)
+        return ((w + 1,) + out) if parking else out
 
     init = (
         jnp.zeros(rshape, dtype), jnp.zeros(rshape, dtype),
@@ -972,9 +997,12 @@ def _regen_render_k(
         jnp.zeros(rshape, dtype),
         Vec3.zeros(rshape, dtype=dtype),
     )
-    lax.while_loop(cond, body, init)
-    return Vec3(acc_ref[0:K, :], acc_ref[K:2 * K, :],
-                acc_ref[2 * K:3 * K, :])
+    if parking:
+        init = (jnp.int32(0),) + init
+    final = lax.while_loop(cond, body, init)
+    acc = Vec3(acc_ref[0:K, :], acc_ref[K:2 * K, :],
+               acc_ref[2 * K:3 * K, :])
+    return (acc, final[0]) if parking else acc
 
 
 def _hbm_park_render(
@@ -1004,26 +1032,10 @@ def _hbm_park_render(
     lane advances one (pixel, sample, bounce) per wave, so a tile can
     never park more.
 
-    Returns (acc Vec3 of (K, R) views, w_end int32)."""
-    K = k_pixels
-    r = pixel_ids.shape[1]
-    rshape = (1, r)
-    zero_row = jnp.zeros(rshape, dtype)
-    one_row = jnp.ones(rshape, dtype)
-    zero3r = Vec3.zeros(rshape, dtype=dtype)
-    kf_done = float(K)
-    budget_f = float(samples)
-    idsf_blk = pltpu.bitcast(pixel_ids, jnp.int32).astype(dtype)
-
-    def to_u32(f):
-        return pltpu.bitcast(f.astype(jnp.int32), jnp.uint32)
-
-    def row_of(blk, k_next):
-        out = jnp.zeros(rshape, dtype)
-        for k in range(K):
-            out = out + jnp.where(k_next == float(k),
-                                  blk[k:k + 1, :], zero_row)
-        return out
+    Returns (acc Vec3 of (K, R) views, w_end int32). The render
+    recurrence itself is _regen_render_k's (shared — bit-identity with
+    the non-parked fused render is structural, not coincidental); this
+    wrapper only owns the DMA staging ring."""
 
     def _hbm_slot(v):
         return park_ref.at[
@@ -1042,55 +1054,9 @@ def _hbm_park_render(
             cp = pltpu.make_async_copy(stage1, _hbm_slot(v), sem1)
             cp.start() if start else cp.wait()
 
-    acc_ref[:, :] = jnp.zeros((3 * K, r), dtype)
-
-    def cond(c):
-        sample_f, k_f, alive_f = c[1], c[3], c[10]
-        work = (k_f < kf_done) & (sample_f < budget_f)
-        return (jnp.max(jnp.where(work, 1.0, 0.0)) > 0.5) | (
-            jnp.max(alive_f) > 0.5
-        )
-
-    def body(c):
-        (w, sample_f, bounce_f, k_f, pix_f, fi_r, fj_r, o, d, atten,
-         alive_f, acc3) = c
-        has_work = (k_f < kf_done) & (sample_f < budget_f)
-        regen = (alive_f < 0.5) & has_work
-        o_n, d_n = primary_rays_from_ij(
-            cam, fi_r, fj_r, to_u32(pix_f), to_u32(sample_f), key,
-            dtype,
-        )
-        o = vec.where(regen, o_n, o)
-        d = vec.where(regen, d_n, d)
-        atten = vec.where(regen, Vec3(one_row, one_row, one_row),
-                          atten)
-        bounce_f = jnp.where(regen, zero_row, bounce_f)
-        alive_f = jnp.where(regen, one_row, alive_f)
-        active = alive_f > 0.5
-
-        hit_raw, wc, wr, walb, wfuzz, wior, wmat, sid = hit_fn(o, d)
-        hit = hit_raw & active
-        (o2, d2, at2, al2), contrib = _winner_bounce(
-            wc, wr, walb, wfuzz, wior, wmat, hit,
-            o, d, atten, alive_f, to_u32(pix_f), to_u32(sample_f),
-            to_u32(bounce_f), key, dtype, rr_start=rr_start,
-        )
-        acc3 = acc3 + contrib
-        # scattering at the depth cap exits black (camera.h:126-127)
-        at_cap = (al2 > 0.5) & (bounce_f >= (max_depth - 1))
-        al3 = jnp.where(at_cap, 0.0, al2).astype(dtype)
-        dies = active & (al3 < 0.5)
-        dies_f = jnp.where(dies, 1.0, 0.0).astype(dtype)
-        continues = active & (al3 > 0.5)
-
-        # park this wave: wait the slot's previous copy, stage, start
-        blk = _wave_pack_residual(
-            o, d, atten, alive_f, hit.astype(dtype),
-            wc, wr, walb, wfuzz, wior, wmat, sid,
-            dies_f, sample_f, bounce_f,
-            pix_f, fi_r, fj_r, Vec3(k_f, zero_row, zero_row),
-        )
-
+    def park_fn(w, blk):
+        # wait the slot's previous copy (issued at wave w-2), stage,
+        # start this wave's copy — DMA hides behind the next wave
         @pl.when(w >= 2)
         def _():
             _park_copy(w - 2, start=False)
@@ -1105,53 +1071,11 @@ def _hbm_park_render(
 
         _park_copy(w, start=True)
 
-        sample_next = sample_f + jnp.where(dies, one_row, zero_row)
-        complete = dies & (sample_next >= budget_f)
-
-        # flush completed pixels' radiance into their (K, R) rows
-        def mk_flush(val):
-            return jnp.concatenate(
-                [jnp.where(complete & (k_f == float(k)), val,
-                           zero_row) for k in range(K)],
-                axis=0,
-            )
-
-        acc_ref[0:K, :] = acc_ref[0:K, :] + mk_flush(acc3.x)
-        acc_ref[K:2 * K, :] = acc_ref[K:2 * K, :] + mk_flush(acc3.y)
-        acc_ref[2 * K:3 * K, :] = (acc_ref[2 * K:3 * K, :]
-                                   + mk_flush(acc3.z))
-        acc3 = vec.where(complete, zero3r, acc3)
-
-        k_next = k_f + jnp.where(complete, one_row, zero_row)
-        pull = complete & (k_next < kf_done)
-        pix_f = jnp.where(pull, row_of(idsf_blk, k_next), pix_f)
-        fi_r = jnp.where(pull, row_of(fi, k_next), fi_r)
-        fj_r = jnp.where(pull, row_of(fj, k_next), fj_r)
-        k_f = k_next
-        sample3 = jnp.where(
-            complete, zero_row,
-            jnp.where(dies, sample_next, sample_f),
-        )
-        o3 = vec.where(continues, o2, o)
-        d3 = vec.where(continues, d2, d)
-        at3 = vec.where(continues, at2, atten)
-        bounce3 = jnp.where(continues, bounce_f + 1.0, bounce_f)
-        alive3 = jnp.where(continues, 1.0, 0.0).astype(dtype)
-        return (w + 1, sample3, bounce3, k_f, pix_f, fi_r, fj_r,
-                o3, d3, at3, alive3, acc3)
-
-    init = (
-        jnp.int32(0),
-        jnp.zeros(rshape, dtype), jnp.zeros(rshape, dtype),
-        jnp.zeros(rshape, dtype),
-        idsf_blk[0:1, :], fi[0:1, :], fj[0:1, :],
-        Vec3.zeros(rshape, dtype=dtype),
-        Vec3.zeros(rshape, dtype=dtype),
-        Vec3.full(rshape, 1.0, 1.0, 1.0, dtype=dtype),
-        jnp.zeros(rshape, dtype),
-        Vec3.zeros(rshape, dtype=dtype),
+    acc, w_end = _regen_render_k(
+        hit_fn, cam, pixel_ids, fi, fj, key, acc_ref,
+        samples=samples, max_depth=max_depth, dtype=dtype,
+        rr_start=rr_start, k_pixels=k_pixels, park_fn=park_fn,
     )
-    w_end = lax.while_loop(cond, body, init)[0]
 
     # drain the (up to two) outstanding park copies, oldest first
     @pl.when(w_end >= 2)
@@ -1162,8 +1086,6 @@ def _hbm_park_render(
     def _():
         _park_copy(w_end - 1, start=False)
 
-    acc = Vec3(acc_ref[0:K, :], acc_ref[K:2 * K, :],
-               acc_ref[2 * K:3 * K, :])
     return acc, w_end
 
 
