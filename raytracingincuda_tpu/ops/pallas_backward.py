@@ -122,7 +122,18 @@ _R_FJ = 27
 _R_GX = 28
 _R_GY = 29
 _R_GZ = 30
-_ST_ROWS = 32
+# parked detached RNG draw rows (round 4): the per-bounce draws the
+# forward already computed — scatter unit vector, coin, rr survival.
+# The reverse replay reads them from the park instead of re-running
+# Threefry, which the ablation measured at ~30% of the bounce-vjp op
+# count (bwd_rev_ablate.jsonl; jaxpr: ~420 of 1472 row-ops).
+_R_URX = 31
+_R_URY = 32
+_R_URZ = 33
+_R_COIN = 34
+_R_URR = 35
+_ST_ROWS = 40     # 36 used; 8-aligned so wave-slot DMA offsets stay
+                  # sublane-tile-aligned
 _CAM_COLS = 24
 _N_CAM = 18   # differentiable camera scalars (pack_camera rows 0..17)
 
@@ -130,6 +141,19 @@ _N_CAM = 18   # differentiable camera scalars (pack_camera rows 0..17)
 # to 2^24 — far beyond the VMEM kernel's ~5k-sphere ceiling). Same index
 # the stream layout uses for its slot id (pallas_stream.STREAM_COL_SID).
 COL_SID = 11
+
+# Measurement instrument (benchmarks/bwd_rev_ablate_probe.py): trace-time
+# flags that stub individual reverse-phase cost centers so a same-day A/B
+# can attribute the reverse walk's per-wave cost. NEVER set in production
+# — gradients are WRONG under any flag (stubs keep shapes and consume
+# their inputs with ~0-weight mixes so XLA cannot dead-code the
+# surrounding dataflow, but the values are meaningless). Flags:
+#   "rev"         skip the whole reverse walk (park-only sweep)
+#   "bounce_vjp"  stub the per-wave jax.vjp(_winner_bounce) replay
+#   "cam_vjp"     skip the per-wave primary-ray camera vjp
+#   "scatter"     stub the one-hot build AND the scatter matmul
+#   "scatter_mm"  stub only the scatter matmul (one-hot still built)
+_ABLATE: frozenset = frozenset()
 
 
 def _order_ids(pixel_order, padded: int) -> jnp.ndarray:
@@ -194,9 +218,32 @@ def _hit_winner(scene_mat, cx, cy, cz, rc, active_col, o: Vec3, d: Vec3):
             row(COL_IOR), row(COL_MAT), row(COL_SID))
 
 
+def _bounce_draws(pixel_ids, s_u, b_u, key, dtype, rr: bool):
+    """The per-bounce detached RNG draws (scatter unit vector, coin,
+    rr survival) from the counter streams — bitwise the draws
+    _winner_bounce historically made inline (same streams, same
+    order). Hoisted so the wave-parking sweeps can PARK them (rows
+    _R_URX.._R_URR) and the reverse replay can skip the Threefry
+    recompute (~30% of the bounce-vjp op count, bwd_rev_ablate.jsonl)."""
+    unit_rand = rtrng.random_unit_vector(
+        key, pixel_ids, s_u, b_u, rtrng.DRAW_SCATTER, dtype
+    )
+    coin_u, _ = rtrng.uniform2(
+        key, pixel_ids, s_u, b_u, rtrng.DRAW_COIN, dtype
+    )
+    if rr:
+        u_rr, _ = rtrng.uniform2(
+            key, pixel_ids, s_u, b_u, rtrng.DRAW_RR, dtype
+        )
+    else:
+        u_rr = jnp.zeros_like(coin_u)
+    return unit_rand, coin_u, u_rr
+
+
 def _winner_bounce(wc: Vec3, wr, walb: Vec3, wfuzz, wior, wmat_f, hit,
                    o: Vec3, d: Vec3, atten: Vec3, alive_f,
-                   pixel_ids, s_u, b_u, key, dtype, rr_start=None):
+                   pixel_ids, s_u, b_u, key, dtype, rr_start=None,
+                   draws=None):
     """One bounce of the estimator restricted to the stored
     winner sphere, for a (1, R) lane row batch.
 
@@ -221,6 +268,10 @@ def _winner_bounce(wc: Vec3, wr, walb: Vec3, wfuzz, wior, wmat_f, hit,
     """
     shape = alive_f.shape
     alive = alive_f > 0.5
+    if draws is None:
+        draws = _bounce_draws(pixel_ids, s_u, b_u, key, dtype,
+                              rr_start is not None)
+    unit_rand, coin_u, u_rr = draws
 
     a = jnp.maximum(vec.length_sq(d), 1e-12)
     h = vec.dot(wc, d) - vec.dot(d, o)
@@ -251,12 +302,6 @@ def _winner_bounce(wc: Vec3, wr, walb: Vec3, wfuzz, wior, wmat_f, hit,
     front_face = vec.dot(d, outward) < 0.0
     normal = vec.where(front_face, outward, -outward)
 
-    unit_rand = rtrng.random_unit_vector(
-        key, pixel_ids, s_u, b_u, rtrng.DRAW_SCATTER, dtype
-    )
-    coin_u, _ = rtrng.uniform2(
-        key, pixel_ids, s_u, b_u, rtrng.DRAW_COIN, dtype
-    )
     sc = materials.scatter(
         d, normal, front_face, wmat_f.astype(jnp.int32), walb, wfuzz,
         ior_safe, unit_rand, coin_u,
@@ -274,9 +319,6 @@ def _winner_bounce(wc: Vec3, wr, walb: Vec3, wfuzz, wior, wmat_f, hit,
             jnp.maximum(jnp.maximum(atten_upd.x, atten_upd.y),
                         atten_upd.z),
             0.05, 1.0,
-        )
-        u_rr, _ = rtrng.uniform2(
-            key, pixel_ids, s_u, b_u, rtrng.DRAW_RR, dtype
         )
         # integer-domain zone test: Mosaic cannot lower uint32->f32
         # casts (the oracle's bounce.astype(dtype) >= float(rr_start)
@@ -509,7 +551,9 @@ def _grad_tile_kernel(
 
 def _wave_pack_residual(o, d, atten, alive_f, hit_f, wc, wr, walb, wfuzz,
                         wior, wmat, sid, dies_f, sample_f, bounce_f,
-                        pix_f=None, fi_r=None, fj_r=None, g_r=None):
+                        pix_f=None, fi_r=None, fj_r=None, g_r=None,
+                        draws=None):
+    zero = jnp.zeros_like(alive_f)
     rows = [o.x, o.y, o.z, d.x, d.y, d.z, atten.x, atten.y, atten.z,
             alive_f, hit_f, wc.x, wc.y, wc.z, wr,
             walb.x, walb.y, walb.z, wfuzz, wior, wmat, sid,
@@ -517,8 +561,13 @@ def _wave_pack_residual(o, d, atten, alive_f, hit_f, wc, wr, walb, wfuzz,
     if pix_f is not None:
         # multi-pixel lanes: the row's pixel identity + cotangent rows
         rows += [pix_f, fi_r, fj_r, g_r.x, g_r.y, g_r.z]
-    rows += [jnp.zeros_like(alive_f)] * (_ST_ROWS - len(rows))
-    return jnp.concatenate(rows, axis=0)                      # (32, R)
+    else:
+        rows += [zero] * 6            # keep the draw rows at 31-35
+    if draws is not None:
+        unit_rand, coin_u, u_rr = draws
+        rows += [unit_rand.x, unit_rand.y, unit_rand.z, coin_u, u_rr]
+    rows += [zero] * (_ST_ROWS - len(rows))
+    return jnp.concatenate(rows, axis=0)                      # (40, R)
 
 
 def _wave_grad_sweep(hit_fn, scatter_fn, d_scene0, cam_vals,
@@ -662,10 +711,12 @@ def _wave_grad_sweep(hit_fn, scatter_fn, d_scene0, cam_vals,
             s_u = to_u32(sample_f)
             b_u = to_u32(bounce_f)
             pix_u = to_u32(pix_f)
+            draws = _bounce_draws(pix_u, s_u, b_u, key, dtype,
+                                  rr_start is not None)
             (o2, d2, at2, al2), _ = _winner_bounce(
                 wc, wr, walb, wfuzz, wior, wmat, hit,
                 o, d, atten, alive_f, pix_u, s_u, b_u, key, dtype,
-                rr_start=rr_start,
+                rr_start=rr_start, draws=draws,
             )
             # scattering at the depth cap exits black (camera.h:126-127)
             at_cap = (al2 > 0.5) & (bounce_f >= (max_depth - 1))
@@ -679,6 +730,7 @@ def _wave_grad_sweep(hit_fn, scatter_fn, d_scene0, cam_vals,
                 wc, wr, walb, wfuzz, wior, wmat, sid,
                 dies_f, sample_f, bounce_f,
                 *((pix_f, fi_r, fj_r, g_r) if multi else (None,) * 4),
+                draws=draws,
             )
 
             # advance: continue, regenerate (window permitting), or idle
@@ -756,6 +808,9 @@ def _wave_grad_sweep(hit_fn, scatter_fn, d_scene0, cam_vals,
             s_u = to_u32(sample_row)
             b_u = to_u32(bounce_row)
             pix_u = to_u32(pix_row)
+            # parked detached draws: skip the Threefry replay entirely
+            pk_draws = (Vec3(r1(_R_URX), r1(_R_URY), r1(_R_URZ)),
+                        r1(_R_COIN), r1(_R_URR))
 
             # died-here rows end their path's chain: the incoming state
             # cotangent is zero (radiance flows in through ``g`` at every
@@ -766,19 +821,29 @@ def _wave_grad_sweep(hit_fn, scatter_fn, d_scene0, cam_vals,
             ct_at_in = vec.where(ended, zero3, ct_at)
             ct_al_in = jnp.where(ended, zero_row, ct_al)
 
-            def f(wc_, wr_, walb_, wfuzz_, wior_, o_, d_, at_, al_):
-                return _winner_bounce(
-                    wc_, wr_, walb_, wfuzz_, wior_, wmat, hit,
-                    o_, d_, at_, al_, pix_u, s_u, b_u, key, dtype,
-                    rr_start=rr_start,
-                )
+            if "bounce_vjp" in _ABLATE:
+                eps = jnp.asarray(1e-30, dtype)
+                mix = (wc.x + wr + walb.x + wfuzz + wior + wmat
+                       + o.x + d.x + atten.x + g_here.x) * eps
+                d_wc = Vec3(ct_o_in.x + mix, ct_o_in.y, ct_o_in.z)
+                d_walb = ct_at_in
+                d_wr = d_wfuzz = d_wior = ct_al_in
+                d_o, d_d, d_at, d_al = (ct_o_in, ct_d_in, ct_at_in,
+                                        ct_al_in)
+            else:
+                def f(wc_, wr_, walb_, wfuzz_, wior_, o_, d_, at_, al_):
+                    return _winner_bounce(
+                        wc_, wr_, walb_, wfuzz_, wior_, wmat, hit,
+                        o_, d_, at_, al_, pix_u, s_u, b_u, key, dtype,
+                        rr_start=rr_start, draws=pk_draws,
+                    )
 
-            _, vjp_f = jax.vjp(f, wc, wr, walb, wfuzz, wior,
-                               o, d, atten, alive_f)
-            (d_wc, d_wr, d_walb, d_wfuzz, d_wior,
-             d_o, d_d, d_at, d_al) = vjp_f(
-                ((ct_o_in, ct_d_in, ct_at_in, ct_al_in), g_here)
-            )
+                _, vjp_f = jax.vjp(f, wc, wr, walb, wfuzz, wior,
+                                   o, d, atten, alive_f)
+                (d_wc, d_wr, d_walb, d_wfuzz, d_wior,
+                 d_o, d_d, d_at, d_al) = vjp_f(
+                    ((ct_o_in, ct_d_in, ct_at_in, ct_al_in), g_here)
+                )
 
             # winner cotangents -> (16, R) rows (scene-matrix col order)
             d_rows = jnp.concatenate(
@@ -799,14 +864,17 @@ def _wave_grad_sweep(hit_fn, scatter_fn, d_scene0, cam_vals,
             # *_camgate rows.)
             start = (bounce_row < 0.5) & (alive_f > 0.5)
 
-            def prim(cvals):
-                return primary_from(cvals, fi_row, fj_row, pix_u, s_u)
+            if "cam_vjp" not in _ABLATE:
+                def prim(cvals):
+                    return primary_from(cvals, fi_row, fj_row, pix_u,
+                                        s_u)
 
-            _, vjp_p = jax.vjp(prim, cam_vals)
-            ct_o_m = vec.where(start, d_o, zero3)
-            ct_d_m = vec.where(start, d_d, zero3)
-            (d_cam_vals,) = vjp_p((ct_o_m, ct_d_m))
-            d_cam = tuple(d_cam[k] + d_cam_vals[k] for k in range(_N_CAM))
+                _, vjp_p = jax.vjp(prim, cam_vals)
+                ct_o_m = vec.where(start, d_o, zero3)
+                ct_d_m = vec.where(start, d_d, zero3)
+                (d_cam_vals,) = vjp_p((ct_o_m, ct_d_m))
+                d_cam = tuple(d_cam[k] + d_cam_vals[k]
+                              for k in range(_N_CAM))
 
             # carry to the previous wave; path boundaries cut the chain
             ct_o2 = vec.where(start, zero3, d_o)
@@ -835,7 +903,8 @@ def _wave_grad_sweep(hit_fn, scatter_fn, d_scene0, cam_vals,
         state = c[:plen]
         d_scene, d_cam = c[plen], c[plen + 1]
         w_end, state2 = fwd_phase(state)
-        d_scene, d_cam = rev_phase(w_end, (d_scene, d_cam))
+        if "rev" not in _ABLATE:
+            d_scene, d_cam = rev_phase(w_end, (d_scene, d_cam))
         return tuple(state2) + (d_scene, d_cam)
 
     zero_cam = tuple(jnp.zeros((), dtype) for _ in range(_N_CAM))
@@ -930,10 +999,14 @@ def _regen_render_k(
 
         hit_raw, wc, wr, walb, wfuzz, wior, wmat, sid = hit_fn(o, d)
         hit = hit_raw & active
+        draws = _bounce_draws(to_u32(pix_f), to_u32(sample_f),
+                              to_u32(bounce_f), key, dtype,
+                              rr_start is not None)
         (o2, d2, at2, al2), contrib = _winner_bounce(
             wc, wr, walb, wfuzz, wior, wmat, hit,
             o, d, atten, alive_f, to_u32(pix_f), to_u32(sample_f),
             to_u32(bounce_f), key, dtype, rr_start=rr_start,
+            draws=draws,
         )
         acc3 = acc3 + contrib
         # scattering at the depth cap exits black (camera.h:126-127)
@@ -949,6 +1022,7 @@ def _regen_render_k(
                 wc, wr, walb, wfuzz, wior, wmat, sid,
                 dies_f, sample_f, bounce_f,
                 pix_f, fi_r, fj_r, Vec3(k_f, zero_row, zero_row),
+                draws=draws,
             ))
 
         sample_next = sample_f + jnp.where(dies, one_row, zero_row)
@@ -1106,6 +1180,9 @@ def _hbm_reverse(
     shape = (1, r)
     zero_row = jnp.zeros(shape, dtype)
     zero3 = Vec3.zeros(shape, dtype=dtype)
+    if "rev" in _ABLATE:   # before the first prefetch: no dangling DMA
+        return d_scene0, tuple(jnp.zeros((), dtype)
+                               for _ in range(_N_CAM))
 
     def to_u32(f):
         return pltpu.bitcast(f.astype(jnp.int32), jnp.uint32)
@@ -1168,6 +1245,9 @@ def _hbm_reverse(
         s_u = to_u32(sample_row)
         b_u = to_u32(bounce_row)
         pix_u = to_u32(pix_row)
+        # parked detached draws: skip the Threefry replay entirely
+        pk_draws = (Vec3(r1(_R_URX), r1(_R_URY), r1(_R_URZ)),
+                    r1(_R_COIN), r1(_R_URR))
 
         ended = dies_f > 0.5
         ct_o_in = vec.where(ended, zero3, ct_o)
@@ -1175,19 +1255,29 @@ def _hbm_reverse(
         ct_at_in = vec.where(ended, zero3, ct_at)
         ct_al_in = jnp.where(ended, zero_row, ct_al)
 
-        def f(wc_, wr_, walb_, wfuzz_, wior_, o_, d_, at_, al_):
-            return _winner_bounce(
-                wc_, wr_, walb_, wfuzz_, wior_, wmat, hit,
-                o_, d_, at_, al_, pix_u, s_u, b_u, key, dtype,
-                rr_start=rr_start,
-            )
+        if "bounce_vjp" in _ABLATE:
+            eps = jnp.asarray(1e-30, dtype)
+            mix = (wc.x + wr + walb.x + wfuzz + wior + wmat
+                   + o.x + d.x + atten.x + g_here.x) * eps
+            d_wc = Vec3(ct_o_in.x + mix, ct_o_in.y, ct_o_in.z)
+            d_walb = ct_at_in
+            d_wr = d_wfuzz = d_wior = ct_al_in
+            d_o, d_d, d_at, d_al = (ct_o_in, ct_d_in, ct_at_in,
+                                    ct_al_in)
+        else:
+            def f(wc_, wr_, walb_, wfuzz_, wior_, o_, d_, at_, al_):
+                return _winner_bounce(
+                    wc_, wr_, walb_, wfuzz_, wior_, wmat, hit,
+                    o_, d_, at_, al_, pix_u, s_u, b_u, key, dtype,
+                    rr_start=rr_start, draws=pk_draws,
+                )
 
-        _, vjp_f = jax.vjp(f, wc, wr, walb, wfuzz, wior,
-                           o, d, atten, alive_f)
-        (d_wc, d_wr, d_walb, d_wfuzz, d_wior,
-         d_o, d_d, d_at, d_al) = vjp_f(
-            ((ct_o_in, ct_d_in, ct_at_in, ct_al_in), g_here)
-        )
+            _, vjp_f = jax.vjp(f, wc, wr, walb, wfuzz, wior,
+                               o, d, atten, alive_f)
+            (d_wc, d_wr, d_walb, d_wfuzz, d_wior,
+             d_o, d_d, d_at, d_al) = vjp_f(
+                ((ct_o_in, ct_d_in, ct_at_in, ct_al_in), g_here)
+            )
 
         d_rows = jnp.concatenate(
             [d_wc.x, d_wc.y, d_wc.z, d_wr,
@@ -1201,14 +1291,16 @@ def _hbm_reverse(
 
         start = (bounce_row < 0.5) & (alive_f > 0.5)
 
-        def prim(cvals):
-            return primary_from(cvals, fi_row, fj_row, pix_u, s_u)
+        if "cam_vjp" not in _ABLATE:
+            def prim(cvals):
+                return primary_from(cvals, fi_row, fj_row, pix_u, s_u)
 
-        _, vjp_p = jax.vjp(prim, cam_vals)
-        ct_o_m = vec.where(start, d_o, zero3)
-        ct_d_m = vec.where(start, d_d, zero3)
-        (d_cam_vals,) = vjp_p((ct_o_m, ct_d_m))
-        d_cam = tuple(d_cam[k] + d_cam_vals[k] for k in range(_N_CAM))
+            _, vjp_p = jax.vjp(prim, cam_vals)
+            ct_o_m = vec.where(start, d_o, zero3)
+            ct_d_m = vec.where(start, d_d, zero3)
+            (d_cam_vals,) = vjp_p((ct_o_m, ct_d_m))
+            d_cam = tuple(d_cam[k] + d_cam_vals[k]
+                          for k in range(_N_CAM))
 
         ct_o2 = vec.where(start, zero3, d_o)
         ct_d2 = vec.where(start, zero3, d_d)
@@ -1234,7 +1326,11 @@ def _vmem_wave_bindings(scene_mat, cx, cy, cz, rc, active_col, dtype):
         return _hit_winner(scene_mat, cx, cy, cz, rc, active_col, o, d)
 
     def scatter_fn(d_rows, sid_v, carry):
+        if "scatter" in _ABLATE:
+            return carry + (jnp.max(d_rows) + jnp.max(sid_v)) * 1e-30
         one_hot = (sid_v == iota_n).astype(dtype)
+        if "scatter_mm" in _ABLATE:
+            return carry + (jnp.max(one_hot) + jnp.max(d_rows)) * 1e-30
         return carry + _scatter_matmul(one_hot, d_rows)
 
     return hit_fn, scatter_fn, jnp.zeros((n, cols), dtype)
@@ -1969,7 +2065,7 @@ def mse_train_pallas(
     # bounce) per wave, so a tile can never park more) fits the HBM
     # budget, shrinking K to fit (north-star: K16 would need 26 GB; K4
     # fits and measured best anyway, 28.3 vs K1's 25.3 Mrays/s).
-    _HBM_BUDGET = 8 * 2**30
+    _HBM_BUDGET = 10 * 2**30   # 16 GB HBM chip; the 40-row park layout needs 8.2 GB at the north-star K4
     if not hbm_park and park_residuals is None:
         _rt_hbm = ray_tile
         if _rt_hbm is None:

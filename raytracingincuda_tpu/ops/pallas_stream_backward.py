@@ -494,7 +494,7 @@ def _stream_grad_program(
     n_shards = (
         int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
     )
-    _HBM_BUDGET = 8 * 2**30
+    _HBM_BUDGET = 10 * 2**30   # 16 GB HBM chip; the 40-row park layout needs 8.2 GB at the north-star K4
     if pixels_per_lane is None:
         if sweep == "wave":
             # K=32 is the stream knee (matching the forward kernel's),
