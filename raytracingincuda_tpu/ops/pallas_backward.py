@@ -1700,6 +1700,31 @@ def _scatter_matmul(one_hot: jnp.ndarray, d_rows: jnp.ndarray):
     return out[:, :cols] + out[:, cols:2 * cols] + out[:, 2 * cols:]
 
 
+def _scatter_matmul_t(one_hot: jnp.ndarray, d_rows: jnp.ndarray):
+    """_scatter_matmul with the output TRANSPOSED: (C, N) not (N, C).
+
+    The streaming backward accumulates into a (16, N) buffer: a (N, 16)
+    VMEM array tiles to T(8,128), padding its 16 lanes to 128 — an 8x
+    memory bloat (51 MB at 100k spheres, past the 16 MB scoped limit,
+    which silently capped the streaming backward at ~25k spheres) —
+    while (16, N) is lane-dense. Same one-side bf16x3 split and the
+    same MXU pass count (the contraction is symmetric)."""
+    cols = d_rows.shape[0]
+    f32 = jnp.float32
+    bmax = jnp.asarray(3.3895313892515355e38, f32)
+    hi = jnp.clip(d_rows, -bmax, bmax).astype(jnp.bfloat16).astype(f32)
+    rem = d_rows - hi
+    lo = jnp.clip(rem, -bmax, bmax).astype(jnp.bfloat16).astype(f32)
+    lo2 = rem - lo
+    stacked = jnp.concatenate([hi, lo, lo2], axis=0)       # (3C, R)
+    out = lax.dot_general(
+        stacked, one_hot,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    )                                                      # (3C, N)
+    return out[:cols] + out[cols:2 * cols] + out[2 * cols:]
+
+
 def _prepare_grad_inputs(scene, cam_cfg, rows3, img_width, img_height,
                          ray_tile, pixel_order, mesh, dtype, kpl=1,
                          wave_ids=False):
@@ -2065,12 +2090,26 @@ def mse_train_pallas(
     # bounce) per wave, so a tile can never park more) fits the HBM
     # budget, shrinking K to fit (north-star: K16 would need 26 GB; K4
     # fits and measured best anyway, 28.3 vs K1's 25.3 Mrays/s).
-    _HBM_BUDGET = 10 * 2**30   # 16 GB HBM chip; the 40-row park layout needs 8.2 GB at the north-star K4
+    _HBM_BUDGET = int(12.5 * 2**30)   # 16 GB HBM chip: a 13.1 GB park buffer measured allocatable
+                                   # (hbmpark_knobs rt1024_k16); 12.5 leaves alloc headroom
+    def _k_fit_hbm(rt: int) -> int:
+        return max(1, int(_HBM_BUDGET
+                          // (samples_per_pixel * max_depth
+                              * _ST_ROWS * rt * 4)))
+
     if not hbm_park and park_residuals is None:
         _rt_hbm = ray_tile
         if _rt_hbm is None:
+            # full-park has NO parking window, so the windowed path's
+            # depth<=28 tile rule does not apply: rt1024 wins at ANY
+            # depth once >= 2 pixels/lane fit the buffer
+            # (hbm_park.jsonl hbmpark_knobs, d50 rr2: 500spp rt1024/K3
+            # 12.49 s vs rt512/K4 13.59; 100spp rt1024/K8 2.471 s vs
+            # rt512/K16 2.748). K1 shapes (the configs[4] tiled driver)
+            # keep rt512.
             _rt_hbm = 512
-            if max_depth <= 28 and img_width * img_height >= 500_000:
+            if (img_width * img_height >= 500_000
+                    and _k_fit_hbm(1024) >= 2):
                 _rt_hbm = 1024
         _k_hbm = pixels_per_lane
         if _k_hbm is None:
@@ -2079,9 +2118,9 @@ def mse_train_pallas(
             _k_hbm = 1
             while _k_hbm < 16 and _k_hbm * 2 <= per:
                 _k_hbm *= 2
-            while (_k_hbm > 1 and _k_hbm * samples_per_pixel * max_depth
-                    * _ST_ROWS * _rt_hbm * 4 > _HBM_BUDGET):
-                _k_hbm //= 2
+            # integer fit, not doubling-shrink: the 500spp/d50 buffer
+            # admits K3 at rt1024 (12.3 GB) and K3 measures +4% over K2
+            _k_hbm = min(_k_hbm, _k_fit_hbm(_rt_hbm))
         if (_k_hbm * samples_per_pixel * max_depth * _ST_ROWS
                 * _rt_hbm * 4 <= _HBM_BUDGET):
             hbm_park = True
@@ -2139,12 +2178,9 @@ def mse_train_pallas(
                 pixels_per_lane *= 2
             if hbm_park:
                 # explicit park_residuals='hbm': shrink K so the
-                # true-bound buffer stays allocatable
-                while (pixels_per_lane > 1
-                       and pixels_per_lane * samples_per_pixel
-                       * max_depth * _ST_ROWS * ray_tile * 4
-                       > _HBM_BUDGET):
-                    pixels_per_lane //= 2
+                # true-bound buffer stays allocatable (integer fit)
+                pixels_per_lane = min(pixels_per_lane,
+                                      _k_fit_hbm(ray_tile))
         else:
             pixels_per_lane = 1
     if pixels_per_lane > 1 and (park_residuals or sweep != "wave"):
@@ -2214,7 +2250,7 @@ def mse_train_pallas(
                 acc_spec((n_spheres, NUM_COLS)),
                 pl.BlockSpec((1, _CAM_COLS), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
-            ) + ((pl.BlockSpec(memory_space=pl.ANY),)
+            ) + ((pl.BlockSpec(memory_space=pltpu.HBM),)
                  if hbm_park else ()),
             out_shape=(
                 jax.ShapeDtypeStruct((1, 1), dtype),
@@ -2310,10 +2346,9 @@ def mse_train_pallas(
     return loss[0, 0], img, d_sm, d_cr
 
 
-def mse_train_pallas_tiled(
+def make_tiled_train(
     scene: Scene,
     cam_cfg: CameraConfig,
-    target: jnp.ndarray,
     img_width: int,
     img_height: int,
     samples_per_pixel: int,
@@ -2330,15 +2365,23 @@ def mse_train_pallas_tiled(
     dtype=jnp.float32,
     interpret=None,
 ):
-    """Fused MSE train step split into ``n_chunks`` tile-range
-    dispatches (each its own jitted program, so every dispatch stays
-    under the ~100 s TPU-worker ceiling — the configs[4]-shape escape
-    hatch). Exact: per-chunk losses/cotangents are partial sums with
-    GLOBAL normalizations, so summing chunk outputs reproduces the
-    single-dispatch result; the image is reassembled from raw lane
-    rows. ``ray_tile``/``pixels_per_lane`` are explicit (the chunk
-    split needs the tile count up front). Returns
-    (loss, image (H, W, 3), d_scene_matrix, d_camera_row)."""
+    """Build the tile-chunked fused train step ONCE; returns
+    ``step(target) -> (loss, image, d_scene_matrix, d_camera_row)``.
+
+    The step is ``n_chunks`` static tile-range dispatches (each its own
+    jitted program, so every dispatch stays under the ~100 s TPU-worker
+    ceiling — the configs[4]-shape escape hatch). Exact: per-chunk
+    losses/cotangents are partial sums with GLOBAL normalizations, so
+    summing chunk outputs reproduces the single-dispatch result; the
+    image is reassembled from raw lane rows. ``ray_tile``/
+    ``pixels_per_lane`` are explicit (the chunk split needs the tile
+    count up front).
+
+    Use THIS (not mse_train_pallas_tiled) in a loop: the one-shot
+    wrapper re-traces its n_chunks programs every call — measured
+    ~150 s of host tracing per step at the configs[4] shape
+    (baseline_configs.jsonl tiled12_k1 306.9 s vs 158.9 with built
+    programs reused)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     num_pixels = img_width * img_height
@@ -2348,17 +2391,12 @@ def mse_train_pallas_tiled(
         (n_tiles * c // n_chunks, n_tiles * (c + 1) // n_chunks)
         for c in range(n_chunks)
     ]
-    loss = None
-    rows = []
-    d_sm = d_cr = None
-    for (t0, t1) in bounds:
-        if t1 == t0:
-            continue
-        # scene/camera CLOSED OVER, target as the only jit argument:
-        # a traced CameraConfig would re-derive the camera row with
-        # per-program FMA grouping — the known ~2e-7 cross-program
-        # channel that flips knife-edge hits (verify skill)
-        f = jax.jit(lambda t, t0=t0, t1=t1: mse_train_pallas(
+    # scene/camera CLOSED OVER, target as the only jit argument: a
+    # traced CameraConfig would re-derive the camera row with
+    # per-program FMA grouping — the known ~2e-7 cross-program channel
+    # that flips knife-edge hits (verify skill)
+    fns = [
+        jax.jit(lambda t, t0=t0, t1=t1: mse_train_pallas(
             scene, cam_cfg, t, img_width, img_height,
             samples_per_pixel, max_depth,
             seed=seed, gamma=gamma, ray_tile=ray_tile,
@@ -2368,22 +2406,52 @@ def mse_train_pallas_tiled(
             interpret=interpret,
             tile_chunk=(t0, t1 - t0),
         ))
-        lo, (im_r, im_g, im_b), dsm_c, dcr_c = f(target)
-        loss = lo if loss is None else loss + lo
-        rows.append((im_r, im_g, im_b))
-        d_sm = dsm_c if d_sm is None else d_sm + dsm_c
-        d_cr = dcr_c if d_cr is None else d_cr + dcr_c
-
+        for (t0, t1) in bounds if t1 > t0
+    ]
     ids = _order_ids(pixel_order, padded)
-    img = jnp.stack(
-        [jnp.concatenate([r[k] for r in rows], axis=0).reshape(padded)
-         for k in range(3)],
-        axis=-1,
-    )
-    if pixel_order is not None:
-        img = jnp.zeros_like(img).at[ids.astype(jnp.int32)].set(img)
-    img = img[:num_pixels].reshape(img_height, img_width, 3)
-    return loss, img, d_sm, d_cr
+
+    def step(target):
+        loss = None
+        rows = []
+        d_sm = d_cr = None
+        for f in fns:
+            lo, (im_r, im_g, im_b), dsm_c, dcr_c = f(target)
+            loss = lo if loss is None else loss + lo
+            rows.append((im_r, im_g, im_b))
+            d_sm = dsm_c if d_sm is None else d_sm + dsm_c
+            d_cr = dcr_c if d_cr is None else d_cr + dcr_c
+
+        img = jnp.stack(
+            [jnp.concatenate([r[k] for r in rows],
+                             axis=0).reshape(padded)
+             for k in range(3)],
+            axis=-1,
+        )
+        if pixel_order is not None:
+            img = jnp.zeros_like(img).at[ids.astype(jnp.int32)].set(img)
+        img = img[:num_pixels].reshape(img_height, img_width, 3)
+        return loss, img, d_sm, d_cr
+
+    return step
+
+
+def mse_train_pallas_tiled(
+    scene: Scene,
+    cam_cfg: CameraConfig,
+    target: jnp.ndarray,
+    img_width: int,
+    img_height: int,
+    samples_per_pixel: int,
+    max_depth: int,
+    **kw,
+):
+    """One-shot wrapper over make_tiled_train (see there). In a
+    training loop, build the step once with make_tiled_train — this
+    wrapper re-traces all chunk programs every call."""
+    return make_tiled_train(
+        scene, cam_cfg, img_width, img_height, samples_per_pixel,
+        max_depth, **kw,
+    )(target)
 
 
 def make_mse_train(

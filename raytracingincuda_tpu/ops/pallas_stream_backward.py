@@ -19,11 +19,16 @@ Structure per ray tile:
     the same scatter math as the forward (identical inputs => identical
     branch decisions), transposed with in-kernel jax.vjp. No DMA.
   * gradient scatter: per bounce, the winner cotangent rows (16, R) are
-    scattered into a VMEM-resident (N, 16) accumulator by a block loop:
-    one-hot(local ids == sid - base) @ d_rows^T on the MXU, skipped with
-    a cheap sid-range test per block (Morton-sorted scenes keep a tile's
-    winners in few blocks). The (N, 16) accumulator bounds N to ~200k
-    spheres (VMEM); far beyond the forward's VMEM limit (~5k).
+    scattered into a VMEM-resident accumulator by a block loop:
+    one-hot(local ids == sid - base) on the MXU (_scatter_matmul_t),
+    skipped with a cheap sid-range test per block (Morton-sorted scenes
+    keep a tile's winners in few blocks). The accumulator is stored
+    TRANSPOSED as (16, N) — lane-dense; an (N, 16) layout tiles to
+    T(8,128) and pads 16 lanes to 128, an 8x VMEM bloat that silently
+    capped N at ~25k (scoped-vmem compile OOM at 50k). Measured bound
+    now: 200k spheres compiles and runs (hbm_park.jsonl
+    stream_bwd_ceiling rows), 300k needs 18.9M > the 16M scoped limit;
+    far beyond the forward VMEM kernel's ~5k either way.
 
 Gradients come back in STREAM order; ``stream_grads_to_scene_mat`` maps
 them to Scene slot order via StreamScene.perm. Camera cotangents follow
@@ -55,6 +60,7 @@ from .pallas_backward import (
     _pack_residual,
     _regen_render_k,
     _scatter_matmul,
+    _scatter_matmul_t,
     _unpack_residual,
     _wave_grad_sweep,
     _winner_bounce,
@@ -144,7 +150,7 @@ def _stream_grad_kernel(
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
-        dscene_ref[:, :] = jnp.zeros((n_total, NUM_COLS), dtype)
+        dscene_ref[:, :] = jnp.zeros((NUM_COLS, n_total), dtype)
         for k in range(_CAM_COLS):
             dcam_ref[0, k] = 0.0
         loss_ref[0, 0] = 0.0
@@ -296,9 +302,9 @@ def _stream_grad_kernel(
                 # one-side bf16x3 split: f32-exact scatter without
                 # HIGHEST's both-side 6-pass cost (see
                 # pallas_backward._scatter_matmul)
-                d_blk = _scatter_matmul(one_hot, d_rows)  # (B, 16)
+                d_blk = _scatter_matmul_t(one_hot, d_rows)  # (16, B)
                 ds = pl.ds(pl.multiple_of(base, block), block)
-                dscene_ref[ds, :] = dscene_ref[ds, :] + d_blk
+                dscene_ref[:, ds] = dscene_ref[:, ds] + d_blk
 
             return 0
 
@@ -494,7 +500,8 @@ def _stream_grad_program(
     n_shards = (
         int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
     )
-    _HBM_BUDGET = 10 * 2**30   # 16 GB HBM chip; the 40-row park layout needs 8.2 GB at the north-star K4
+    _HBM_BUDGET = int(12.5 * 2**30)   # 16 GB HBM chip: a 13.1 GB park buffer measured allocatable
+                                   # (hbmpark_knobs rt1024_k16); 12.5 leaves alloc headroom
     if pixels_per_lane is None:
         if sweep == "wave":
             # K=32 is the stream knee (matching the forward kernel's),
@@ -613,7 +620,11 @@ def _stream_grad_program(
             in_specs=[
                 row_spec, row_spec, row_spec,
                 row_spec, row_spec, row_spec,
-                pl.BlockSpec(memory_space=pl.ANY),     # scene in HBM
+                pl.BlockSpec(memory_space=pltpu.HBM),  # scene PINNED to
+                # HBM: ANY let the backward-kernel compile place
+                # the whole scene in VMEM (~51 MB at 100k spheres
+                # -> scoped-vmem OOM; the forward's ANY happens to
+                # place in HBM, but placement is per-program)
                 pl.BlockSpec((nb_pad, 8), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, _CAM_COLS), lambda i: (0, 0),
@@ -622,15 +633,15 @@ def _stream_grad_program(
             out_specs=(
                 pl.BlockSpec((1, 1), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((n_total, NUM_COLS), lambda i: (0, 0),
+                pl.BlockSpec((NUM_COLS, n_total), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, _CAM_COLS), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
-            ) + ((pl.BlockSpec(memory_space=pl.ANY),)
+            ) + ((pl.BlockSpec(memory_space=pltpu.HBM),)
                  if hbm_park else ()),
             out_shape=(
                 jax.ShapeDtypeStruct((1, 1), dtype),
-                jax.ShapeDtypeStruct((n_total, NUM_COLS), dtype),
+                jax.ShapeDtypeStruct((NUM_COLS, n_total), dtype),
                 jax.ShapeDtypeStruct((1, _CAM_COLS), dtype),
             ) + ((jax.ShapeDtypeStruct(
                 (hbm_waves * _ST_ROWS, ray_tile), dtype),)
@@ -696,10 +707,14 @@ def _stream_grad_program(
             + ((P(axes),) if hbm_park else ()),
             check_vma=False,
         )
-        return sharded(ids2, ii2, jj2, gr, gg, gb, stream.scene_mat,
-                       stream.bounds, cam_row)[:3]
-    return run(ids2, ii2, jj2, gr, gg, gb, stream.scene_mat,
-               stream.bounds, cam_row)[:3]
+        loss, d_t, d_cam = sharded(
+            ids2, ii2, jj2, gr, gg, gb, stream.scene_mat,
+            stream.bounds, cam_row)[:3]
+        return loss, d_t.T, d_cam
+    loss, d_t, d_cam = run(ids2, ii2, jj2, gr, gg, gb, stream.scene_mat,
+                           stream.bounds, cam_row)[:3]
+    # kernel accumulates (16, N) — lane-dense; public contract is (N, 16)
+    return loss, d_t.T, d_cam
 
 
 def render_pallas_stream_grads(
