@@ -91,7 +91,8 @@ from .pallas_kernel import (
     pack_camera,
     pack_scene_matrix,
 )
-from .tracer import _sky_color, primary_rays_from_ij
+from .tracer import (_sky_color, primary_ray_draws,
+                     primary_rays_from_ij)
 from .vec import Vec3
 
 # per-bounce residual rows in the VMEM state scratch (padded to 32
@@ -132,8 +133,18 @@ _R_URY = 32
 _R_URZ = 33
 _R_COIN = 34
 _R_URR = 35
-_ST_ROWS = 40     # 36 used; 8-aligned so wave-slot DMA offsets stay
-                  # sublane-tile-aligned
+# parked PRIMARY-ray draws (full-park layout only): pixel jitter +
+# defocus disk, functions of (pixel, sample) — so a row parked at ANY
+# bounce carries its path's primary draws, and the reverse's camera
+# vjp skips the Threefry + disk-map recompute (~half its ops). The
+# render already computes them every wave (round-start regen), so
+# parking them is free compute.
+_R_CU0 = 36
+_R_CU1 = 37
+_R_CPX = 38
+_R_CPY = 39
+_ST_ROWS = 40     # all 40 used in the full-park layout; 8-aligned so
+                  # wave-slot DMA offsets stay sublane-tile-aligned
 _CAM_COLS = 24
 _N_CAM = 18   # differentiable camera scalars (pack_camera rows 0..17)
 
@@ -552,7 +563,7 @@ def _grad_tile_kernel(
 def _wave_pack_residual(o, d, atten, alive_f, hit_f, wc, wr, walb, wfuzz,
                         wior, wmat, sid, dies_f, sample_f, bounce_f,
                         pix_f=None, fi_r=None, fj_r=None, g_r=None,
-                        draws=None):
+                        draws=None, cam_draws=None):
     zero = jnp.zeros_like(alive_f)
     rows = [o.x, o.y, o.z, d.x, d.y, d.z, atten.x, atten.y, atten.z,
             alive_f, hit_f, wc.x, wc.y, wc.z, wr,
@@ -566,6 +577,8 @@ def _wave_pack_residual(o, d, atten, alive_f, hit_f, wc, wr, walb, wfuzz,
     if draws is not None:
         unit_rand, coin_u, u_rr = draws
         rows += [unit_rand.x, unit_rand.y, unit_rand.z, coin_u, u_rr]
+    if cam_draws is not None:
+        rows += [jnp.broadcast_to(r, alive_f.shape) for r in cam_draws]
     rows += [zero] * (_ST_ROWS - len(rows))
     return jnp.concatenate(rows, axis=0)                      # (40, R)
 
@@ -985,9 +998,14 @@ def _regen_render_k(
          alive_f, acc3) = c
         has_work = (k_f < kf_done) & (sample_f < budget_f)
         regen = (alive_f < 0.5) & has_work
+        # primary draws for the CURRENT (pixel, sample) ids — used by
+        # the regen ray AND parked (they are what the row's own path
+        # start drew, whatever this row's bounce is)
+        pdraws = primary_ray_draws(to_u32(pix_f), to_u32(sample_f),
+                                   key, dtype)
         o_n, d_n = primary_rays_from_ij(
             cam, fi_r, fj_r, to_u32(pix_f), to_u32(sample_f), key,
-            dtype,
+            dtype, draws=pdraws,
         )
         o = vec.where(regen, o_n, o)
         d = vec.where(regen, d_n, d)
@@ -1022,7 +1040,7 @@ def _regen_render_k(
                 wc, wr, walb, wfuzz, wior, wmat, sid,
                 dies_f, sample_f, bounce_f,
                 pix_f, fi_r, fj_r, Vec3(k_f, zero_row, zero_row),
-                draws=draws,
+                draws=draws, cam_draws=pdraws,
             ))
 
         sample_next = sample_f + jnp.where(dies, one_row, zero_row)
@@ -1210,10 +1228,10 @@ def _hbm_reverse(
                                   blk_v[k:k + 1, :], zero_row)
         return out
 
-    def primary_from(cvals, fi_r, fj_r, pix_u, s_u):
+    def primary_from(cvals, fi_r, fj_r, pix_u, s_u, draws=None):
         cam = _camera_from_scalars(cvals, use_defocus)
         return primary_rays_from_ij(cam, fi_r, fj_r, pix_u, s_u, key,
-                                    dtype)
+                                    dtype, draws=draws)
 
     @pl.when(w_end >= 1)
     def _():
@@ -1248,6 +1266,7 @@ def _hbm_reverse(
         # parked detached draws: skip the Threefry replay entirely
         pk_draws = (Vec3(r1(_R_URX), r1(_R_URY), r1(_R_URZ)),
                     r1(_R_COIN), r1(_R_URR))
+        pk_cam = (r1(_R_CU0), r1(_R_CU1), r1(_R_CPX), r1(_R_CPY))
 
         ended = dies_f > 0.5
         ct_o_in = vec.where(ended, zero3, ct_o)
@@ -1293,7 +1312,8 @@ def _hbm_reverse(
 
         if "cam_vjp" not in _ABLATE:
             def prim(cvals):
-                return primary_from(cvals, fi_row, fj_row, pix_u, s_u)
+                return primary_from(cvals, fi_row, fj_row, pix_u, s_u,
+                                    draws=pk_cam)
 
             _, vjp_p = jax.vjp(prim, cam_vals)
             ct_o_m = vec.where(start, d_o, zero3)

@@ -67,6 +67,19 @@ def make_primary_rays(
     return primary_rays_from_ij(cam, i, j, pixel_ids, sample_idx, key, dtype)
 
 
+def primary_ray_draws(pixel_ids, sample_idx, key, dtype=jnp.float32):
+    """The primary ray's detached RNG draws (pixel jitter u0/u1 +
+    defocus-disk px/py), functions of (pixel, sample) only — bitwise
+    the draws primary_rays_from_ij historically made inline, in the
+    same order. Hoisted so the full-park render can PARK them (rows
+    _R_CU0.._R_CPY) and the reverse's camera vjp can skip the Threefry
+    + disk-mapping recompute (~half its op count)."""
+    u0, u1 = rtrng.uniform2(key, pixel_ids, sample_idx, 0,
+                            rtrng.DRAW_JITTER, dtype)
+    px, py = rtrng.random_in_unit_disk(key, pixel_ids, sample_idx, dtype)
+    return u0, u1, px, py
+
+
 def primary_rays_from_ij(
     cam: Camera,
     i: jnp.ndarray,           # pixel column, float
@@ -75,13 +88,17 @@ def primary_rays_from_ij(
     sample_idx: jnp.ndarray,  # scalar uint32
     key,
     dtype=jnp.float32,
+    draws=None,
 ):
     """Ray construction from precomputed pixel coordinates.
 
     Split out so the Pallas kernel (which precomputes i/j on the host to
     avoid vector integer div/mod) shares this exact math with the oracle.
+    ``draws``: optional precomputed primary_ray_draws (detached).
     """
-    u0, u1 = rtrng.uniform2(key, pixel_ids, sample_idx, 0, rtrng.DRAW_JITTER, dtype)
+    if draws is None:
+        draws = primary_ray_draws(pixel_ids, sample_idx, key, dtype)
+    u0, u1, px, py = draws
     off_x = u0 - 0.5
     off_y = u1 - 0.5
 
@@ -90,8 +107,6 @@ def primary_rays_from_ij(
         + cam.pixel_delta_u * (i + off_x)
         + cam.pixel_delta_v * (j + off_y)
     )
-
-    px, py = rtrng.random_in_unit_disk(key, pixel_ids, sample_idx, dtype)
     defocus_origin = cam.center + cam.defocus_disk_u * px + cam.defocus_disk_v * py
     center = Vec3(
         jnp.broadcast_to(cam.center.x, pixel_ids.shape),
