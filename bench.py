@@ -124,6 +124,47 @@ def measure_stage() -> None:
     print(f"camera-rays throughput (rr2): {mrays:.1f} Mrays/s",
           file=sys.stderr)
 
+    # fused train step at the same headline config (render + MSE loss +
+    # all scene/camera gradients in ONE dispatch — the framework's
+    # training headline; no reference counterpart). Best-effort: a
+    # failure here must not cost the forward headline.
+    fused_ms = None
+    try:
+        import jax.numpy as jnp
+
+        from raytracingincuda_tpu.models.scene import Scene
+        from raytracingincuda_tpu.ops.pallas_backward import (
+            mse_train_pallas,
+        )
+        from raytracingincuda_tpu.ops.pallas_kernel import (
+            difficulty_order, measure_difficulty,
+        )
+
+        pre = jax.jit(lambda s, c: measure_difficulty(
+            s, c, WIDTH, HEIGHT, probe_depth=8, probe_samples=6))
+        order = jax.jit(lambda sg: difficulty_order(sg, 8, 6))(
+            pre(scene, cam))
+        order.block_until_ready()
+        target = jax.random.uniform(
+            jax.random.PRNGKey(0), (HEIGHT, WIDTH, 3), jnp.float32)
+        step = jax.jit(lambda p, c, t: mse_train_pallas(
+            Scene(p, scene.mat_type, scene.active), c, t, WIDTH,
+            HEIGHT, SAMPLES, BOUNCES, pixel_order=order, rr_start=2))
+        t0 = time.perf_counter()
+        force(step(scene.params, cam, target))
+        c2 = time.perf_counter() - t0
+        ft = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            force(step(scene.params, cam, target))
+            ft.append((time.perf_counter() - t0) * 1e3)
+        fused_ms = min(ft)
+        print(f"fused train step (rr2): {fused_ms:.1f} ms "
+              f"(compile {c2:.0f}s) [{fused_ms / rr_ms:.2f}x the "
+              f"forward render]", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 — forward headline must survive
+        print(f"fused train step: skipped ({e!r:.200})", file=sys.stderr)
+
     print(json.dumps({
         "metric": METRIC,
         "value": round(rr_ms, 2),
@@ -131,6 +172,8 @@ def measure_stage() -> None:
         "vs_baseline": round(BASELINE_RENDER_MS / rr_ms, 3),
         "parity_ms": round(parity_ms, 2),
         "parity_vs_baseline": round(BASELINE_RENDER_MS / parity_ms, 3),
+        **({"fused_train_step_ms": round(fused_ms, 2)}
+           if fused_ms is not None else {}),
         **calib,
     }))
 
