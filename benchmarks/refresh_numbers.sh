@@ -30,3 +30,11 @@ run python benchmarks/baseline_configs_probe.py
 run python benchmarks/bwd_d50_probe.py
 run python benchmarks/fused_headline_probe.py
 run python benchmarks/roofline.py
+# round 4 session 2: reverse-phase work + stream ceiling + knob ladders
+run python benchmarks/bwd_rev_ablate_probe.py --cases grads_base grads_rev fused_base fused_rev
+run python benchmarks/hbmpark_knobs_probe.py --spp 500 --cases park_auto park_rt1024_k3
+run python benchmarks/hbmpark_knobs_probe.py --width 1280 --height 768 --depth 25 --spp 100 --cases park_auto
+run python benchmarks/stream_hbm_refresh.py
+run python benchmarks/configs4_tiled_probe.py --cases k3
+run python benchmarks/scan_slots_probe.py
+run python benchmarks/rowshape_probe.py
