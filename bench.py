@@ -57,7 +57,8 @@ def _env_int(name: str, default: int) -> int:
 PROBE_TIMEOUT_S = _env_int("BENCH_PROBE_TIMEOUT_S", 120)  # tiny jit; a
 PROBE_ATTEMPTS = _env_int("BENCH_PROBE_ATTEMPTS", 6)      # wedge hangs RPCs
 PROBE_SLEEP_S = _env_int("BENCH_PROBE_SLEEP_S", 10)
-WORKER_TIMEOUT_S = _env_int("BENCH_WORKER_TIMEOUT_S", 1500)  # compiles: 2-700s
+WORKER_TIMEOUT_S = _env_int("BENCH_WORKER_TIMEOUT_S", 2200)  # compiles: 2-700s;
+                                                            # 3 programs now (parity, rr2, fused)
 WORKER_ATTEMPTS = _env_int("BENCH_WORKER_ATTEMPTS", 2)
 
 
