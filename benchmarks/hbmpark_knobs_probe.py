@@ -6,7 +6,7 @@ waves. The full-park path has no window — the reverse streams from
 HBM — and rowshape.jsonl measures (1,1024) rows at ~1.4x the issue
 density of (1,512). Larger tiles also halve the per-wave fixed cost.
 The HBM buffer bound K*spp*depth*40rows*rt*4B keeps K*rt <= ~4096 at
-500spp/d50 under the 10 GB budget, so the ladder trades K for rt at
+500spp/d50 under the 12.5 GiB budget, so the ladder trades K for rt at
 constant K*rt.
 
 Usage: python benchmarks/hbmpark_knobs_probe.py [--spp 100]

@@ -145,6 +145,12 @@ _R_CPX = 38
 _R_CPY = 39
 _ST_ROWS = 40     # all 40 used in the full-park layout; 8-aligned so
                   # wave-slot DMA offsets stay sublane-tile-aligned
+# the per-SAMPLE sweep's residual layout stops at row 21 (no dies/
+# sample/bounce rows — the sample loop tracks the bounce index
+# directly, and no draws are parked there): pad to the next sublane
+# tile instead of charging the legacy path the full 40-row wave layout
+# (which shifted park_all budgets and wasted 45% of its VMEM scratch)
+_ST_ROWS_SAMPLE = 24
 _CAM_COLS = 24
 _N_CAM = 18   # differentiable camera scalars (pack_camera rows 0..17)
 
@@ -350,8 +356,8 @@ def _pack_residual(o, d, atten, alive_f, hit_f, wc, wr, walb, wfuzz,
     rows = [o.x, o.y, o.z, d.x, d.y, d.z, atten.x, atten.y, atten.z,
             alive_f, hit_f, wc.x, wc.y, wc.z, wr,
             walb.x, walb.y, walb.z, wfuzz, wior, wmat, sid]
-    rows += [jnp.zeros_like(alive_f)] * (_ST_ROWS - len(rows))
-    return jnp.concatenate(rows, axis=0)                      # (32, R)
+    rows += [jnp.zeros_like(alive_f)] * (_ST_ROWS_SAMPLE - len(rows))
+    return jnp.concatenate(rows, axis=0)                      # (24, R)
 
 
 def _unpack_residual(blk):
@@ -389,8 +395,9 @@ def _reverse_sweep(st_ref, blk0, b_exit, g, pixel_ids, s_u, key, dtype,
     def rev_body(i, carry):
         d_scene, ct_o, ct_d, ct_at, ct_al = carry
         b = b_exit - 1 - i
-        blk = st_ref[pl.ds(pl.multiple_of((blk0 + b) * _ST_ROWS,
-                                          _ST_ROWS), _ST_ROWS), :]
+        blk = st_ref[pl.ds(pl.multiple_of((blk0 + b) * _ST_ROWS_SAMPLE,
+                                          _ST_ROWS_SAMPLE),
+                           _ST_ROWS_SAMPLE), :]
         (o, d, atten, alive_f, hit_f, wc, wr, walb, wfuzz, wior,
          wmat, sid) = _unpack_residual(blk)
         hit = hit_f > 0.5
@@ -484,8 +491,9 @@ def _tile_grad_sweep(scene_mat, cx, cy, cz, rc, active_col, cam_vals,
             hit, wc, wr, walb, wfuzz, wior, wmat, sid = _hit_winner(
                 scene_mat, cx, cy, cz, rc, active_col, o, d
             )
-            st_ref[pl.ds(pl.multiple_of(b * _ST_ROWS, _ST_ROWS),
-                         _ST_ROWS), :] = _pack_residual(
+            st_ref[pl.ds(pl.multiple_of(b * _ST_ROWS_SAMPLE,
+                                        _ST_ROWS_SAMPLE),
+                         _ST_ROWS_SAMPLE), :] = _pack_residual(
                 o, d, atten, alive_f, hit.astype(dtype),
                 wc, wr, walb, wfuzz, wior, wmat, sid,
             )
@@ -1475,8 +1483,9 @@ def _fused_tile_kernel(
             )
             if park_all:
                 st_ref[pl.ds(pl.multiple_of(
-                    (s_i * max_depth + b) * _ST_ROWS, _ST_ROWS),
-                    _ST_ROWS), :] = _pack_residual(
+                    (s_i * max_depth + b) * _ST_ROWS_SAMPLE,
+                    _ST_ROWS_SAMPLE),
+                    _ST_ROWS_SAMPLE), :] = _pack_residual(
                     o, d, atten, alive_f, hit.astype(dtype),
                     wc, wr, walb, wfuzz, wior, wmat, sid,
                 )
@@ -1701,23 +1710,28 @@ def _scatter_matmul(one_hot: jnp.ndarray, d_rows: jnp.ndarray):
     Measured: HIGHEST cost the d8 backward +21%; this costs ~half that.
     """
     cols = d_rows.shape[0]
+    out = lax.dot_general(
+        one_hot, _bf16x3_split(d_rows),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                      # (N, 3C)
+    return out[:, :cols] + out[:, cols:2 * cols] + out[:, 2 * cols:]
+
+
+def _bf16x3_split(d_rows: jnp.ndarray) -> jnp.ndarray:
+    """One-side bf16 hi/lo/lo2 limbs stacked on sublanes (3C, R) — the
+    shared split behind both scatter matmuls. Clamp the hi term to
+    max-finite bf16: an f32 value above it would round to inf and
+    poison rem with NaN (NaN hygiene); the clipped difference lands in
+    lo exactly. Subnormal rems flush to zero on TPU — absolute error
+    <= ~1.2e-38, fine for cotangents."""
     f32 = jnp.float32
-    # clamp the hi term to max-finite bf16: an f32 value above it would
-    # round to inf and poison rem with NaN (NaN hygiene); the clipped
-    # difference lands in lo exactly. Subnormal rems flush to zero on
-    # TPU — absolute error <= ~1.2e-38, fine for cotangents.
     bmax = jnp.asarray(3.3895313892515355e38, f32)
     hi = jnp.clip(d_rows, -bmax, bmax).astype(jnp.bfloat16).astype(f32)
     rem = d_rows - hi
     lo = jnp.clip(rem, -bmax, bmax).astype(jnp.bfloat16).astype(f32)
     lo2 = rem - lo
-    stacked = jnp.concatenate([hi, lo, lo2], axis=0)       # (3C, R)
-    out = lax.dot_general(
-        one_hot, stacked,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=f32,
-    )                                                      # (N, 3C)
-    return out[:, :cols] + out[:, cols:2 * cols] + out[:, 2 * cols:]
+    return jnp.concatenate([hi, lo, lo2], axis=0)          # (3C, R)
 
 
 def _scatter_matmul_t(one_hot: jnp.ndarray, d_rows: jnp.ndarray):
@@ -1730,17 +1744,10 @@ def _scatter_matmul_t(one_hot: jnp.ndarray, d_rows: jnp.ndarray):
     while (16, N) is lane-dense. Same one-side bf16x3 split and the
     same MXU pass count (the contraction is symmetric)."""
     cols = d_rows.shape[0]
-    f32 = jnp.float32
-    bmax = jnp.asarray(3.3895313892515355e38, f32)
-    hi = jnp.clip(d_rows, -bmax, bmax).astype(jnp.bfloat16).astype(f32)
-    rem = d_rows - hi
-    lo = jnp.clip(rem, -bmax, bmax).astype(jnp.bfloat16).astype(f32)
-    lo2 = rem - lo
-    stacked = jnp.concatenate([hi, lo, lo2], axis=0)       # (3C, R)
     out = lax.dot_general(
-        stacked, one_hot,
+        _bf16x3_split(d_rows), one_hot,
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=f32,
+        preferred_element_type=jnp.float32,
     )                                                      # (3C, N)
     return out[:cols] + out[cols:2 * cols] + out[2 * cols:]
 
@@ -1941,7 +1948,9 @@ def render_pallas_grads(
                 jax.ShapeDtypeStruct((1, _CAM_COLS), dtype),
             ),
             scratch_shapes=[
-                pltpu.VMEM((scratch_waves * _ST_ROWS, ray_tile), dtype),
+                pltpu.VMEM((scratch_waves
+                            * (_ST_ROWS if sweep == "wave"
+                               else _ST_ROWS_SAMPLE), ray_tile), dtype),
             ],
             cost_estimate=pl.CostEstimate(
                 flops=int(
@@ -2073,7 +2082,8 @@ def mse_train_pallas(
     def _park_fits(rt: int, budget: int) -> bool:
         if hbm_park:
             return False
-        park_bytes = samples_per_pixel * max_depth * _ST_ROWS * rt * 4
+        park_bytes = (samples_per_pixel * max_depth
+                      * _ST_ROWS_SAMPLE * rt * 4)
         scan_bytes = scene.num_slots * rt * 4 * 8  # ~8 (N,R) temps
         return park_bytes + scan_bytes <= budget
 
@@ -2128,8 +2138,9 @@ def mse_train_pallas(
             # rt512/K16 2.748). K1 shapes (the configs[4] tiled driver)
             # keep rt512.
             _rt_hbm = 512
-            if (img_width * img_height >= 500_000
-                    and _k_fit_hbm(1024) >= 2):
+            _k_cap = (pixels_per_lane if pixels_per_lane is not None
+                      else _k_fit_hbm(1024))
+            if img_width * img_height >= 500_000 and _k_cap >= 2:
                 _rt_hbm = 1024
         _k_hbm = pixels_per_lane
         if _k_hbm is None:
@@ -2173,7 +2184,7 @@ def mse_train_pallas(
     elif park_residuals and not _park_fits(ray_tile, 14 * 2**20):
         raise ValueError(
             f"park_residuals=True needs a ({samples_per_pixel}*"
-            f"{max_depth}*{_ST_ROWS}, {ray_tile}) f32 VMEM scratch plus "
+            f"{max_depth}*{_ST_ROWS_SAMPLE}, {ray_tile}) f32 VMEM scratch plus "
             f"the (N, R) scan working set — exceeds the 16 MB scoped-VMEM "
             f"budget; lower ray_tile/samples/depth or leave it on auto"
         )
@@ -2291,15 +2302,16 @@ def mse_train_pallas(
                 if hbm_park
                 else [
                     pltpu.VMEM(
-                        (samples_per_pixel * max_depth * _ST_ROWS,
+                        (samples_per_pixel * max_depth * _ST_ROWS_SAMPLE,
                          ray_tile), dtype,
                     ),
                     pltpu.SMEM((samples_per_pixel,), jnp.int32),
                 ]
                 if park_residuals
                 else [pltpu.VMEM(
-                    ((window + max_depth if sweep == "wave" else max_depth)
-                     * _ST_ROWS, ray_tile), dtype,
+                    ((window + max_depth) * _ST_ROWS
+                     if sweep == "wave"
+                     else max_depth * _ST_ROWS_SAMPLE, ray_tile), dtype,
                 )] + (
                     [pltpu.VMEM((3 * pixels_per_lane, ray_tile), dtype)]
                     if pixels_per_lane > 1 else []

@@ -54,6 +54,7 @@ from .pallas_backward import (
     _CAM_COLS,
     _N_CAM,
     _ST_ROWS,
+    _ST_ROWS_SAMPLE,
     _camera_from_scalars,
     _hbm_park_render,
     _hbm_reverse,
@@ -147,10 +148,14 @@ def _stream_grad_kernel(
     cam_vals = tuple(cam_ref[0, k] for k in range(_N_CAM))
     use_defocus = cam_ref[0, 18] > 0.5
     n_total = n_blocks * block
+    # lane-dense accumulator padded to 128 so scatter windows stay
+    # lane-tile-aligned even for block < 128 (the transposed layout
+    # slices LANES; a 64-wide store at offset 64 is not Mosaic-legal)
+    n_pad = _round_up(n_total, 128)
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
-        dscene_ref[:, :] = jnp.zeros((NUM_COLS, n_total), dtype)
+        dscene_ref[:, :] = jnp.zeros((NUM_COLS, n_pad), dtype)
         for k in range(_CAM_COLS):
             dcam_ref[0, k] = 0.0
         loss_ref[0, 0] = 0.0
@@ -278,37 +283,44 @@ def _stream_grad_kernel(
     else:
         g = Vec3(gr_ref[0, :, :], gg_ref[0, :, :], gb_ref[0, :, :])
 
+    # scatter windows: at least one 128-lane tile wide so the dynamic
+    # lane-dim store offsets stay tile-aligned (block < 128 coarsens
+    # the skip granularity to 2+ blocks per window; padding columns
+    # collect nothing — sids are < n_total)
+    wblock = max(block, 128)
+    n_win = n_pad // wblock
+
     def _scatter_rows(d_rows, sid_v):
-        """Block-looped MXU scatter of (16, R) cotangent rows into the
-        VMEM-resident (N, 16) accumulator, skipping blocks with no
+        """Window-looped MXU scatter of (16, R) cotangent rows into the
+        lane-dense (16, N) accumulator, skipping windows with no
         winner (Morton-sorted scenes keep a tile's winners in few
         blocks)."""
 
-        def scatter_block(blk_i, _):
-            base = blk_i * block
+        def scatter_win(win_i, _):
+            base = win_i * wblock
             base_f = base.astype(dtype)
-            in_blk = (sid_v >= base_f) & (sid_v < base_f + block)
+            in_win = (sid_v >= base_f) & (sid_v < base_f + wblock)
 
-            @pl.when(jnp.max(in_blk.astype(dtype)) > 0.0)
+            @pl.when(jnp.max(in_win.astype(dtype)) > 0.0)
             def _():
                 # iota must be integer-typed on real Mosaic (f32 iota
                 # fails MLIR verification); cast after
                 local = jax.lax.broadcasted_iota(
-                    jnp.int32, (block, 1), 0
-                ).astype(dtype)                        # (B, 1)
+                    jnp.int32, (wblock, 1), 0
+                ).astype(dtype)                        # (W, 1)
                 one_hot = (
                     (sid_v - base_f) == local
-                ).astype(dtype)                        # (B, R)
+                ).astype(dtype)                        # (W, R)
                 # one-side bf16x3 split: f32-exact scatter without
                 # HIGHEST's both-side 6-pass cost (see
                 # pallas_backward._scatter_matmul)
-                d_blk = _scatter_matmul_t(one_hot, d_rows)  # (16, B)
-                ds = pl.ds(pl.multiple_of(base, block), block)
+                d_blk = _scatter_matmul_t(one_hot, d_rows)  # (16, W)
+                ds = pl.ds(pl.multiple_of(base, wblock), wblock)
                 dscene_ref[:, ds] = dscene_ref[:, ds] + d_blk
 
             return 0
 
-        lax.fori_loop(0, n_blocks, scatter_block, 0)
+        lax.fori_loop(0, n_win, scatter_win, 0)
 
     def one_sample(s_i, d_cam_acc):
         s_u = s_i.astype(jnp.uint32)
@@ -341,8 +353,9 @@ def _stream_grad_kernel(
                 )
             )
             hit_f = hit.astype(dtype)
-            st_ref[pl.ds(pl.multiple_of(b * _ST_ROWS, _ST_ROWS),
-                         _ST_ROWS), :] = _pack_residual(
+            st_ref[pl.ds(pl.multiple_of(b * _ST_ROWS_SAMPLE,
+                                        _ST_ROWS_SAMPLE),
+                         _ST_ROWS_SAMPLE), :] = _pack_residual(
                 o, d, atten, alive_f, hit_f, wc, wr, walb, wfuzz,
                 wior, wmat, sid,
             )
@@ -362,8 +375,9 @@ def _stream_grad_kernel(
         def rev_body(i, carry):
             ct_o, ct_d, ct_at, ct_al = carry
             b = b_exit - 1 - i
-            blk = st_ref[pl.ds(pl.multiple_of(b * _ST_ROWS, _ST_ROWS),
-                               _ST_ROWS), :]
+            blk = st_ref[pl.ds(pl.multiple_of(b * _ST_ROWS_SAMPLE,
+                                              _ST_ROWS_SAMPLE),
+                               _ST_ROWS_SAMPLE), :]
             (o, d, atten, alive_f, hit_f, wc, wr, walb, wfuzz, wior,
              wmat, sid) = _unpack_residual(blk)
             hit = hit_f > 0.5
@@ -517,12 +531,11 @@ def _stream_grad_program(
     if mse and park is None:
         # full-park auto (round 4, mirrors mse_train_pallas): shrink K
         # until the true-bound buffer fits, else fall back to re-trace
-        _k = pixels_per_lane
-        while (_k > 1 and _k * samples_per_pixel * max_depth * _ST_ROWS
-                * ray_tile * 4 > _HBM_BUDGET):
-            _k //= 2
-        if (_k * samples_per_pixel * max_depth * _ST_ROWS * ray_tile * 4
-                <= _HBM_BUDGET):
+        # integer K fit, mirroring mse_train_pallas's auto (K3-style
+        # non-doubling fits are production there)
+        _bytes_per_k = samples_per_pixel * max_depth * _ST_ROWS * ray_tile * 4
+        _k = min(pixels_per_lane, max(1, int(_HBM_BUDGET // _bytes_per_k)))
+        if _k * _bytes_per_k <= _HBM_BUDGET:
             park = "hbm"
             pixels_per_lane = _k
     hbm_park = park == "hbm"
@@ -570,6 +583,7 @@ def _stream_grad_program(
     block = stream.block
     n_blocks = stream.n_blocks
     n_total = n_blocks * block
+    n_total_pad = _round_up(n_total, 128)   # scatter-window lane alignment
     nb_pad = stream.bounds.shape[0]
     if stream.scene_mat.shape[1] != STREAM_COLS:
         raise ValueError(
@@ -633,7 +647,8 @@ def _stream_grad_program(
             out_specs=(
                 pl.BlockSpec((1, 1), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((NUM_COLS, n_total), lambda i: (0, 0),
+                pl.BlockSpec((NUM_COLS, n_total_pad),
+                             lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, _CAM_COLS), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
@@ -641,7 +656,8 @@ def _stream_grad_program(
                  if hbm_park else ()),
             out_shape=(
                 jax.ShapeDtypeStruct((1, 1), dtype),
-                jax.ShapeDtypeStruct((NUM_COLS, n_total), dtype),
+                jax.ShapeDtypeStruct((NUM_COLS, n_total_pad),
+                                     dtype),
                 jax.ShapeDtypeStruct((1, _CAM_COLS), dtype),
             ) + ((jax.ShapeDtypeStruct(
                 (hbm_waves * _ST_ROWS, ray_tile), dtype),)
@@ -666,7 +682,9 @@ def _stream_grad_program(
                     ]
                     if hbm_park
                     else [pltpu.VMEM(
-                        (scratch_waves * _ST_ROWS, ray_tile), dtype)]
+                        (scratch_waves
+                         * (_ST_ROWS if sweep == "wave"
+                            else _ST_ROWS_SAMPLE), ray_tile), dtype)]
                     + (
                         [pltpu.VMEM((3 * kpl, ray_tile), dtype)]
                         if (mse and kpl > 1) else []
@@ -710,11 +728,12 @@ def _stream_grad_program(
         loss, d_t, d_cam = sharded(
             ids2, ii2, jj2, gr, gg, gb, stream.scene_mat,
             stream.bounds, cam_row)[:3]
-        return loss, d_t.T, d_cam
+        return loss, d_t[:, :n_total].T, d_cam
     loss, d_t, d_cam = run(ids2, ii2, jj2, gr, gg, gb, stream.scene_mat,
                            stream.bounds, cam_row)[:3]
-    # kernel accumulates (16, N) — lane-dense; public contract is (N, 16)
-    return loss, d_t.T, d_cam
+    # kernel accumulates (16, N_pad) — lane-dense; public contract is
+    # (N, 16)
+    return loss, d_t[:, :n_total].T, d_cam
 
 
 def render_pallas_stream_grads(
