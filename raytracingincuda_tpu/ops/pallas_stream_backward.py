@@ -148,10 +148,14 @@ def _stream_grad_kernel(
     cam_vals = tuple(cam_ref[0, k] for k in range(_N_CAM))
     use_defocus = cam_ref[0, 18] > 0.5
     n_total = n_blocks * block
-    # lane-dense accumulator padded to 128 so scatter windows stay
-    # lane-tile-aligned even for block < 128 (the transposed layout
-    # slices LANES; a 64-wide store at offset 64 is not Mosaic-legal)
-    n_pad = _round_up(n_total, 128)
+    # lane-dense accumulator padded so scatter windows stay
+    # lane-tile-aligned for ANY block size (the transposed layout
+    # slices LANES; widths/offsets must be 128-multiples — block=64
+    # stores at offset 64, or a 488-wide one-block resident scene,
+    # are not Mosaic-legal)
+    wblock = block if block % 128 == 0 else _round_up(max(block, 128),
+                                                      128)
+    n_pad = _round_up(n_total, wblock)
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -283,11 +287,10 @@ def _stream_grad_kernel(
     else:
         g = Vec3(gr_ref[0, :, :], gg_ref[0, :, :], gb_ref[0, :, :])
 
-    # scatter windows: at least one 128-lane tile wide so the dynamic
-    # lane-dim store offsets stay tile-aligned (block < 128 coarsens
-    # the skip granularity to 2+ blocks per window; padding columns
-    # collect nothing — sids are < n_total)
-    wblock = max(block, 128)
+    # scatter windows: 128-multiple wide so the dynamic lane-dim store
+    # offsets stay tile-aligned (block < 128 coarsens the skip
+    # granularity to 2+ blocks per window; padding columns collect
+    # nothing — sids are < n_total)
     n_win = n_pad // wblock
 
     def _scatter_rows(d_rows, sid_v):
@@ -583,7 +586,8 @@ def _stream_grad_program(
     block = stream.block
     n_blocks = stream.n_blocks
     n_total = n_blocks * block
-    n_total_pad = _round_up(n_total, 128)   # scatter-window lane alignment
+    _wb = block if block % 128 == 0 else _round_up(max(block, 128), 128)
+    n_total_pad = _round_up(n_total, _wb)   # scatter-window lane alignment
     nb_pad = stream.bounds.shape[0]
     if stream.scene_mat.shape[1] != STREAM_COLS:
         raise ValueError(
