@@ -97,6 +97,8 @@ def main() -> int:
         ("park_rt1024_k16", fused(1024, 16)),
         ("park_rt512_k16", fused(512, 16)),
         ("park_rt1024_k3", fused(1024, 3)),
+        ("park_rt768_k4", fused(768, 4)),
+        ("park_rt1536_k2", fused(1536, 2)),
     ]
     for name, fn in cases:
         if args.cases and name not in args.cases:
