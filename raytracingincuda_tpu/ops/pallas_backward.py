@@ -151,6 +151,12 @@ _ST_ROWS = 40     # all 40 used in the full-park layout; 8-aligned so
 # tile instead of charging the legacy path the full 40-row wave layout
 # (which shifted park_all budgets and wasted 45% of its VMEM scratch)
 _ST_ROWS_SAMPLE = 24
+
+# full-park HBM buffer budget, shared by the fused step and the
+# standalone gradient program: 16 GB HBM chip; a 13.1 GB park buffer
+# measured allocatable (hbmpark_knobs rt1024_k16) — 12.5 leaves alloc
+# headroom
+_HBM_BUDGET = int(12.5 * 2**30)
 _CAM_COLS = 24
 _N_CAM = 18   # differentiable camera scalars (pack_camera rows 0..17)
 
@@ -1392,6 +1398,46 @@ def _grad_tile_kernel_wave(
     _write_grad_outputs(dscene_ref, dcam_ref, d_scene, d_cam, dtype)
 
 
+def _grad_tile_kernel_hbm(
+    ids_ref, ii_ref, jj_ref, gr_ref, gg_ref, gb_ref, scene_ref, cam_ref,
+    dscene_ref, dcam_ref, park_ref,
+    acc_ref, stage0, stage1, sem0, sem1,
+    *, samples: int, max_depth: int, seed: int, dtype,
+    rr_start=None, k_pixels: int = 1,
+):
+    """FULL-PARK standalone gradient kernel: the regenerating render
+    recurrence parks every wave to HBM (_hbm_park_render) and the
+    reverse walk replays it (_hbm_reverse) — no windows, no drain
+    rounds, no re-trace. The upstream cotangent rows arrive as INPUTS
+    here (g is per-pixel data for the standalone program, unlike the
+    fused step where it must be derived from the finished render), so
+    this is the fused kernel's phase A + phase B with the loss
+    derivation dropped; the radiance accumulator is scratch."""
+    key = rtrng.key_from_seed(seed)
+    (pixel_ids, fi, fj, scene_mat, cx, cy, cz, rc, active_col,
+     cam_vals, use_defocus) = _read_tile_refs(
+        ids_ref, ii_ref, jj_ref, scene_ref, cam_ref
+    )
+    g_blk = Vec3(gr_ref[0, :, :], gg_ref[0, :, :], gb_ref[0, :, :])
+    hit_fn, scatter_fn, d_scene0 = _vmem_wave_bindings(
+        scene_mat, cx, cy, cz, rc, active_col, dtype
+    )
+    cam = _camera_from_scalars(cam_vals, use_defocus)
+    _acc, w_end = _hbm_park_render(
+        hit_fn, cam, pixel_ids, fi, fj, key, acc_ref, park_ref,
+        stage0, stage1, sem0, sem1,
+        samples=samples, max_depth=max_depth, dtype=dtype,
+        rr_start=rr_start, k_pixels=k_pixels,
+    )
+    d_scene, d_cam = _hbm_reverse(
+        scatter_fn, d_scene0, cam_vals, use_defocus, g_blk, key, w_end,
+        park_ref, stage0, stage1, sem0, sem1,
+        max_depth=max_depth, dtype=dtype, rr_start=rr_start,
+        k_pixels=k_pixels,
+    )
+    _write_grad_outputs(dscene_ref, dcam_ref, d_scene, d_cam, dtype)
+
+
 def _fused_tile_kernel(
     ids_ref, ii_ref, jj_ref, tr_ref, tg_ref, tb_ref, scene_ref, cam_ref,
     loss_ref, imr_ref, img_ref, imb_ref,
@@ -1824,6 +1870,7 @@ def render_pallas_grads(
     window: int = 0,
     rr_start=None,
     pixels_per_lane=None,
+    park=None,
 ):
     """Cotangents (d_scene_matrix (N,16), d_camera_row (1,24)) for an
     upstream cotangent ``g_acc`` (H, W, 3) expressed in the ACCUMULATED
@@ -1853,6 +1900,14 @@ def render_pallas_grads(
     streams make the replayed survival decisions bitwise the forward's).
     RR shortens paths, so the backward speeds up with the forward.
 
+    ``park`` (None = auto): 'hbm' = FULL-PARK — the regenerating sweep
+    parks every wave to an HBM buffer and the reverse walk replays it
+    (the fused step's round-4 mechanism; _hbm_park_render/_hbm_reverse
+    with the cotangent as an input): no windows, no drain rounds, no
+    re-trace. Auto-selected whenever sweep='wave', sample_offset == 0,
+    no explicit ``window`` was given, and the K*spp*depth*40-row
+    buffer fits the HBM budget (K integer-fit). False = never.
+
     ``pixels_per_lane`` (wave sweep only): K pixels per lane, worked
     sequentially — the forward kernel's multi-pixel lanes applied to
     the backward: averages the per-lane total-work statistic that sets
@@ -1863,7 +1918,36 @@ def render_pallas_grads(
     small to fill K*ray_tile lanes per shard."""
     if sweep not in ("wave", "sample"):
         raise ValueError("sweep must be 'wave' or 'sample'")
+    if park not in (None, False, "hbm"):
+        raise ValueError("park must be None (auto), False, or 'hbm'")
     rr_start = rtrng.validate_rr_start(rr_start)
+    # FULL-PARK auto (round 4.2): park every wave to an HBM buffer and
+    # run the reverse walk straight from it — the standalone analog of
+    # the fused step's mode (same _hbm_park_render/_hbm_reverse; the
+    # cotangent is an input here). Removes the windowed sweep's
+    # re-trace rounds entirely. Requires sample_offset == 0 (the park
+    # recurrence regenerates from sample 0) and sweep='wave' semantics.
+    hbm_park = False
+    # an explicit window opts into the windowed sweep (its only knob)
+    if (sweep == "wave" and sample_offset == 0 and park is not False
+            and not window):
+        _k_fit = max(1, int(_HBM_BUDGET
+                            // (samples_per_pixel * max_depth
+                                * _ST_ROWS * ray_tile * 4)))
+        _k1_fits = (samples_per_pixel * max_depth * _ST_ROWS
+                    * ray_tile * 4 <= _HBM_BUDGET)
+        if park == "hbm" or _k1_fits:
+            hbm_park = _k1_fits
+            if park == "hbm" and not _k1_fits:
+                raise ValueError(
+                    "park='hbm' needs a K*spp*depth*40-row park buffer "
+                    "within the HBM budget; lower ray_tile/spp/depth"
+                )
+    elif park == "hbm":
+        raise ValueError(
+            "park='hbm' requires sweep='wave' and sample_offset == 0 "
+            "(the park recurrence regenerates from sample 0)"
+        )
     if pixels_per_lane is None:
         if sweep == "wave":
             n_shards = (
@@ -1877,6 +1961,9 @@ def render_pallas_grads(
                 pixels_per_lane *= 2
         else:
             pixels_per_lane = 1
+    if hbm_park:
+        # integer fit, as in mse_train_pallas (K3-style non-doublings)
+        pixels_per_lane = min(pixels_per_lane, _k_fit)
     if pixels_per_lane > 1 and sweep != "wave":
         raise ValueError("pixels_per_lane > 1 requires sweep='wave'")
     (ids, ids2, ii2, jj2, (gr, gg, gb), scene_mat, cam_row, n_spheres,
@@ -1886,7 +1973,18 @@ def render_pallas_grads(
         wave_ids=(sweep == "wave"),
     )
 
-    if sweep == "wave":
+    scratch_waves = 0
+    if hbm_park:
+        kernel = functools.partial(
+            _grad_tile_kernel_hbm,
+            samples=samples_per_pixel,
+            max_depth=max_depth,
+            seed=seed,
+            dtype=dtype,
+            rr_start=rr_start,
+            k_pixels=pixels_per_lane,
+        )
+    elif sweep == "wave":
         if not window:
             # scratch budget ~10 MB: rows = window + max_depth waves of
             # (32, ray_tile) f32 (a path pulled at the window edge still
@@ -1942,16 +2040,31 @@ def render_pallas_grads(
                 acc_spec((n_spheres, NUM_COLS)),
                 pl.BlockSpec((1, _CAM_COLS), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
-            ),
+            ) + ((pl.BlockSpec(memory_space=pltpu.HBM),)
+                 if hbm_park else ()),
             out_shape=(
                 jax.ShapeDtypeStruct((n_spheres, NUM_COLS), dtype),
                 jax.ShapeDtypeStruct((1, _CAM_COLS), dtype),
+            ) + ((jax.ShapeDtypeStruct(
+                (pixels_per_lane * samples_per_pixel * max_depth
+                 * _ST_ROWS, ray_tile), dtype),)
+                if hbm_park else ()),
+            scratch_shapes=(
+                [
+                    pltpu.VMEM((3 * pixels_per_lane, ray_tile), dtype),
+                    pltpu.VMEM((_ST_ROWS, ray_tile), dtype),
+                    pltpu.VMEM((_ST_ROWS, ray_tile), dtype),
+                    pltpu.SemaphoreType.DMA,
+                    pltpu.SemaphoreType.DMA,
+                ]
+                if hbm_park
+                else [
+                    pltpu.VMEM((scratch_waves
+                                * (_ST_ROWS if sweep == "wave"
+                                   else _ST_ROWS_SAMPLE), ray_tile),
+                               dtype),
+                ]
             ),
-            scratch_shapes=[
-                pltpu.VMEM((scratch_waves
-                            * (_ST_ROWS if sweep == "wave"
-                               else _ST_ROWS_SAMPLE), ray_tile), dtype),
-            ],
             cost_estimate=pl.CostEstimate(
                 flops=int(
                     2 * samples_per_pixel * max_depth * padded
@@ -1974,14 +2087,17 @@ def render_pallas_grads(
         def run_psum(*args):
             outs = run(*args)
             # every shard owns a pixel slice; scene/camera grads are sums
-            # over all pixels -> all-reduce over the mesh (rides ICI)
-            return tuple(lax.psum(o, axes) for o in outs)
+            # over all pixels -> all-reduce over the mesh (rides ICI);
+            # the park buffer (if any) stays per-shard
+            return tuple(lax.psum(o, axes) for o in outs[:2]) + tuple(
+                outs[2:]
+            )
 
         sharded = shard_map(
             run_psum, mesh=mesh,
             in_specs=(P(axes), P(axes), P(axes),
                       P(axes), P(axes), P(axes), P(), P()),
-            out_specs=(P(), P()),
+            out_specs=(P(), P()) + ((P(axes),) if hbm_park else ()),
             check_vma=False,
         )
         outs = sharded(ids2, ii2, jj2, gr, gg, gb, scene_mat, cam_row)
@@ -1989,8 +2105,9 @@ def render_pallas_grads(
         outs = run(ids2, ii2, jj2, gr, gg, gb, scene_mat, cam_row)
 
     # d_sm's mat/active/sid columns are structurally zero (d_rows pads
-    # them); pack_scene_matrix's vjp drops spare-column cotangents anyway
-    return outs
+    # them); pack_scene_matrix's vjp drops spare-column cotangents
+    # anyway. outs[2] (hbm park buffer) is scratch-by-contract: dropped.
+    return outs[:2]
 
 
 def mse_train_pallas(
@@ -2120,8 +2237,6 @@ def mse_train_pallas(
     # bounce) per wave, so a tile can never park more) fits the HBM
     # budget, shrinking K to fit (north-star: K16 would need 26 GB; K4
     # fits and measured best anyway, 28.3 vs K1's 25.3 Mrays/s).
-    _HBM_BUDGET = int(12.5 * 2**30)   # 16 GB HBM chip: a 13.1 GB park buffer measured allocatable
-                                   # (hbmpark_knobs rt1024_k16); 12.5 leaves alloc headroom
     def _k_fit_hbm(rt: int) -> int:
         return max(1, int(_HBM_BUDGET
                           // (samples_per_pixel * max_depth

@@ -480,3 +480,40 @@ def test_train_step_kwargs_non_fused(mixed_scene, default_camera):
     _, loss = step_fn(state, default_camera, mixed_scene.mat_type,
                       mixed_scene.active, target)
     assert np.isfinite(float(loss))
+
+
+@pytest.mark.slow
+def test_standalone_grads_hbm_park_matches_wave(mixed_scene,
+                                                default_camera):
+    """render_pallas_grads park='hbm' (round 4.2: the standalone
+    program's FULL-PARK mode, now the auto) must reproduce the windowed
+    wave sweep's gradients — identical wave visit order, so here the
+    agreement is exact, not just reassociation-close. K=3 covers the
+    integer-fit non-power-of-2 lane path."""
+    from raytracingincuda_tpu.ops.pallas_backward import (
+        render_pallas_grads,
+    )
+
+    g = _weight_image()
+    for kpl in (1, 3):
+        wave = render_pallas_grads(
+            mixed_scene, default_camera, g, W, H, SPP, DEPTH,
+            ray_tile=128, interpret=True, park=False, rr_start=2,
+            pixels_per_lane=kpl,
+        )
+        hbm = render_pallas_grads(
+            mixed_scene, default_camera, g, W, H, SPP, DEPTH,
+            ray_tile=128, interpret=True, park="hbm", rr_start=2,
+            pixels_per_lane=kpl,
+        )
+        for leaf in jax.tree_util.tree_leaves(hbm):
+            assert np.isfinite(np.asarray(leaf)).all()
+        _assert_tree_close(wave, hbm, rtol=1e-5, atol=1e-8)
+
+    # explicit offset chunking keeps the windowed sweep (the park
+    # recurrence regenerates from sample 0)
+    with pytest.raises(ValueError):
+        render_pallas_grads(
+            mixed_scene, default_camera, g, W, H, SPP, DEPTH,
+            ray_tile=128, interpret=True, park="hbm", sample_offset=1,
+        )
