@@ -144,6 +144,36 @@ def render_grads(
     )
 
 
+def front_to_back_border(stream, cam_cfg: CameraConfig,
+                         img_width: int, img_height: int) -> jnp.ndarray:
+    """Front-to-back block visit order for ``build_stream_arrays``.
+
+    Returns CANONICAL (Morton block order) indices sorted by camera
+    distance — the order the stream walk visits blocks so near geometry
+    tightens ``t_best`` early and far blocks cull (speed-only; results
+    are order-invariant). The prepared ``stream.bounds`` rows may
+    already be camera-permuted (prepare_stream_scene ``camdist_from``),
+    so distances computed on them must be mapped back through bounds
+    col 4 (each row's first matrix row / block = its canonical block
+    index) before they can index the canonically rebuilt bounds —
+    without that, a camdist-prepared stream got a scrambled visit order
+    and silently lost its culling benefit (ADVICE r4)."""
+    import numpy as np
+
+    from ..models.camera import initialize as _init
+
+    bn = np.asarray(stream.bounds)
+    if bn.shape[0] <= 1:
+        return jnp.arange(bn.shape[0], dtype=jnp.int32)
+    cc = _init(cam_cfg, img_width, img_height).center
+    p = np.array([float(cc.x), float(cc.y), float(cc.z)])
+    d = np.sqrt(((bn[:, 0:3] - p) ** 2).sum(1)) - bn[:, 3]
+    d = np.where(bn[:, 3] > 0.0, d, np.inf)
+    order = np.argsort(d, kind="stable")
+    canon = np.rint(bn[:, 4] / stream.block).astype(np.int64)
+    return jnp.asarray(canon[order], jnp.int32)
+
+
 class TrainState(NamedTuple):
     params: SceneParams
     opt_state: optax.OptState
@@ -330,22 +360,8 @@ def make_stream_train(
         the frozen Morton perm). Passed into the jitted step as data,
         so one compiled program serves any border."""
         if "b" not in border_cache:
-            import numpy as np
-
-            from ..models.camera import initialize as _init
-
-            bn = np.asarray(stream.bounds)
-            if bn.shape[0] <= 1:
-                border_cache["b"] = jnp.arange(bn.shape[0],
-                                               dtype=jnp.int32)
-            else:
-                cc = _init(cam_cfg, img_width, img_height).center
-                p = np.array([float(cc.x), float(cc.y), float(cc.z)])
-                d = np.sqrt(((bn[:, 0:3] - p) ** 2).sum(1)) - bn[:, 3]
-                d = np.where(bn[:, 3] > 0.0, d, np.inf)
-                border_cache["b"] = jnp.asarray(
-                    np.argsort(d, kind="stable"), jnp.int32
-                )
+            border_cache["b"] = front_to_back_border(
+                stream, cam_cfg, img_width, img_height)
         return border_cache["b"]
 
     def _stream_of(params, mat_type, active, border=None):

@@ -152,11 +152,34 @@ _ST_ROWS = 40     # all 40 used in the full-park layout; 8-aligned so
 # (which shifted park_all budgets and wasted 45% of its VMEM scratch)
 _ST_ROWS_SAMPLE = 24
 
-# full-park HBM buffer budget, shared by the fused step and the
-# standalone gradient program: 16 GB HBM chip; a 13.1 GB park buffer
-# measured allocatable (hbmpark_knobs rt1024_k16) — 12.5 leaves alloc
-# headroom
+# full-park HBM buffer budget, shared by the fused step, the standalone
+# gradient program, and the stream backward: 16 GB HBM chip; a 13.1 GB
+# park buffer measured allocatable (hbmpark_knobs rt1024_k16) — 12.5
+# leaves alloc headroom
 _HBM_BUDGET = int(12.5 * 2**30)
+
+
+def hbm_budget() -> int:
+    """Park-buffer budget for the device actually in use.
+
+    The 12.5 GiB constant assumes the measured 16 GB v5e part; on a
+    smaller-HBM part that gate would over-commit (ADVICE r4). When the
+    backend reports a memory limit, cap the budget at 78% of it (the
+    constant's own fraction of 16 GiB); otherwise — CPU meshes,
+    interpret mode, plugins without memory_stats — keep the constant.
+    Never raises: auto-gating must work everywhere the kernels do.
+    """
+    try:
+        import jax
+
+        stats = jax.devices()[0].memory_stats() or {}
+        limit = stats.get("bytes_limit") or stats.get(
+            "bytes_reservable_limit")
+        if limit:
+            return min(_HBM_BUDGET, int(int(limit) * 0.78))
+    except Exception:  # noqa: BLE001 — stats are best-effort
+        pass
+    return _HBM_BUDGET
 _CAM_COLS = 24
 _N_CAM = 18   # differentiable camera scalars (pack_camera rows 0..17)
 
@@ -2191,7 +2214,9 @@ def mse_train_pallas(
     round (0 = auto by the same 10 MB scratch budget as
     render_pallas_grads). 'sample' forces the original per-sample
     re-trace. Ignored when park_residuals is on (sweep 3 is
-    reverse-only from the parked residuals)."""
+    reverse-only from the parked residuals) — so an EXPLICIT sweep also
+    disables the full-park auto (passing sweep without
+    park_residuals=False would otherwise be silently overridden)."""
     hbm_park = park_residuals == "hbm"
     if hbm_park:
         park_residuals = False      # the VMEM-park branches stay off
@@ -2242,7 +2267,11 @@ def mse_train_pallas(
                           // (samples_per_pixel * max_depth
                               * _ST_ROWS * rt * 4)))
 
-    if not hbm_park and park_residuals is None:
+    # full-park auto only when the caller constrained NEITHER the park
+    # mode NOR the sweep: an explicit sweep='sample'/'wave' request must
+    # not be silently overridden by park='hbm' (which ignores sweep) —
+    # ADVICE r4
+    if not hbm_park and park_residuals is None and sweep is None:
         _rt_hbm = ray_tile
         if _rt_hbm is None:
             # full-park has NO parking window, so the windowed path's
@@ -2289,13 +2318,16 @@ def mse_train_pallas(
         ray_tile = 512
         if max_depth <= 28 and img_width * img_height >= 500_000:
             ray_tile = 1024
-        if park_residuals is None and prefer_park:
+        if park_residuals is None and sweep is None and prefer_park:
             for rt in (1024, 512, 256):
                 if _park_fits(rt, _AUTO_BUDGET):
                     ray_tile, park_residuals = rt, True
                     break
     if park_residuals is None:
-        park_residuals = prefer_park and _park_fits(ray_tile, _AUTO_BUDGET)
+        # same rule as the full-park auto: parking ignores sweep, so an
+        # explicit sweep request disables the park autos (ADVICE r4)
+        park_residuals = (sweep is None and prefer_park
+                          and _park_fits(ray_tile, _AUTO_BUDGET))
     elif park_residuals and not _park_fits(ray_tile, 14 * 2**20):
         raise ValueError(
             f"park_residuals=True needs a ({samples_per_pixel}*"
@@ -2332,6 +2364,17 @@ def mse_train_pallas(
     if pixels_per_lane > 1 and (park_residuals or sweep != "wave"):
         raise ValueError(
             "pixels_per_lane > 1 requires sweep='wave' without parking"
+        )
+    if hbm_park and (pixels_per_lane * samples_per_pixel * max_depth
+                     * _ST_ROWS * ray_tile * 4 > _HBM_BUDGET):
+        # mirror render_pallas_grads: fail fast instead of attempting a
+        # >12.5 GiB HBM allocation at runtime (ADVICE r4)
+        raise ValueError(
+            f"park_residuals='hbm' needs a ({pixels_per_lane}*"
+            f"{samples_per_pixel}*{max_depth}*{_ST_ROWS}, {ray_tile}) f32 "
+            f"park buffer within the {_HBM_BUDGET / 2**30:.1f} GiB HBM "
+            f"budget; lower pixels_per_lane/ray_tile/samples/depth or "
+            f"leave them on auto"
         )
     (ids, ids2, ii2, jj2, (tr, tg, tb), scene_mat, cam_row, n_spheres,
      num_pixels, padded, n_tiles) = _prepare_grad_inputs(

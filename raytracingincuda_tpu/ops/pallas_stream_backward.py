@@ -50,6 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..models.camera import CameraConfig, initialize
 from . import rng as rtrng
+from . import pallas_backward
 from .pallas_backward import (
     _CAM_COLS,
     _N_CAM,
@@ -481,7 +482,7 @@ def _stream_grad_program(
     lane_group: int = 0,
     mesh=None,
     interpret: bool = False,
-    sweep: str = "wave",
+    sweep=None,
     window: int = 0,
     rr_start=None,
     pixels_per_lane=None,
@@ -495,8 +496,9 @@ def _stream_grad_program(
     ``park`` (mse only; None = auto): 'hbm' runs the FULL-PARK fused
     step — render parks every wave to an HBM buffer, grad sweep is
     reverse-only (no per-wave O(N) block re-walk). Auto picks it
-    whenever the true-bound K*spp*depth buffer fits 8 GB, shrinking K
-    to fit; pass park=False to force the re-tracing sweep.
+    whenever the true-bound K*spp*depth buffer fits the shared HBM
+    budget (pallas_backward._HBM_BUDGET, 12.5 GiB on this 16 GB part),
+    shrinking K to fit; pass park=False to force the re-tracing sweep.
 
     ``sweep='wave'`` (default — measured on v5e at 10k spheres
     640x384x4spp: d6 1361 -> 1305 ms, d12 2756 -> 1945, −29%;
@@ -510,6 +512,9 @@ def _stream_grad_program(
     per-pixel radiance to K=1) and the grad sweep — worth even more
     here than on the VMEM backward, since every drain-tail wave is a
     full O(N) HBM block walk."""
+    explicit_sweep = sweep is not None
+    if sweep is None:
+        sweep = "wave"
     if sweep not in ("wave", "sample"):
         raise ValueError("sweep must be 'wave' or 'sample'")
     rr_start = rtrng.validate_rr_start(rr_start)
@@ -517,8 +522,9 @@ def _stream_grad_program(
     n_shards = (
         int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
     )
-    _HBM_BUDGET = int(12.5 * 2**30)   # 16 GB HBM chip: a 13.1 GB park buffer measured allocatable
-                                   # (hbmpark_knobs rt1024_k16); 12.5 leaves alloc headroom
+    _HBM_BUDGET = pallas_backward.hbm_budget()   # shared with the VMEM
+    # fused step / standalone grads; device-derived with the measured
+    # 16 GB-part constant as fallback (ADVICE r4 dedup)
     if pixels_per_lane is None:
         if sweep == "wave":
             # K=32 is the stream knee (matching the forward kernel's),
@@ -531,9 +537,11 @@ def _stream_grad_program(
                 pixels_per_lane *= 2
         else:
             pixels_per_lane = 1
-    if mse and park is None:
+    if mse and park is None and not explicit_sweep:
         # full-park auto (round 4, mirrors mse_train_pallas): shrink K
-        # until the true-bound buffer fits, else fall back to re-trace
+        # until the true-bound buffer fits, else fall back to re-trace.
+        # Skipped when the caller pinned a sweep — park ignores sweep,
+        # so the auto would silently override the request (ADVICE r4).
         # integer K fit, mirroring mse_train_pallas's auto (K3-style
         # non-doubling fits are production there)
         _bytes_per_k = samples_per_pixel * max_depth * _ST_ROWS * ray_tile * 4

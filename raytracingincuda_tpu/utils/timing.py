@@ -52,7 +52,24 @@ def measure_calibration(mxu: bool = True, runs: int = 10) -> dict:
                      single-MXU clock (128x128 MACs/cycle) — the
                      device-day frequency reference (roofline.py
                      measures the fuller 2048^2 version)
+      backend_version
+                     the PJRT platform_version string (plugin version,
+                     SerializedExecutable/compile-cache versions, build
+                     cl) + jax version. Motivation: round-4 session-1
+                     perf rows became unreproducible after a
+                     compile-service-side change (docs/ROADMAP.md
+                     "Superseded") and nothing recorded which service
+                     produced them.
     """
+    rec: dict = {}
+    try:
+        from jax._src import xla_bridge
+
+        pv = getattr(xla_bridge.get_backend(), "platform_version", "")
+        rec["backend_version"] = "; ".join(
+            s for s in str(pv).splitlines() if s) + f"; jax {jax.__version__}"
+    except Exception:  # noqa: BLE001 — calibration must never fail a bench
+        rec["backend_version"] = f"jax {jax.__version__}"
     f = jax.jit(lambda v: (v * 2 + 1).sum())
     x = jnp.arange(8.0)
     float(f(x))  # compile
@@ -61,7 +78,7 @@ def measure_calibration(mxu: bool = True, runs: int = 10) -> dict:
         t0 = time.perf_counter()
         float(f(x))
         floors.append((time.perf_counter() - t0) * 1e3)
-    rec = {"rtt_floor_ms": round(min(floors), 2)}
+    rec["rtt_floor_ms"] = round(min(floors), 2)
     if mxu and jax.default_backend() != "cpu":
         from jax import lax
 

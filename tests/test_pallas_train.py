@@ -308,3 +308,46 @@ def test_fused_hbm_park_shape_sweep(mixed_scene, default_camera):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=1e-6,
                                        err_msg=tag)
+
+
+def test_explicit_sweep_disables_hbm_auto(mixed_scene, default_camera):
+    """An explicit sweep='sample' must actually run the per-sample
+    re-trace, not be silently overridden by the full-park auto (which
+    ignores sweep once parking is on) — ADVICE r4. Pinned by bitwise
+    gradient equality with the explicitly forced non-park path (the
+    full-park path is only reassociation-equal, so a silent override
+    would break exact equality here)."""
+    from raytracingincuda_tpu.ops.pallas_backward import mse_train_pallas
+
+    rng = np.random.default_rng(31)
+    tgt = jnp.asarray(rng.random((H, W, 3)), jnp.float32)
+    for sweep in ("sample", "wave"):
+        auto_park = mse_train_pallas(
+            mixed_scene, default_camera, tgt, W, H, SPP, DEPTH,
+            ray_tile=128, interpret=True, sweep=sweep,
+        )
+        forced = mse_train_pallas(
+            mixed_scene, default_camera, tgt, W, H, SPP, DEPTH,
+            ray_tile=128, interpret=True, sweep=sweep,
+            park_residuals=False,
+        )
+        for a, b in zip(auto_park, forced):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=f"sweep={sweep}")
+
+
+def test_explicit_hbm_park_oversize_raises(mixed_scene, default_camera):
+    """Explicit park_residuals='hbm' with a buffer beyond the HBM
+    budget must fail fast with ValueError, mirroring
+    render_pallas_grads — not attempt a >12.5 GiB allocation at
+    runtime (ADVICE r4)."""
+    from raytracingincuda_tpu.ops.pallas_backward import mse_train_pallas
+
+    tgt = jnp.zeros((H, W, 3), jnp.float32)
+    with pytest.raises(ValueError, match="HBM"):
+        # 16 * 4096 * 50 * 40-rows * 1024 * 4 B ≈ 537 GB
+        mse_train_pallas(
+            mixed_scene, default_camera, tgt, W, H, 4096, 50,
+            ray_tile=1024, pixels_per_lane=16, interpret=True,
+            park_residuals="hbm",
+        )

@@ -216,3 +216,69 @@ def test_stream_fused_hbm_park_matches_retrace(small_scene, default_camera):
     with pytest.raises(ValueError, match="fused"):
         render_pallas_stream_grads(stream, default_camera, g, W, H,
                                    SPP, DEPTH, park="hbm", **kw)
+
+
+def test_front_to_back_border_camdist_invariant(default_camera):
+    """front_to_back_border returns CANONICAL block indices, so a
+    stream prepared with camdist_from (bounds rows already permuted)
+    must yield the SAME visit order as a camdist-free stream — and the
+    order must actually be front-to-back on the canonically rebuilt
+    bounds (ADVICE r4: the pre-fix code argsorted the prepared rows and
+    applied the result to canonical rows, scrambling the order)."""
+    from raytracingincuda_tpu.models.camera import initialize
+    from raytracingincuda_tpu.ops.grad import front_to_back_border
+
+    spheres = [
+        dict(center=(3.0 * i, 0.2, 3.0 * i), radius=0.2,
+             mat=LAMBERTIAN, albedo=(0.5, 0.5, 0.5))
+        for i in range(32)
+    ]
+    scene = scene_from_spheres(spheres, pad_to=32)
+    plain = prepare_stream_scene(scene, block=8)
+    cc = initialize(default_camera, W, H).center
+    cam_p = (float(cc.x), float(cc.y), float(cc.z))
+    camd = prepare_stream_scene(scene, block=8, camdist_from=cam_p)
+    b_plain = np.asarray(front_to_back_border(plain, default_camera, W, H))
+    b_camd = np.asarray(front_to_back_border(camd, default_camera, W, H))
+    assert b_plain.shape[0] > 1
+    np.testing.assert_array_equal(b_plain, b_camd)
+
+    # front-to-back on the canonical rebuild (what the walk consumes)
+    _, bounds = build_stream_arrays(
+        scene, plain.perm, plain.block, plain.scene_mat.shape[0]
+    )
+    bn = np.asarray(bounds)[b_plain]
+    d = np.sqrt(((bn[:, 0:3] - np.array(cam_p)) ** 2).sum(1)) - bn[:, 3]
+    d = np.where(bn[:, 3] > 0.0, d, np.inf)
+    finite = d[np.isfinite(d)]
+    assert (np.diff(finite) >= -1e-4).all(), finite
+
+
+def test_stream_explicit_sweep_disables_park_auto(small_scene,
+                                                  default_camera):
+    """mse_train_stream with an explicit sweep must run that sweep, not
+    be overridden by the full-park auto (park ignores sweep) — the
+    stream twin of the VMEM fused step's rule (ADVICE r4). Pinned by
+    bitwise equality with the explicitly forced park=False path."""
+    from raytracingincuda_tpu.ops.pallas_stream_backward import (
+        mse_train_stream,
+    )
+
+    stream = prepare_stream_scene(small_scene, block=32)
+    rng = np.random.default_rng(7)
+    tgt = jnp.asarray(rng.random((H, W, 3)), jnp.float32)
+    for sweep in ("sample", "wave"):
+        kw = dict(seed=7, interpret=True, ray_tile=64)
+        if sweep == "sample":
+            kw["pixels_per_lane"] = 1
+        auto = mse_train_stream(
+            stream, default_camera, tgt, W, H, SPP, DEPTH,
+            sweep=sweep, **kw,
+        )
+        forced = mse_train_stream(
+            stream, default_camera, tgt, W, H, SPP, DEPTH,
+            sweep=sweep, park=False, **kw,
+        )
+        for a, b in zip(auto, forced):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=f"sweep={sweep}")
