@@ -34,6 +34,10 @@ def main() -> int:
     ap.add_argument("--bounces", type=int, default=8)
     ap.add_argument("--perturb", type=float, default=0.3,
                     help="initial lookfrom error, world units")
+    ap.add_argument("--soft_steps", type=int, default=300,
+                    help="stage-1 soft-surrogate steps (perturb >= 0.5)")
+    ap.add_argument("--fd_steps", type=int, default=60,
+                    help="stage-2 FD refinement steps")
     ap.add_argument("--platform", default="cpu")
     args = ap.parse_args()
 
@@ -91,7 +95,7 @@ def main() -> int:
     if args.perturb >= 0.5:
         t0 = time.time()
         soft_pose, losses = poselib.recover_pose(
-            scene, target, init_cam, W, H, steps=300, objective="edges",
+            scene, target, init_cam, W, H, steps=args.soft_steps, objective="edges",
         )
         print(f"stage 1 (soft surrogate, edge objective, "
               f"{time.time() - t0:.0f}s): "
@@ -102,7 +106,8 @@ def main() -> int:
     t0 = time.time()
     refined, hist = poselib.refine_pose_fd(
         scene, target, stage2_cam, W, H,
-        samples_per_pixel=args.samples, max_depth=args.bounces, steps=60,
+        samples_per_pixel=args.samples, max_depth=args.bounces,
+        steps=args.fd_steps,
     )
     print(f"stage 2 (FD on real MSE, {time.time() - t0:.0f}s): "
           f"MSE {hist[0]:.6f} -> {hist[-1]:.6f}")

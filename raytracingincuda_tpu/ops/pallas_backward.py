@@ -1884,7 +1884,7 @@ def render_pallas_grads(
     *,
     seed: int = rtrng.DEFAULT_SEED,
     dtype=jnp.float32,
-    ray_tile: int = 1024,
+    ray_tile=None,
     pixel_order=None,
     sample_offset: int = 0,
     mesh=None,
@@ -1943,6 +1943,22 @@ def render_pallas_grads(
         raise ValueError("sweep must be 'wave' or 'sample'")
     if park not in (None, False, "hbm"):
         raise ValueError("park must be None (auto), False, or 'hbm'")
+    if ray_tile is None:
+        # auto (round-5 hardware ladder, standalone_ab.jsonl): under
+        # FULL-PARK rt1024 wins at every measured shape (640x384x16spp
+        # d8 173.7 vs rt512 186.0, d25 189.9 vs 209.6; headline
+        # 1280x768x100spp/d25 4002 vs 4452 ms, rr2 3019 vs 3320 — no
+        # parking window to squeeze). The WINDOWED sweep keeps the
+        # rt512 knee (rt512/w128 312 ms vs rt1024/w32 365,
+        # bwd_wave.jsonl): a smaller tile buys a deeper window under
+        # the same VMEM scratch budget.
+        _will_park = (
+            sweep == "wave" and sample_offset == 0 and park is not False
+            and not window
+            and samples_per_pixel * max_depth * _ST_ROWS * 1024 * 4
+            <= _HBM_BUDGET
+        )
+        ray_tile = 1024 if _will_park else 512
     rr_start = rtrng.validate_rr_start(rr_start)
     # FULL-PARK auto (round 4.2): park every wave to an HBM buffer and
     # run the reverse walk straight from it — the standalone analog of

@@ -1378,13 +1378,15 @@ def make_diff_render(
     ops/pallas_backward._winner_bounce). Unbiased like the forward rr;
     paths shorten, so fwd+bwd both speed up.
 
-    ``bwd_ray_tile``: backward-kernel tile (default 512 — the
-    wave-reversed regenerating sweep prefers a smaller tile with a
-    DEEPER parking window under the same VMEM budget: rt512/w128 312 ms
-    vs rt1024/w32 365 at 640x384x16spp/d25, bwd_wave.jsonl; the old
-    per-sample sweep preferred 1024, bwd_winner.jsonl). Lower it
-    explicitly for sphere-heavy scenes where the forward sweep's (N, R)
-    hit-scan working set presses the 16 MB VMEM limit.
+    ``bwd_ray_tile``: backward-kernel tile (None = render_pallas_grads'
+    auto: 1024 when the FULL-PARK reverse fires — the measured winner
+    at every shape once there is no parking window to squeeze,
+    standalone_ab.jsonl round 5 (e2e step 5783 vs 6085 ms at the
+    headline) — else 512, the WINDOWED sweep's knee: a smaller tile
+    buys a deeper parking window under the same VMEM budget, rt512/w128
+    312 ms vs rt1024/w32 365 at 640x384x16spp/d25, bwd_wave.jsonl).
+    Lower it explicitly for sphere-heavy scenes where the forward
+    sweep's (N, R) hit-scan working set presses the 16 MB VMEM limit.
 
     ``bwd_sweep`` / ``bwd_window`` / ``bwd_pixels_per_lane``: passed to
     render_pallas_grads as sweep / window / pixels_per_lane (None/0 =
@@ -1473,7 +1475,7 @@ def make_diff_render(
         d_sm, d_cr = render_pallas_grads(
             _scene(params), cam_cfg, g_acc, img_width, img_height,
             samples_per_pixel, max_depth, seed=seed,
-            ray_tile=bwd_ray_tile or 512, pixel_order=pixel_order,
+            ray_tile=bwd_ray_tile, pixel_order=pixel_order,
             mesh=mesh, interpret=interpret, rr_start=rr_start,
             sweep=bwd_sweep or "wave", window=bwd_window,
             pixels_per_lane=bwd_pixels_per_lane,
