@@ -25,10 +25,14 @@ Structure per ray tile:
     keep a tile's winners in few blocks). The accumulator is stored
     TRANSPOSED as (16, N) — lane-dense; an (N, 16) layout tiles to
     T(8,128) and pads 16 lanes to 128, an 8x VMEM bloat that silently
-    capped N at ~25k (scoped-vmem compile OOM at 50k). Measured bound
-    now: 200k spheres compiles and runs (hbm_park.jsonl
-    stream_bwd_ceiling rows), 300k needs 18.9M > the 16M scoped limit;
-    far beyond the forward VMEM kernel's ~5k either way.
+    capped N at ~25k (scoped-vmem compile OOM at 50k). VMEM-resident it
+    bounds N at ~200k (the 16 MB scoped limit; 300k wants 18.9M —
+    round-4 stream_bwd_ceiling rows); above the auto threshold the
+    accumulator moves to an HBM output window-RMW'd through a VMEM
+    staging tile (``acc='hbm'``, round 5), which removes the VMEM cap —
+    the differentiable ceiling then matches the forward's (1M+ spheres,
+    a 64 MB buffer). Bitwise-identical gradients either way (same adds,
+    same order).
 
 Gradients come back in STREAM order; ``stream_grads_to_scene_mat`` maps
 them to Scene slot order via StreamScene.perm. Camera cotangents follow
@@ -93,6 +97,7 @@ def _stream_grad_kernel(
     n_blocks: int, n_groups: int, mse: bool = False,
     num_pixels: int = 0, sweep: str = "sample", window: int = 32,
     rr_start=None, k_pixels: int = 1, park: str = "",
+    acc_hbm: bool = False,
 ):
     """``mse=False``: gr/gg/gb rows are the upstream cotangent g_acc;
     loss output stays 0. ``mse=True`` (the FUSED train step): gr/gg/gb
@@ -123,6 +128,12 @@ def _stream_grad_kernel(
     the VMEM kernel: the removed re-trace was a full O(N) HBM block
     walk PER WAVE — the reverse never touches the scene at all."""
     hbm_park = park == "hbm"
+    rest = list(rest)
+    if acc_hbm:
+        # appended LAST by the driver so every other scratch index
+        # stays put: the accumulator RMW staging tile + its semaphore
+        asem = rest.pop()
+        astage = rest.pop()
     if hbm_park:
         park_ref, buf0, buf1, sem0, sem1, *scratch = rest
     else:
@@ -160,7 +171,22 @@ def _stream_grad_kernel(
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
-        dscene_ref[:, :] = jnp.zeros((NUM_COLS, n_pad), dtype)
+        if acc_hbm:
+            # zero the HBM accumulator window by window through the
+            # staging tile (one-time; grid steps are sequential so no
+            # later step can observe a partial zero)
+            astage[0, :, :] = jnp.zeros((NUM_COLS, wblock), dtype)
+
+            def zero_win(w, _):
+                cp = pltpu.make_async_copy(
+                    astage, dscene_ref.at[pl.ds(w, 1)], asem)
+                cp.start()
+                cp.wait()
+                return 0
+
+            lax.fori_loop(0, n_pad // wblock, zero_win, 0)
+        else:
+            dscene_ref[:, :] = jnp.zeros((NUM_COLS, n_pad), dtype)
         for k in range(_CAM_COLS):
             dcam_ref[0, k] = 0.0
         loss_ref[0, 0] = 0.0
@@ -319,8 +345,25 @@ def _stream_grad_kernel(
                 # HIGHEST's both-side 6-pass cost (see
                 # pallas_backward._scatter_matmul)
                 d_blk = _scatter_matmul_t(one_hot, d_rows)  # (16, W)
-                ds = pl.ds(pl.multiple_of(base, wblock), wblock)
-                dscene_ref[:, ds] = dscene_ref[:, ds] + d_blk
+                if acc_hbm:
+                    # HBM read-modify-write through the staging tile:
+                    # race-free because TPU grid steps run sequentially
+                    # and both copies complete before the next window.
+                    # Only windows holding a winner pay the round trip
+                    # (Morton order keeps a tile's winners in few
+                    # windows — the same locality the VMEM skip uses).
+                    cp = pltpu.make_async_copy(
+                        dscene_ref.at[pl.ds(win_i, 1)], astage, asem)
+                    cp.start()
+                    cp.wait()
+                    astage[0, :, :] = astage[0, :, :] + d_blk
+                    cp2 = pltpu.make_async_copy(
+                        astage, dscene_ref.at[pl.ds(win_i, 1)], asem)
+                    cp2.start()
+                    cp2.wait()
+                else:
+                    ds = pl.ds(pl.multiple_of(base, wblock), wblock)
+                    dscene_ref[:, ds] = dscene_ref[:, ds] + d_blk
 
             return 0
 
@@ -487,11 +530,24 @@ def _stream_grad_program(
     rr_start=None,
     pixels_per_lane=None,
     park=None,
+    acc=None,
 ):
     """Shared driver for both grad entry points. ``rows3`` (H, W, 3) is
     the upstream cotangent g_acc (mse=False) or the target image
     (mse=True). Returns (loss (1,1), d_stream_matrix (N, 16) in STREAM
     row order, d_camera_row (1, 24)).
+
+    ``acc`` (None = auto): where the (16, N) lane-dense gradient
+    accumulator lives. 'vmem' = the scoped-VMEM resident accumulator
+    (fastest scatter, but caps the scene at ~200k spheres — the 16 MB
+    scoped limit, round-4 stream_bwd_ceiling rows). 'hbm' = an HBM
+    accumulator output, window-RMW'd through a (16, wblock) VMEM
+    staging tile per scatter — removes the VMEM cap entirely (the
+    differentiable sphere ceiling moves to HBM size: 1M spheres is a
+    64 MB buffer), at a small per-wave DMA cost only on windows that
+    hold winners. Identical gradients BITWISE (same adds in the same
+    order, different residence). Auto picks 'hbm' when the accumulator
+    would exceed a ~9 MB share of the scoped budget (N_pad > ~144k).
 
     ``park`` (mse only; None = auto): 'hbm' runs the FULL-PARK fused
     step — render parks every wave to an HBM buffer, grad sweep is
@@ -596,6 +652,15 @@ def _stream_grad_program(
     n_total = n_blocks * block
     _wb = block if block % 128 == 0 else _round_up(max(block, 128), 128)
     n_total_pad = _round_up(n_total, _wb)   # scatter-window lane alignment
+    if acc is None:
+        # leave the walk buffers/residual scratch most of the 16 MB
+        # scoped budget: resident accumulator up to ~9 MB (~144k slots)
+        acc = ("hbm" if NUM_COLS * n_total_pad * 4 > 9 * 2**20
+               else "vmem")
+    if acc not in ("vmem", "hbm"):
+        raise ValueError("acc must be None (auto), 'vmem', or 'hbm'")
+    acc_hbm = acc == "hbm"
+    n_win = n_total_pad // _wb
     nb_pad = stream.bounds.shape[0]
     if stream.scene_mat.shape[1] != STREAM_COLS:
         raise ValueError(
@@ -632,6 +697,7 @@ def _stream_grad_program(
         rr_start=rr_start,
         k_pixels=kpl,
         park=("hbm" if hbm_park else ""),
+        acc_hbm=acc_hbm,
     )
     hbm_waves = kpl * samples_per_pixel * max_depth
 
@@ -659,17 +725,20 @@ def _stream_grad_program(
             out_specs=(
                 pl.BlockSpec((1, 1), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((NUM_COLS, n_total_pad),
-                             lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
+                (pl.BlockSpec(memory_space=pltpu.HBM) if acc_hbm
+                 else pl.BlockSpec((NUM_COLS, n_total_pad),
+                                   lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)),
                 pl.BlockSpec((1, _CAM_COLS), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
             ) + ((pl.BlockSpec(memory_space=pltpu.HBM),)
                  if hbm_park else ()),
             out_shape=(
                 jax.ShapeDtypeStruct((1, 1), dtype),
-                jax.ShapeDtypeStruct((NUM_COLS, n_total_pad),
-                                     dtype),
+                (jax.ShapeDtypeStruct((n_win, NUM_COLS, _wb), dtype)
+                 if acc_hbm
+                 else jax.ShapeDtypeStruct((NUM_COLS, n_total_pad),
+                                           dtype)),
                 jax.ShapeDtypeStruct((1, _CAM_COLS), dtype),
             ) + ((jax.ShapeDtypeStruct(
                 (hbm_waves * _ST_ROWS, ray_tile), dtype),)
@@ -701,6 +770,13 @@ def _stream_grad_program(
                         [pltpu.VMEM((3 * kpl, ray_tile), dtype)]
                         if (mse and kpl > 1) else []
                     )
+                )
+                + (
+                    # LAST (kernel pops from the end): HBM-accumulator
+                    # RMW staging tile + its DMA semaphore
+                    [pltpu.VMEM((1, NUM_COLS, _wb), dtype),
+                     pltpu.SemaphoreType.DMA]
+                    if acc_hbm else []
                 )
             ),
             cost_estimate=pl.CostEstimate(
@@ -737,15 +813,22 @@ def _stream_grad_program(
             + ((P(axes),) if hbm_park else ()),
             check_vma=False,
         )
+    def _to_public(d_t):
+        # kernel accumulates lane-dense — (16, N_pad) resident, or
+        # (n_win, 16, wblock) window-major in HBM; public contract is
+        # (N, 16)
+        if acc_hbm:
+            d_t = d_t.transpose(1, 0, 2).reshape(NUM_COLS, n_total_pad)
+        return d_t[:, :n_total].T
+
+    if mesh is not None:
         loss, d_t, d_cam = sharded(
             ids2, ii2, jj2, gr, gg, gb, stream.scene_mat,
             stream.bounds, cam_row)[:3]
-        return loss, d_t[:, :n_total].T, d_cam
+        return loss, _to_public(d_t), d_cam
     loss, d_t, d_cam = run(ids2, ii2, jj2, gr, gg, gb, stream.scene_mat,
                            stream.bounds, cam_row)[:3]
-    # kernel accumulates (16, N_pad) — lane-dense; public contract is
-    # (N, 16)
-    return loss, d_t[:, :n_total].T, d_cam
+    return loss, _to_public(d_t), d_cam
 
 
 def render_pallas_stream_grads(

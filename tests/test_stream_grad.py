@@ -188,3 +188,49 @@ def test_sharded_matches_single(mixed_scene, default_camera):
     gm = _stream_grads(mixed_scene, default_camera, mesh=m, ray_tile=128)
     g1 = _stream_grads(mixed_scene, default_camera, ray_tile=128)
     _assert_tree_close(gm, g1, rtol=1e-4, atol=1e-6)
+
+
+def test_hbm_accumulator_matches_vmem(default_camera):
+    """acc='hbm' (the >200k-sphere mode: HBM accumulator output,
+    window-RMW through a VMEM staging tile) must produce BITWISE the
+    resident accumulator's gradients — the same adds happen in the
+    same order; only the residence differs. Multi-block Morton scene
+    so the scatter crosses windows; both sweeps."""
+    scene = build_random_scene(600, seed=3)
+    w = _weight()
+    stream = prepare_stream_scene(scene, block=128)
+    for sweep in ("sample", "wave"):
+        base = render_pallas_stream_grads(
+            stream, default_camera, w / SPP, W, H, SPP, DEPTH,
+            ray_tile=128, interpret=True, sweep=sweep, acc="vmem",
+        )
+        hbm = render_pallas_stream_grads(
+            stream, default_camera, w / SPP, W, H, SPP, DEPTH,
+            ray_tile=128, interpret=True, sweep=sweep, acc="hbm",
+        )
+        for a, b in zip(base, hbm):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=f"sweep={sweep}")
+
+
+def test_hbm_accumulator_fused_step(default_camera):
+    """The fused (mse) stream step with acc='hbm' — including the
+    full-park auto — matches the resident-accumulator step bitwise."""
+    from raytracingincuda_tpu.ops.pallas_stream_backward import (
+        mse_train_stream,
+    )
+
+    scene = build_random_scene(600, seed=4)
+    stream = prepare_stream_scene(scene, block=128)
+    rng = np.random.default_rng(9)
+    tgt = jnp.asarray(rng.random((H, W, 3)), jnp.float32)
+    base = mse_train_stream(
+        stream, default_camera, tgt, W, H, SPP, DEPTH,
+        ray_tile=128, interpret=True, acc="vmem",
+    )
+    hbm = mse_train_stream(
+        stream, default_camera, tgt, W, H, SPP, DEPTH,
+        ray_tile=128, interpret=True, acc="hbm",
+    )
+    for a, b in zip(base, hbm):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
