@@ -29,7 +29,7 @@ def main() -> int:
     ap.add_argument("-o", "--out", default=None)
     args = ap.parse_args()
 
-    df = pd.read_csv(args.csv)
+    df = pd.read_csv(args.csv, comment="#")  # skip the in-CSV calibration
     avg = aggregate(df)
     out = args.out or f"avg_{args.csv}"
     avg.to_csv(out, index=False)

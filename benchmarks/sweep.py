@@ -173,6 +173,14 @@ def main() -> int:
                   f"{render_ms:.2f},{e2e_ms:.2f}", file=sys.stderr)
 
     with open(args.out, "w", newline="") as f:
+        # calibration IN the CSV (VERDICT r4 next #5): wall rows for
+        # sub-100 ms renders are hostage to the day's tunnel RTT floor,
+        # so the proof travels with the data (aggregate.py and pandas
+        # read_csv(comment='#') skip it); the sidecar stays for tools
+        # that want it machine-readable
+        f.write("# calibration: " + json.dumps(
+            {**calib, "backend": jax.default_backend(),
+             "pipeline": args.pipeline}) + "\n")
         wcsv = csv.writer(f)
         wcsv.writerow(CSV_COLUMNS)
         wcsv.writerows(rows)
