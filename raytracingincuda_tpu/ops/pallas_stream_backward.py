@@ -324,7 +324,21 @@ def _stream_grad_kernel(
         """Window-looped MXU scatter of (16, R) cotangent rows into the
         lane-dense (16, N) accumulator, skipping windows with no
         winner (Morton-sorted scenes keep a tile's winners in few
-        blocks)."""
+        blocks). The loop bounds come from the wave's winner sid RANGE
+        (round 5): at 1M spheres a full 0..n_win walk is ~976 window
+        tests per reverse wave — Morton locality keeps a wave's
+        winners in few CONSECUTIVE windows, so [min_sid, max_sid]
+        bounds the visit. The f32 divisions are widened by one window
+        each side (exactness margin); the per-window in_win test stays
+        EXACT, so skipped windows are provably empty and the adds —
+        and therefore the gradients — are bitwise unchanged."""
+        valid = sid_v >= 0.0
+        smin = jnp.min(jnp.where(valid, sid_v, 1e9))    # no winner ->
+        smax = jnp.max(sid_v)                           # zero-trip loop
+        w_lo = jnp.maximum(
+            jnp.floor(smin / wblock).astype(jnp.int32) - 1, 0)
+        w_hi = jnp.minimum(
+            jnp.floor(smax / wblock).astype(jnp.int32) + 2, n_win)
 
         def scatter_win(win_i, _):
             base = win_i * wblock
@@ -367,7 +381,7 @@ def _stream_grad_kernel(
 
             return 0
 
-        lax.fori_loop(0, n_win, scatter_win, 0)
+        lax.fori_loop(w_lo, w_hi, scatter_win, 0)
 
     def one_sample(s_i, d_cam_acc):
         s_u = s_i.astype(jnp.uint32)
