@@ -1945,20 +1945,23 @@ def render_pallas_grads(
         raise ValueError("park must be None (auto), False, or 'hbm'")
     if ray_tile is None:
         # auto (round-5 hardware ladder, standalone_ab.jsonl): under
-        # FULL-PARK rt1024 wins at every measured shape (640x384x16spp
-        # d8 173.7 vs rt512 186.0, d25 189.9 vs 209.6; headline
-        # 1280x768x100spp/d25 4002 vs 4452 ms, rr2 3019 vs 3320 — no
-        # parking window to squeeze). The WINDOWED sweep keeps the
-        # rt512 knee (rt512/w128 312 ms vs rt1024/w32 365,
-        # bwd_wave.jsonl): a smaller tile buys a deeper window under
-        # the same VMEM scratch budget.
+        # FULL-PARK rt1024 wins at every measured shape up to d25
+        # (640x384x16spp d8 173.7 vs rt512 186.0, d25 189.9 vs 209.6;
+        # headline 1280x768x100spp/d25 4002 vs 4452 ms, rr2 3019 vs
+        # 3320 — no parking window to squeeze); at d50/500spp the knee
+        # flips slightly (rt512 12.83 s vs rt1024 13.05, grads_d50
+        # rows) — the deep residual working set squeezes the larger
+        # tile, same direction as the windowed d50 rule. The WINDOWED
+        # sweep keeps the rt512 knee everywhere (rt512/w128 312 ms vs
+        # rt1024/w32 365, bwd_wave.jsonl): a smaller tile buys a
+        # deeper window under the same VMEM scratch budget.
         _will_park = (
             sweep == "wave" and sample_offset == 0 and park is not False
             and not window
             and samples_per_pixel * max_depth * _ST_ROWS * 1024 * 4
             <= _HBM_BUDGET
         )
-        ray_tile = 1024 if _will_park else 512
+        ray_tile = 1024 if (_will_park and max_depth <= 28) else 512
     rr_start = rtrng.validate_rr_start(rr_start)
     # FULL-PARK auto (round 4.2): park every wave to an HBM buffer and
     # run the reverse walk straight from it — the standalone analog of
