@@ -246,6 +246,8 @@ def make_train_step(
                 sweep=kw.get("sweep"), window=kw.get("window", 0),
                 rr_start=kw.get("rr_start"),
                 pixels_per_lane=kw.get("pixels_per_lane"),
+                loss=kw.get("loss", "mse"),
+                huber_delta=kw.get("huber_delta", 1.0),
             )
             d_params, _d_cam = chain_to_params(
                 d_sm, d_cr, state.params, cam_cfg, mat_type, active,

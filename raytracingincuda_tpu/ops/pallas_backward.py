@@ -1468,10 +1468,11 @@ def _fused_tile_kernel(
     samples: int, max_depth: int, seed: int, dtype, gamma: bool,
     num_pixels: int, park_all: bool = False, sweep: str = "sample",
     window: int = 32, rr_start=None, k_pixels: int = 1,
-    park: str = "",
+    park: str = "", loss: str = "mse", huber_delta: float = 1.0,
 ):
-    """Fused MSE train step: ONE kernel computes the rendered tile, the
-    MSE-vs-target loss contribution, AND the scene/camera cotangents.
+    """Fused per-pixel-loss train step: ONE kernel computes the
+    rendered tile, the loss-vs-target contribution (``loss``: 'mse' |
+    'l1' | 'huber' | 'relmse'), AND the scene/camera cotangents.
 
     Three sweeps: (1) forward radiance accumulation (the render), (2) the
     in-kernel loss + upstream-cotangent chain (MSE through gamma and the
@@ -1682,9 +1683,46 @@ def _fused_tile_kernel(
     target = Vec3(tr_ref[0, :, :], tg_ref[0, :, :], tb_ref[0, :, :])
     diff = vec.where(valid, img - target, Vec3.zeros(shape, dtype=dtype))
     w = 1.0 / (num_pixels * 3)
-    loss_tile = w * jnp.sum(diff.x * diff.x + diff.y * diff.y
-                            + diff.z * diff.z)
-    g_img = diff * (2.0 * w)
+    # static per-pixel loss family (round 5): anything per-pixel-local
+    # fuses the same way MSE does — the tile's cotangent is known the
+    # moment its render finishes. loss/grad pairs below are the
+    # standard subgradient conventions (L1: sign, 0 at 0; Huber:
+    # clipped linear; relMSE: per-channel target-relative, the common
+    # inverse-rendering robustifier for high-dynamic-range targets).
+    if loss == "mse":
+        loss_tile = w * jnp.sum(diff.x * diff.x + diff.y * diff.y
+                                + diff.z * diff.z)
+        g_img = diff * (2.0 * w)
+    elif loss == "l1":
+        loss_tile = w * jnp.sum(jnp.abs(diff.x) + jnp.abs(diff.y)
+                                + jnp.abs(diff.z))
+        g_img = Vec3(jnp.sign(diff.x) * w, jnp.sign(diff.y) * w,
+                     jnp.sign(diff.z) * w)
+    elif loss == "huber":
+        hd = float(huber_delta)
+
+        def _h(d):
+            a = jnp.abs(d)
+            return jnp.where(a <= hd, 0.5 * d * d, hd * (a - 0.5 * hd))
+
+        loss_tile = w * jnp.sum(_h(diff.x) + _h(diff.y) + _h(diff.z))
+        g_img = Vec3(jnp.clip(diff.x, -hd, hd) * w,
+                     jnp.clip(diff.y, -hd, hd) * w,
+                     jnp.clip(diff.z, -hd, hd) * w)
+    elif loss == "relmse":
+        eps = 1e-2     # standard relMSE floor; keeps black pixels finite
+
+        def _den(t):
+            return t * t + eps
+
+        loss_tile = w * jnp.sum(diff.x * diff.x / _den(target.x)
+                                + diff.y * diff.y / _den(target.y)
+                                + diff.z * diff.z / _den(target.z))
+        g_img = Vec3(diff.x * (2.0 * w) / _den(target.x),
+                     diff.y * (2.0 * w) / _den(target.y),
+                     diff.z * (2.0 * w) / _den(target.z))
+    else:
+        raise ValueError(f"unknown loss {loss!r}")
     if gamma:
         # d sqrt(x) = 0.5 / sqrt(x) = 0.5 / img; subgradient 0 at black
         # (same convention as make_diff_render's host chain)
@@ -2174,10 +2212,23 @@ def mse_train_pallas(
     rr_start=None,
     pixels_per_lane=None,
     tile_chunk=None,
+    loss: str = "mse",
+    huber_delta: float = 1.0,
 ):
-    """Fused MSE train step: ONE Mosaic kernel returning
+    """Fused per-pixel-loss train step: ONE Mosaic kernel returning
     ``(loss, image, d_scene_matrix, d_camera_row)`` against a target
     image (H, W, 3).
+
+    ``loss`` selects the per-pixel loss family (round 5) — anything
+    per-pixel-local fuses exactly like MSE (the tile's cotangent is
+    known the moment its render finishes):
+      'mse'    mean((img - target)^2)                       [default]
+      'l1'     mean(|img - target|)            (sign subgradient, 0@0)
+      'huber'  mean(huber_{huber_delta}(img - target))
+      'relmse' mean((img - target)^2 / (target^2 + 1e-2))  — the
+               standard HDR inverse-rendering robustifier
+    All means are over num_pixels*3 channels; chunked/tiled partial
+    sums stay exact for every member (they are pixel sums).
 
     ``tile_chunk=(start, count)``: process only that static range of
     ray tiles — the escape hatch for configs where one full-frame
@@ -2416,6 +2467,8 @@ def mse_train_pallas(
         rr_start=rr_start,
         k_pixels=pixels_per_lane,
         park=("hbm" if hbm_park else ""),
+        loss=loss,
+        huber_delta=huber_delta,
     )
     # full-park HBM buffer: the TRUE per-tile wave bound (each lane
     # advances one (pixel, sample, bounce) per wave)
@@ -2573,6 +2626,8 @@ def make_tiled_train(
     park_residuals="hbm",
     dtype=jnp.float32,
     interpret=None,
+    loss: str = "mse",
+    huber_delta: float = 1.0,
 ):
     """Build the tile-chunked fused train step ONCE; returns
     ``step(target) -> (loss, image, d_scene_matrix, d_camera_row)``.
@@ -2612,7 +2667,7 @@ def make_tiled_train(
             pixel_order=pixel_order, rr_start=rr_start,
             park_residuals=park_residuals,
             pixels_per_lane=pixels_per_lane, dtype=dtype,
-            interpret=interpret,
+            interpret=interpret, loss=loss, huber_delta=huber_delta,
             tile_chunk=(t0, t1 - t0),
         ))
         for (t0, t1) in bounds if t1 > t0
@@ -2682,6 +2737,8 @@ def make_mse_train(
     window: int = 0,
     rr_start=None,
     pixels_per_lane=None,
+    loss: str = "mse",
+    huber_delta: float = 1.0,
 ):
     """User-facing fused train step builder.
 
@@ -2703,7 +2760,8 @@ def make_mse_train(
             ray_tile=ray_tile, pixel_order=pixel_order, mesh=mesh,
             interpret=interpret, park_residuals=park_residuals,
             sweep=sweep, window=window, rr_start=rr_start,
-            pixels_per_lane=pixels_per_lane,
+            pixels_per_lane=pixels_per_lane, loss=loss,
+            huber_delta=huber_delta,
         )
         d_params, d_cam = chain_to_params(
             d_sm, d_cr, params, cam_cfg, mat_type, active,

@@ -97,7 +97,8 @@ def _stream_grad_kernel(
     n_blocks: int, n_groups: int, mse: bool = False,
     num_pixels: int = 0, sweep: str = "sample", window: int = 32,
     rr_start=None, k_pixels: int = 1, park: str = "",
-    acc_hbm: bool = False,
+    acc_hbm: bool = False, loss_kind: str = "mse",
+    huber_delta: float = 1.0,
 ):
     """``mse=False``: gr/gg/gb rows are the upstream cotangent g_acc;
     loss output stays 0. ``mse=True`` (the FUSED train step): gr/gg/gb
@@ -306,11 +307,47 @@ def _stream_grad_kernel(
         dy = (img.y - target.y) * valid
         dz = (img.z - target.z) * valid
         inv_n = 1.0 / (num_pixels * 3)
-        scale = 2.0 * inv_n * inv_spp       # dL/dimg chained to acc
-        g = Vec3(dx * scale, dy * scale, dz * scale)
-        loss_ref[0, 0] = loss_ref[0, 0] + jnp.sum(
-            (dx * dx + dy * dy + dz * dz) * inv_n
-        )
+        # per-pixel loss family (round 5, mirrors _fused_tile_kernel;
+        # the stream step renders in LINEAR radiance, so no gamma chain)
+        if loss_kind == "mse":
+            scale = 2.0 * inv_n * inv_spp   # dL/dimg chained to acc
+            g = Vec3(dx * scale, dy * scale, dz * scale)
+            loss_val = (dx * dx + dy * dy + dz * dz) * inv_n
+        elif loss_kind == "l1":
+            scale = inv_n * inv_spp
+            g = Vec3(jnp.sign(dx) * scale, jnp.sign(dy) * scale,
+                     jnp.sign(dz) * scale)
+            loss_val = (jnp.abs(dx) + jnp.abs(dy)
+                        + jnp.abs(dz)) * inv_n
+        elif loss_kind == "huber":
+            hd = float(huber_delta)
+
+            def _h(d):
+                a = jnp.abs(d)
+                return jnp.where(a <= hd, 0.5 * d * d,
+                                 hd * (a - 0.5 * hd))
+
+            scale = inv_n * inv_spp
+            g = Vec3(jnp.clip(dx, -hd, hd) * scale,
+                     jnp.clip(dy, -hd, hd) * scale,
+                     jnp.clip(dz, -hd, hd) * scale)
+            loss_val = (_h(dx) + _h(dy) + _h(dz)) * inv_n
+        elif loss_kind == "relmse":
+            eps = 1e-2
+
+            def _den(t):
+                return t * t + eps
+
+            scale = 2.0 * inv_n * inv_spp
+            g = Vec3(dx * scale / _den(target.x),
+                     dy * scale / _den(target.y),
+                     dz * scale / _den(target.z))
+            loss_val = (dx * dx / _den(target.x)
+                        + dy * dy / _den(target.y)
+                        + dz * dz / _den(target.z)) * inv_n
+        else:
+            raise ValueError(f"unknown loss {loss_kind!r}")
+        loss_ref[0, 0] = loss_ref[0, 0] + jnp.sum(loss_val)
     else:
         g = Vec3(gr_ref[0, :, :], gg_ref[0, :, :], gb_ref[0, :, :])
 
@@ -545,6 +582,8 @@ def _stream_grad_program(
     pixels_per_lane=None,
     park=None,
     acc=None,
+    loss: str = "mse",
+    huber_delta: float = 1.0,
 ):
     """Shared driver for both grad entry points. ``rows3`` (H, W, 3) is
     the upstream cotangent g_acc (mse=False) or the target image
@@ -712,6 +751,8 @@ def _stream_grad_program(
         k_pixels=kpl,
         park=("hbm" if hbm_park else ""),
         acc_hbm=acc_hbm,
+        loss_kind=loss,
+        huber_delta=huber_delta,
     )
     hbm_waves = kpl * samples_per_pixel * max_depth
 

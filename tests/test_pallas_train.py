@@ -351,3 +351,46 @@ def test_explicit_hbm_park_oversize_raises(mixed_scene, default_camera):
             ray_tile=1024, pixels_per_lane=16, interpret=True,
             park_residuals="hbm",
         )
+
+
+@pytest.mark.parametrize("loss_kind", ["l1", "huber", "relmse"])
+def test_loss_family_matches_oracle(mixed_scene, default_camera, target,
+                                    loss_kind):
+    """Round 5: the fused kernel's per-pixel loss family (l1 / huber /
+    relmse) — values and gradients vs jax.value_and_grad through the
+    jnp oracle with the same loss formula (identical Threefry streams,
+    so images are bit-exact and grads reassociation-close)."""
+    from raytracingincuda_tpu.ops.pallas_backward import mse_train_pallas
+
+    def loss_formula(img):
+        d = img - target
+        if loss_kind == "l1":
+            return jnp.mean(jnp.abs(d))
+        if loss_kind == "huber":
+            hd = 0.25
+            a = jnp.abs(d)
+            return jnp.mean(jnp.where(a <= hd, 0.5 * d * d,
+                                      hd * (a - 0.5 * hd)))
+        return jnp.mean(d * d / (target * target + 1e-2))
+
+    got = mse_train_pallas(
+        mixed_scene, default_camera, target, W, H, SPP, DEPTH,
+        ray_tile=128, interpret=True, loss=loss_kind, huber_delta=0.25,
+    )
+
+    def oracle_loss(p, c):
+        img = tracer.render(
+            Scene(p, mixed_scene.mat_type, mixed_scene.active), c,
+            W, H, SPP, DEPTH, gamma=True,
+        )
+        return loss_formula(img)
+
+    oloss, ograds = jax.value_and_grad(oracle_loss, argnums=(0, 1))(
+        mixed_scene.params, default_camera)
+    np.testing.assert_allclose(float(got[0]), float(oloss), rtol=1e-5)
+    from raytracingincuda_tpu.ops.pallas_backward import chain_to_params
+    d_params, d_cam = chain_to_params(
+        got[2], got[3], mixed_scene.params, default_camera,
+        mixed_scene.mat_type, mixed_scene.active, W, H,
+    )
+    _assert_tree_close((d_params, d_cam), ograds, rtol=7e-3, atol=7e-4)

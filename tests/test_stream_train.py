@@ -282,3 +282,55 @@ def test_stream_explicit_sweep_disables_park_auto(small_scene,
         for a, b in zip(auto, forced):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                           err_msg=f"sweep={sweep}")
+
+
+@pytest.mark.parametrize("loss_kind", ["l1", "huber", "relmse"])
+def test_stream_loss_family_matches_oracle(small_scene, default_camera,
+                                           loss_kind):
+    """Round 5: the STREAM fused step's per-pixel loss family vs
+    jax.value_and_grad through the jnp oracle (linear radiance — the
+    stream step renders gamma-off)."""
+    from raytracingincuda_tpu.models.scene import Scene
+    from raytracingincuda_tpu.ops import tracer
+    from raytracingincuda_tpu.ops.pallas_backward import chain_to_params
+    from raytracingincuda_tpu.ops.pallas_stream_backward import (
+        mse_train_stream, stream_grads_to_scene_mat,
+    )
+
+    rng = np.random.default_rng(13)
+    tgt = jnp.asarray(rng.random((H, W, 3)), jnp.float32)
+    stream = prepare_stream_scene(small_scene, block=32)
+    loss, d_stream, d_cr = mse_train_stream(
+        stream, default_camera, tgt, W, H, SPP, DEPTH,
+        ray_tile=64, interpret=True, loss=loss_kind, huber_delta=0.25,
+    )
+    d_sm = stream_grads_to_scene_mat(d_stream, stream,
+                                     small_scene.num_slots)
+    d_params, d_cam = chain_to_params(
+        d_sm, d_cr, small_scene.params, default_camera,
+        small_scene.mat_type, small_scene.active, W, H,
+    )
+
+    def oracle_loss(p, c):
+        img = tracer.render(
+            Scene(p, small_scene.mat_type, small_scene.active), c,
+            W, H, SPP, DEPTH, gamma=False,
+        )
+        d = img - tgt
+        if loss_kind == "l1":
+            return jnp.mean(jnp.abs(d))
+        if loss_kind == "huber":
+            hd = 0.25
+            a = jnp.abs(d)
+            return jnp.mean(jnp.where(a <= hd, 0.5 * d * d,
+                                      hd * (a - 0.5 * hd)))
+        return jnp.mean(d * d / (tgt * tgt + 1e-2))
+
+    oloss, ograds = jax.value_and_grad(oracle_loss, argnums=(0, 1))(
+        small_scene.params, default_camera)
+    np.testing.assert_allclose(float(loss), float(oloss), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves((d_params, d_cam)),
+                    jax.tree_util.tree_leaves(ograds)):
+        assert np.isfinite(np.asarray(a)).all()
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=7e-3, atol=7e-4)
