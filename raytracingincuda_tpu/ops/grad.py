@@ -296,6 +296,8 @@ def make_stream_train(
     fused: bool = True,
     mesh=None,
     interpret: Optional[bool] = None,
+    loss: str = "mse",
+    huber_delta: float = 1.0,
 ):
     """Inverse rendering for STREAMING-HBM scenes (beyond-VMEM scale).
 
@@ -382,10 +384,11 @@ def make_stream_train(
         def fused_kernel_step(params, mat_type, active, cam_cfg, target,
                               opt_state, border):
             st = _stream_of(params, mat_type, active, border)
-            loss, d_stream, d_cr = mse_train_stream(
+            loss_v, d_stream, d_cr = mse_train_stream(
                 st, cam_cfg, target, img_width, img_height,
                 samples_per_pixel, max_depth, seed=seed,
                 lane_group=lane_group, mesh=mesh, interpret=interpret,
+                loss=loss, huber_delta=huber_delta,
             )
             d_sm = stream_grads_to_scene_mat(
                 d_stream, st, mat_type.shape[0]
@@ -395,7 +398,7 @@ def make_stream_train(
                 img_width, img_height,
             )
             new_params, opt_state = _apply(d_params, params, opt_state)
-            return new_params, opt_state, loss
+            return new_params, opt_state, loss_v
 
         def fused_step(state: TrainState, cam_cfg: CameraConfig,
                        mat_type, active, target):
