@@ -39,6 +39,11 @@ def main() -> int:
     ap.add_argument("--n_spheres", type=int, default=0,
                     help="impl=stream: train on a random scene of this "
                          "size instead of scene 2")
+    ap.add_argument("--loss", default="mse",
+                    choices=["mse", "l1", "huber", "relmse"],
+                    help="fused-step per-pixel loss family (impl=fused/"
+                         "stream; relmse is the HDR robustifier, "
+                         "huber/l1 tame target fireflies)")
     ap.add_argument("--out", default="recovered.ppm")
     args = ap.parse_args()
 
@@ -95,7 +100,7 @@ def main() -> int:
     if args.impl == "stream":
         init_fn, step_fn = gradlib.make_stream_train(
             stream, W, H, args.samples, args.bounces,
-            learning_rate=args.lr, trainable=trainable,
+            learning_rate=args.lr, trainable=trainable, loss=args.loss,
         )
     else:
         # frozen difficulty order (TPU kernels only): depth-grouped pixel
@@ -115,10 +120,15 @@ def main() -> int:
             order = difficulty_order(
                 seg, min(8, args.bounces), min(6, args.samples)
             )
+        extra = {"loss": args.loss} if args.impl == "fused" else {}
+        if args.loss != "mse" and args.impl not in ("fused", "stream"):
+            raise SystemExit(
+                f"--loss {args.loss} needs impl=fused or stream "
+                "(the in-kernel loss family)")
         init_fn, step_fn = gradlib.make_train_step(
             W, H, args.samples, args.bounces,
             learning_rate=args.lr, trainable=trainable, impl=args.impl,
-            pixel_order=order,
+            pixel_order=order, **extra,
         )
     if args.impl in ("oracle", "fused"):
         step_fn = jax.jit(step_fn)
