@@ -2042,8 +2042,10 @@ def render_pallas_grads(
         else:
             pixels_per_lane = 1
     if hbm_park:
-        # integer fit, as in mse_train_pallas (K3-style non-doublings)
-        pixels_per_lane = min(pixels_per_lane, _k_fit)
+        # integer fit, as in mse_train_pallas (K3-style non-doublings);
+        # K cap 8 under full-park (round-5 ladder: grads_park rr2
+        # headline K8 2977 vs K16 3020 ms, standalone_ab.jsonl)
+        pixels_per_lane = min(pixels_per_lane, _k_fit, 8)
     if pixels_per_lane > 1 and sweep != "wave":
         raise ValueError("pixels_per_lane > 1 requires sweep='wave'")
     (ids, ids2, ii2, jj2, (gr, gg, gb), scene_mat, cam_row, n_spheres,
@@ -2361,7 +2363,11 @@ def mse_train_pallas(
             per = max(1, (img_width * img_height)
                       // (_rt_hbm * n_shards))
             _k_hbm = 1
-            while _k_hbm < 16 and _k_hbm * 2 <= per:
+            # K cap 8 under FULL-PARK (round-5 ladder: K8 beats K16 at
+            # every parked shape — headline 2.837 vs 2.883 s, d50/
+            # 100spp 2.471 vs 2.748, small frames tie-or-win; the
+            # windowed wave sweep keeps its measured K16 knee)
+            while _k_hbm < 8 and _k_hbm * 2 <= per:
                 _k_hbm *= 2
             # integer fit, not doubling-shrink: the 500spp/d50 buffer
             # admits K3 at rt1024 (12.3 GB) and K3 measures +4% over K2
@@ -2754,7 +2760,7 @@ def make_mse_train(
 
     def f(params, cam_cfg, target):
         scene = Scene(params=params, mat_type=mat_type, active=active)
-        loss, img, d_sm, d_cr = mse_train_pallas(
+        loss_v, img, d_sm, d_cr = mse_train_pallas(
             scene, cam_cfg, target, img_width, img_height,
             samples_per_pixel, max_depth, seed=seed, gamma=gamma,
             ray_tile=ray_tile, pixel_order=pixel_order, mesh=mesh,
@@ -2767,7 +2773,7 @@ def make_mse_train(
             d_sm, d_cr, params, cam_cfg, mat_type, active,
             img_width, img_height,
         )
-        return loss, img, (d_params, d_cam)
+        return loss_v, img, (d_params, d_cam)
 
     return f
 
