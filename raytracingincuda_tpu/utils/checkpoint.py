@@ -106,3 +106,60 @@ def render_incremental(
 
     img = acc / float(cfg.samples)
     return np.asarray(_linear_to_gamma(jnp.asarray(img)))
+
+
+def save_train_state(path: str, state, token: str = "") -> None:
+    """Checkpoint an inverse-rendering TrainState (or any pytree of
+    arrays: params + optimizer state + step) to one .npz, atomically.
+
+    ``token``: an identifying string (training config, scene hash, …)
+    validated on load — the same guard the render checkpoint uses so a
+    checkpoint can't silently continue a different run. Restore with
+    :func:`load_train_state` against a template built by the SAME
+    ``init_fn`` (the treedef lives in code; the file stores leaves)."""
+    import jax
+
+    path = _npz_path(path)
+    leaves = jax.tree_util.tree_leaves(state)
+    tmp = path + ".tmp.npz"
+    np.savez(
+        tmp,
+        token=np.frombuffer(token.encode(), np.uint8),
+        n_leaves=np.int64(len(leaves)),
+        **{f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)},
+    )
+    os.replace(tmp, path)
+
+
+def load_train_state(path: str, template, token: str = ""):
+    """Restore a pytree saved by :func:`save_train_state`.
+
+    ``template``: a structurally identical pytree (e.g. a fresh
+    ``init_fn(params)`` result) supplying the treedef and leaf dtypes;
+    leaf values are replaced by the checkpoint's, bit-exactly."""
+    import jax
+
+    z = np.load(_npz_path(path))
+    saved = bytes(z["token"]).decode()
+    if saved != token:
+        raise ValueError(
+            f"train checkpoint {path} belongs to a different run:\n"
+            f"  checkpoint: {saved!r}\n  requested:  {token!r}"
+        )
+    tleaves, treedef = jax.tree_util.tree_flatten(template)
+    n = int(z["n_leaves"])
+    if n != len(tleaves):
+        raise ValueError(
+            f"train checkpoint {path} has {n} leaves; the template has "
+            f"{len(tleaves)} — built by a different init_fn/optimizer?"
+        )
+    leaves = []
+    for i, t in enumerate(tleaves):
+        v = z[f"leaf_{i}"]
+        if v.shape != np.shape(t):
+            raise ValueError(
+                f"leaf {i}: checkpoint shape {v.shape} != template "
+                f"shape {np.shape(t)}"
+            )
+        leaves.append(jnp.asarray(v, dtype=getattr(t, "dtype", None)))
+    return jax.tree_util.tree_unflatten(treedef, leaves)

@@ -72,3 +72,52 @@ def test_checkpoint_config_mismatch_rejected(tiny_scene, default_camera,
                          cfg_for(6))
     with pytest.raises(ValueError, match="different render config"):
         ckpt.load_checkpoint(path, cfg_for(8))
+
+
+def test_train_state_checkpoint_roundtrip(tmp_path, default_camera):
+    """Round 5: TrainState save/load — resume a training run bit-exactly
+    (params + optimizer moments + step), with the same config-token
+    guard as the render checkpoint."""
+    import jax
+    import jax.numpy as jnp
+
+    from raytracingincuda_tpu.models.scene import build_scene
+    from raytracingincuda_tpu.ops import grad as gradlib
+    from raytracingincuda_tpu.utils.checkpoint import (
+        load_train_state, save_train_state,
+    )
+
+    W, H = 24, 16
+    scene = build_scene(2, pad_to_multiple=8)
+    target = jnp.zeros((H, W, 3), jnp.float32)
+    init_fn, step_fn = gradlib.make_train_step(W, H, 1, 2,
+                                               learning_rate=1e-2)
+    step = jax.jit(step_fn)
+    state = init_fn(scene.params)
+    for _ in range(2):
+        state, _loss = step(state, default_camera, scene.mat_type,
+                            scene.active, target)
+
+    path = str(tmp_path / "train.npz")
+    save_train_state(path, state, token="cfg-v1")
+
+    # restore into a FRESH init (the template) and compare bit-exactly
+    restored = load_train_state(path, init_fn(scene.params),
+                                token="cfg-v1")
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # resuming produces the same next step as the uninterrupted run
+    s1, l1 = step(state, default_camera, scene.mat_type, scene.active,
+                  target)
+    s2, l2 = step(restored, default_camera, scene.mat_type,
+                  scene.active, target)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    for a, b in zip(jax.tree_util.tree_leaves(s1),
+                    jax.tree_util.tree_leaves(s2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # wrong token refuses
+    with pytest.raises(ValueError, match="different run"):
+        load_train_state(path, init_fn(scene.params), token="cfg-v2")
