@@ -39,6 +39,26 @@ def image_mse(img: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(d * d)
 
 
+def image_loss(img: jnp.ndarray, target: jnp.ndarray, loss: str = "mse",
+               huber_delta: float = 1.0) -> jnp.ndarray:
+    """The per-pixel loss family shared with the fused kernels
+    (pallas_backward._fused_tile_kernel): 'mse' | 'l1' | 'huber' |
+    'relmse' — same formulas, host-side, for the oracle/custom_vjp
+    paths."""
+    d = img - target
+    if loss == "mse":
+        return jnp.mean(d * d)
+    if loss == "l1":
+        return jnp.mean(jnp.abs(d))
+    if loss == "huber":
+        a = jnp.abs(d)
+        return jnp.mean(jnp.where(a <= huber_delta, 0.5 * d * d,
+                                  huber_delta * (a - 0.5 * huber_delta)))
+    if loss == "relmse":
+        return jnp.mean(d * d / (target * target + 1e-2))
+    raise ValueError(f"unknown loss {loss!r}")
+
+
 def make_loss_fn(
     img_width: int,
     img_height: int,
@@ -61,6 +81,8 @@ def make_loss_fn(
     sweep: Optional[str] = None,
     window: int = 0,
     pixels_per_lane: Optional[int] = None,
+    loss: str = "mse",
+    huber_delta: float = 1.0,
 ):
     """loss(params, cam_cfg, statics, target) -> scalar.
 
@@ -120,7 +142,7 @@ def make_loss_fn(
                 pixel_sharding=pixel_sharding, gamma=gamma, remat=remat,
                 rr_start=rr_start,
             )
-        return image_mse(img, target)
+        return image_loss(img, target, loss, huber_delta)
 
     return loss_fn
 

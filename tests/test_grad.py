@@ -169,3 +169,36 @@ def test_train_step_reduces_loss():
     np.testing.assert_array_equal(
         np.asarray(state.params.radius), np.asarray(wrong.radius)
     )
+
+
+def test_loss_fn_family(default_camera):
+    """make_loss_fn's loss family (shared formulas with the fused
+    kernels, ops/grad.image_loss) — values match the inline formulas
+    and gradients are finite for every member."""
+    from raytracingincuda_tpu.ops import tracer
+
+    small_scene = build_scene(2, pad_to_multiple=8)
+    W, H, SPP, D = 16, 12, 1, 2
+    rng = np.random.default_rng(3)
+    target = jnp.asarray(rng.random((H, W, 3)), jnp.float32)
+    img = tracer.render(small_scene, default_camera, W, H, SPP, D,
+                        gamma=False)
+    d = img - target
+    expected = {
+        "mse": float(jnp.mean(d * d)),
+        "l1": float(jnp.mean(jnp.abs(d))),
+        "huber": float(jnp.mean(jnp.where(
+            jnp.abs(d) <= 0.3, 0.5 * d * d,
+            0.3 * (jnp.abs(d) - 0.15)))),
+        "relmse": float(jnp.mean(d * d / (target * target + 1e-2))),
+    }
+    for kind, want in expected.items():
+        loss_fn = gradlib.make_loss_fn(
+            W, H, SPP, D, loss=kind, huber_delta=0.3)
+        got, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            small_scene.params, default_camera, small_scene.mat_type,
+            small_scene.active, target)
+        np.testing.assert_allclose(float(got), want, rtol=1e-6,
+                                   err_msg=kind)
+        for leaf in jax.tree_util.tree_leaves(grads):
+            assert np.isfinite(np.asarray(leaf)).all(), kind
