@@ -254,8 +254,10 @@ def _last_known_good() -> dict | None:
                                "bench_last_good.json"))
     except (OSError, ValueError):
         pass
+    import re
+
     root = os.path.dirname(os.path.abspath(__file__))
-    for path in sorted(glob.glob(os.path.join(root, "BENCH_r*.json"))):
+    for path in glob.glob(os.path.join(root, "BENCH_r*.json")):
         try:
             with open(path) as fh:
                 obj = json.load(fh)
@@ -264,8 +266,11 @@ def _last_known_good() -> dict | None:
         if isinstance(obj, dict):          # driver wrapper: JSON in "parsed"
             obj = obj.get("parsed", obj)
         if isinstance(obj, dict) and obj.get("value") is not None:
-            candidates.append((1, os.path.basename(path), obj,
-                               os.path.basename(path)))
+            # numeric round ordering — lexicographic would rank
+            # BENCH_r9 above BENCH_r10
+            m = re.search(r"BENCH_r(\d+)", os.path.basename(path))
+            rnd = int(m.group(1)) if m else -1
+            candidates.append((1, rnd, obj, os.path.basename(path)))
     if not candidates:
         return None
     _, _, obj, src = max(candidates)

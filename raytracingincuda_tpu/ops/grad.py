@@ -450,8 +450,14 @@ def make_stream_train(
     def bwd(params, sm, bounds, mat_type, active, cam_cfg, img, target,
             opt_state):
         st = StreamScene(sm, bounds, block, perm)
-        n = img_width * img_height * 3
-        g_acc = (2.0 / n) * (img - target) / samples_per_pixel
+        # dL/d(acc) for the selected per-pixel loss, chained through
+        # the 1/spp scale (round-5 review: the fused and two-program
+        # paths must train the SAME objective for any `loss`) —
+        # jax.grad of the shared image_loss keeps the formulas single-
+        # sourced with the fused kernels' in-kernel derivations
+        loss_v, g_img = jax.value_and_grad(
+            lambda im: image_loss(im, target, loss, huber_delta))(img)
+        g_acc = g_img / samples_per_pixel
         d_stream, d_cr = render_pallas_stream_grads(
             st, cam_cfg, g_acc, img_width, img_height,
             samples_per_pixel, max_depth, seed=seed,
@@ -464,10 +470,9 @@ def make_stream_train(
             d_sm, d_cr, params, cam_cfg, mat_type, active,
             img_width, img_height,
         )
-        loss = image_mse(img, target)
         updates, opt_state = opt.update(d_params, opt_state, params)
         new_params = optax.apply_updates(params, updates)
-        return new_params, opt_state, loss
+        return new_params, opt_state, loss_v
 
     def step_fn(state: TrainState, cam_cfg: CameraConfig,
                 mat_type, active, target):

@@ -1993,13 +1993,25 @@ def render_pallas_grads(
         # sweep keeps the rt512 knee everywhere (rt512/w128 312 ms vs
         # rt1024/w32 365, bwd_wave.jsonl): a smaller tile buys a
         # deeper window under the same VMEM scratch budget.
-        _will_park = (
+        # the SAME eligibility predicate gates the actual hbm_park
+        # decision below — _park_eligible is computed once so the two
+        # can never drift (round-5 review)
+        _budget = hbm_budget()
+        _park_eligible = (
             sweep == "wave" and sample_offset == 0 and park is not False
             and not window
-            and samples_per_pixel * max_depth * _ST_ROWS * 1024 * 4
-            <= _HBM_BUDGET
         )
-        ray_tile = 1024 if (_will_park and max_depth <= 28) else 512
+        ray_tile = 1024 if (
+            _park_eligible and max_depth <= 28
+            and samples_per_pixel * max_depth * _ST_ROWS * 1024 * 4
+            <= _budget
+        ) else 512
+    else:
+        _budget = hbm_budget()
+        _park_eligible = (
+            sweep == "wave" and sample_offset == 0 and park is not False
+            and not window
+        )
     rr_start = rtrng.validate_rr_start(rr_start)
     # FULL-PARK auto (round 4.2): park every wave to an HBM buffer and
     # run the reverse walk straight from it — the standalone analog of
@@ -2009,13 +2021,12 @@ def render_pallas_grads(
     # recurrence regenerates from sample 0) and sweep='wave' semantics.
     hbm_park = False
     # an explicit window opts into the windowed sweep (its only knob)
-    if (sweep == "wave" and sample_offset == 0 and park is not False
-            and not window):
-        _k_fit = max(1, int(_HBM_BUDGET
+    if _park_eligible:
+        _k_fit = max(1, int(_budget
                             // (samples_per_pixel * max_depth
                                 * _ST_ROWS * ray_tile * 4)))
         _k1_fits = (samples_per_pixel * max_depth * _ST_ROWS
-                    * ray_tile * 4 <= _HBM_BUDGET)
+                    * ray_tile * 4 <= _budget)
         if park == "hbm" or _k1_fits:
             hbm_park = _k1_fits
             if park == "hbm" and not _k1_fits:
@@ -2334,16 +2345,20 @@ def mse_train_pallas(
     # bounce) per wave, so a tile can never park more) fits the HBM
     # budget, shrinking K to fit (north-star: K16 would need 26 GB; K4
     # fits and measured best anyway, 28.3 vs K1's 25.3 Mrays/s).
+    _budget = hbm_budget()
+
     def _k_fit_hbm(rt: int) -> int:
-        return max(1, int(_HBM_BUDGET
+        return max(1, int(_budget
                           // (samples_per_pixel * max_depth
                               * _ST_ROWS * rt * 4)))
 
-    # full-park auto only when the caller constrained NEITHER the park
-    # mode NOR the sweep: an explicit sweep='sample'/'wave' request must
-    # not be silently overridden by park='hbm' (which ignores sweep) —
-    # ADVICE r4
-    if not hbm_park and park_residuals is None and sweep is None:
+    # full-park auto only when the caller constrained NONE of park /
+    # sweep / window: an explicit sweep OR window request must not be
+    # silently overridden by park='hbm' (which ignores both) —
+    # ADVICE r4 + round-5 review (render_pallas_grads has the same
+    # 'not window' gate)
+    if (not hbm_park and park_residuals is None and sweep is None
+            and not window):
         _rt_hbm = ray_tile
         if _rt_hbm is None:
             # full-park has NO parking window, so the windowed path's
@@ -2373,7 +2388,7 @@ def mse_train_pallas(
             # admits K3 at rt1024 (12.3 GB) and K3 measures +4% over K2
             _k_hbm = min(_k_hbm, _k_fit_hbm(_rt_hbm))
         if (_k_hbm * samples_per_pixel * max_depth * _ST_ROWS
-                * _rt_hbm * 4 <= _HBM_BUDGET):
+                * _rt_hbm * 4 <= _budget):
             hbm_park = True
             park_residuals = False
             pixels_per_lane = _k_hbm
@@ -2394,15 +2409,17 @@ def mse_train_pallas(
         ray_tile = 512
         if max_depth <= 28 and img_width * img_height >= 500_000:
             ray_tile = 1024
-        if park_residuals is None and sweep is None and prefer_park:
+        if (park_residuals is None and sweep is None and not window
+                and prefer_park):
             for rt in (1024, 512, 256):
                 if _park_fits(rt, _AUTO_BUDGET):
                     ray_tile, park_residuals = rt, True
                     break
     if park_residuals is None:
-        # same rule as the full-park auto: parking ignores sweep, so an
-        # explicit sweep request disables the park autos (ADVICE r4)
-        park_residuals = (sweep is None and prefer_park
+        # same rule as the full-park auto: parking ignores sweep AND
+        # window, so an explicit value for either disables the park
+        # autos (ADVICE r4 + round-5 review)
+        park_residuals = (sweep is None and not window and prefer_park
                           and _park_fits(ray_tile, _AUTO_BUDGET))
     elif park_residuals and not _park_fits(ray_tile, 14 * 2**20):
         raise ValueError(
@@ -2442,13 +2459,13 @@ def mse_train_pallas(
             "pixels_per_lane > 1 requires sweep='wave' without parking"
         )
     if hbm_park and (pixels_per_lane * samples_per_pixel * max_depth
-                     * _ST_ROWS * ray_tile * 4 > _HBM_BUDGET):
+                     * _ST_ROWS * ray_tile * 4 > _budget):
         # mirror render_pallas_grads: fail fast instead of attempting a
         # >12.5 GiB HBM allocation at runtime (ADVICE r4)
         raise ValueError(
             f"park_residuals='hbm' needs a ({pixels_per_lane}*"
             f"{samples_per_pixel}*{max_depth}*{_ST_ROWS}, {ray_tile}) f32 "
-            f"park buffer within the {_HBM_BUDGET / 2**30:.1f} GiB HBM "
+            f"park buffer within the {_budget / 2**30:.1f} GiB HBM "
             f"budget; lower pixels_per_lane/ray_tile/samples/depth or "
             f"leave them on auto"
         )

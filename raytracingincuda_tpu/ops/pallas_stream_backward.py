@@ -646,14 +646,15 @@ def _stream_grad_program(
                 pixels_per_lane *= 2
         else:
             pixels_per_lane = 1
-    if mse and park is None and not explicit_sweep:
+    _bytes_per_k = samples_per_pixel * max_depth * _ST_ROWS * ray_tile * 4
+    if mse and park is None and not explicit_sweep and not window:
         # full-park auto (round 4, mirrors mse_train_pallas): shrink K
         # until the true-bound buffer fits, else fall back to re-trace.
-        # Skipped when the caller pinned a sweep — park ignores sweep,
-        # so the auto would silently override the request (ADVICE r4).
+        # Skipped when the caller pinned a sweep OR a window — park
+        # ignores both, so the auto would silently override the request
+        # (ADVICE r4 + round-5 review).
         # integer K fit, mirroring mse_train_pallas's auto (K3-style
         # non-doubling fits are production there)
-        _bytes_per_k = samples_per_pixel * max_depth * _ST_ROWS * ray_tile * 4
         _k = min(pixels_per_lane, max(1, int(_HBM_BUDGET // _bytes_per_k)))
         if _k * _bytes_per_k <= _HBM_BUDGET:
             park = "hbm"
@@ -664,6 +665,20 @@ def _stream_grad_program(
             "park='hbm' is the fused (mse) step's mode — the standalone "
             "grad program has no render pass to park from"
         )
+    if hbm_park:
+        # explicit park='hbm' mirrors the auto: shrink K to the integer
+        # buffer fit and fail fast if even K=1 cannot fit — not a
+        # 100+ GiB runtime allocation failure (round-5 review; the VMEM
+        # twin got the same guard from ADVICE r4)
+        pixels_per_lane = min(pixels_per_lane,
+                              max(1, int(_HBM_BUDGET // _bytes_per_k)))
+        if pixels_per_lane * _bytes_per_k > _HBM_BUDGET:
+            raise ValueError(
+                f"park='hbm' needs a K*{samples_per_pixel}*{max_depth}"
+                f"*{_ST_ROWS}-row park buffer within the "
+                f"{_HBM_BUDGET / 2**30:.1f} GiB HBM budget even at K=1; "
+                f"lower ray_tile/samples/depth or pass park=False"
+            )
     kpl = pixels_per_lane
     if kpl > 1 and sweep != "wave":
         raise ValueError(

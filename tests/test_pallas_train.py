@@ -394,3 +394,25 @@ def test_loss_family_matches_oracle(mixed_scene, default_camera, target,
         mixed_scene.mat_type, mixed_scene.active, W, H,
     )
     _assert_tree_close((d_params, d_cam), ograds, rtol=7e-3, atol=7e-4)
+
+
+def test_explicit_window_disables_park_autos(mixed_scene, default_camera):
+    """An explicit window must run the WINDOWED sweep, not be silently
+    overridden by a park auto (park ignores window) — round-5 review,
+    same class as the explicit-sweep rule. Pinned bitwise against the
+    forced non-park path."""
+    from raytracingincuda_tpu.ops.pallas_backward import mse_train_pallas
+
+    rng = np.random.default_rng(41)
+    tgt = jnp.asarray(rng.random((H, W, 3)), jnp.float32)
+    auto = mse_train_pallas(
+        mixed_scene, default_camera, tgt, W, H, SPP, DEPTH,
+        ray_tile=128, interpret=True, window=6,
+    )
+    forced = mse_train_pallas(
+        mixed_scene, default_camera, tgt, W, H, SPP, DEPTH,
+        ray_tile=128, interpret=True, window=6,
+        park_residuals=False, sweep="wave",
+    )
+    for a, b in zip(auto, forced):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

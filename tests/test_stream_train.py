@@ -334,3 +334,49 @@ def test_stream_loss_family_matches_oracle(small_scene, default_camera,
         assert np.isfinite(np.asarray(a)).all()
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=7e-3, atol=7e-4)
+
+
+def test_stream_explicit_park_oversize(small_scene, default_camera):
+    """Explicit park='hbm' on the stream fused step shrinks K to the
+    buffer fit and fails fast (ValueError) when even K=1 cannot fit —
+    not a 100+ GiB runtime allocation (round-5 review; mirrors the
+    VMEM twin's ADVICE-r4 guard)."""
+    from raytracingincuda_tpu.ops.pallas_stream_backward import (
+        mse_train_stream,
+    )
+
+    stream = prepare_stream_scene(small_scene, block=32)
+    tgt = jnp.zeros((H, W, 3), jnp.float32)
+    with pytest.raises(ValueError, match="HBM budget"):
+        # 1 * 8192 * 64 * 40 rows * 1024 * 4 B ≈ 86 GB at K=1
+        mse_train_stream(
+            stream, default_camera, tgt, W, H, 8192, 64,
+            ray_tile=1024, interpret=True, park="hbm",
+        )
+
+
+def test_stream_train_nonfused_honors_loss(small_scene, default_camera):
+    """make_stream_train(fused=False, loss=...) must train the
+    requested objective (round-5 review: it silently fell back to MSE).
+    The reported loss must equal the fused step's for the same loss
+    kind (both are the same per-pixel formula on the same render)."""
+    from raytracingincuda_tpu.ops.grad import make_stream_train
+
+    stream = prepare_stream_scene(small_scene, block=32)
+    rng = np.random.default_rng(17)
+    tgt = jnp.asarray(rng.random((H, W, 3)), jnp.float32)
+    losses = {}
+    for fused in (True, False):
+        init_fn, step_fn = make_stream_train(
+            stream, W, H, SPP, DEPTH, learning_rate=1e-2,
+            fused=fused, interpret=True, loss="l1",
+        )
+        state = init_fn(small_scene.params)
+        _state, loss = step_fn(state, default_camera,
+                               small_scene.mat_type,
+                               small_scene.active, tgt)
+        losses[fused] = float(loss)
+    # same formula, same streams; different programs → reassociation tol
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5)
+    # and it is actually L1, not MSE (the two differ grossly here)
+    assert losses[True] > 0.05
